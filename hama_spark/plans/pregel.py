@@ -1,0 +1,173 @@
+"""DataFrame-native Pregel operator — the Spark equivalent of Hama's
+graph runtime (reference: graph/GraphJobRunner.java:157-414,
+graph/Vertex.java:53-198, graph/Aggregator.java:30).
+
+One Hama superstep == one iteration of this driver loop == one shuffle
+round:
+
+    msgs   = send(vertices, edges)                  # Vertex.sendMessage*
+    inbox  = msgs.groupBy(id).agg(combine)          # Combiner (map-side partial agg)
+    verts  = compute(vertices ⟕ inbox)              # Vertex.compute
+    aggs   = verts.agg(...) -> driver               # Aggregators (one row)
+    halt when msg_count == 0 or halt(ctx) or iter == max_iter
+
+Scale design (100 TB):
+- vertices and edges are hash-repartitioned on the join key ONCE before
+  the loop with the session's fixed shuffle-partition count, so every
+  per-iteration join reuses the same partitioning (SURVEY §4 "custom
+  Spark work (c)").
+- ``localCheckpoint`` every ``checkpoint_interval`` iterations truncates
+  the logical plan; without it the plan grows linearly with supersteps
+  and planning time dominates (SURVEY §7 risk register). On a real
+  cluster with unstable executors use reliable ``checkpoint()`` instead
+  (``reliable_checkpoint=True``).
+- message combining is a plain ``groupBy().agg()`` — Spark inserts a
+  map-side partial aggregate automatically, which IS Hama's Combiner
+  optimization (bsp/Combiner.java:30) without user wiring.
+- aggregators collect exactly ONE row per superstep to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MSG = "_msg"  # column name the combined inbox arrives under
+
+
+@dataclass
+class PregelContext:
+    """Per-superstep context handed to user callbacks.
+
+    ``aggregates`` holds the aggregator values computed at the END of the
+    previous superstep — matching Hama's schedule where the master
+    finalizes aggregators between supersteps and peers see them one
+    superstep later (graph/AggregationRunner.java:97-160).
+    """
+
+    superstep: int = 0
+    num_vertices: int = 0
+    num_messages: int = 0
+    aggregates: dict[str, Any] = field(default_factory=dict)
+    prev_aggregates: dict[str, Any] = field(default_factory=dict)
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame | None,
+    compute: Callable[[DataFrame, PregelContext], DataFrame],
+    send: Callable[[DataFrame, DataFrame | None, PregelContext], DataFrame | None],
+    combine: Callable[[Column], Column],
+    id_col: str = "id",
+    initial_message: Callable[[DataFrame, PregelContext], DataFrame] | str | None = "self",
+    aggregators: dict[str, Callable[[DataFrame], Column]] | None = None,
+    halt: Callable[[PregelContext], bool] | None = None,
+    max_iter: int = 30,
+    checkpoint_interval: int = 4,
+    reliable_checkpoint: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Run a Pregel fixpoint and return the final vertex DataFrame.
+
+    Parameters
+    ----------
+    vertices : DataFrame with ``id_col`` plus arbitrary state columns.
+    edges : DataFrame with ``src``/``dst`` plus attrs (may be None for
+        message-free iteration).
+    compute : (vertices_with_inbox, ctx) -> new vertices. The input has
+        every vertex column plus ``_msg`` (combined message, NULL when the
+        vertex received nothing this superstep — Hama skips compute for
+        halted+messageless vertices; express that with
+        ``F.when(F.col('_msg').isNotNull() | ~F.col('halted'), new).otherwise(old)``).
+        Must return the same ``id_col``.
+    send : (updated_vertices, edges, ctx) -> messages DataFrame with
+        columns ``(id_col, _msg)`` addressed to destination vertices, or
+        None / empty for no messages. ``sendMessageToNeighbors`` ==
+        join vertices with edges on ``src`` and project ``dst``.
+    combine : msg Column -> aggregate Column (Hama Combiner, e.g.
+        ``F.min``). Applied per destination vertex.
+    initial_message : "self" replicates Hama's initial superstep where
+        each vertex computes with its own value (GraphJobRunner.java:318-349)
+        — the inbox for superstep 0 is built by the *compute* author via
+        ctx.superstep == 0; callable for custom seeds; None = superstep 0
+        runs with empty inbox.
+    aggregators : name -> (vertices -> agg Column); evaluated after each
+        compute, visible to callbacks the NEXT superstep (ctx.aggregates).
+    halt : extra termination predicate checked after each superstep.
+    """
+    spark = vertices.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # Pin the partitioning once; every iteration's join on id reuses it.
+    vertices = vertices.repartition(n_part, id_col)
+    if edges is not None:
+        edges = edges.repartition(n_part, "src").cache()
+        edges.count()  # materialize so per-iteration scans hit cache
+    vertices = vertices.localCheckpoint(eager=True)
+
+    ctx = PregelContext(superstep=0, num_vertices=vertices.count())
+
+    # --- superstep 0 inbox (Hama's "initial superstep", G3) -------------
+    if initial_message == "self":
+        inbox = None  # compute sees ctx.superstep==0 and seeds itself
+    elif callable(initial_message):
+        inbox = initial_message(vertices, ctx)
+    else:
+        inbox = None
+
+    while True:
+        if inbox is not None:
+            combined = inbox.groupBy(id_col).agg(combine(F.col(MSG)).alias(MSG))
+            with_inbox = vertices.join(combined, on=id_col, how="left")
+        else:
+            with_inbox = vertices.withColumn(MSG, F.lit(None))
+
+        new_vertices = compute(with_inbox, ctx)
+        if MSG in new_vertices.columns:
+            new_vertices = new_vertices.drop(MSG)
+
+        # Cut lineage periodically; eager so the old cached plan is freed.
+        if ctx.superstep % checkpoint_interval == checkpoint_interval - 1:
+            if reliable_checkpoint:
+                new_vertices = new_vertices.checkpoint(eager=True)
+            else:
+                new_vertices = new_vertices.localCheckpoint(eager=True)
+        else:
+            new_vertices = new_vertices.localCheckpoint(eager=True)
+
+        vertices = new_vertices
+
+        # --- aggregators: ONE collect of one row per superstep ----------
+        ctx.prev_aggregates = ctx.aggregates
+        if aggregators:
+            row = vertices.agg(
+                *[fn(vertices).alias(name) for name, fn in aggregators.items()]
+            ).collect()[0]
+            ctx.aggregates = row.asDict()
+
+        if ctx.superstep + 1 >= max_iter:
+            break
+        if halt is not None and halt(ctx):
+            break
+
+        # --- send phase --------------------------------------------------
+        msgs = send(vertices, edges, ctx)
+        if msgs is None:
+            break
+        # Message count doubles as the halt signal (GraphJobRunner halts
+        # when no peer saw messages, :398-414). Materialize via cache once.
+        msgs = msgs.cache()
+        ctx.num_messages = msgs.count()
+        if ctx.num_messages == 0:
+            msgs.unpersist()
+            break
+        inbox = msgs
+        ctx.superstep += 1
+
+    if edges is not None:
+        edges.unpersist()
+    return vertices

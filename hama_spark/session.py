@@ -1,0 +1,108 @@
+"""SparkSession factory + table loading.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting.
+- A *fixed* ``spark.sql.shuffle.partitions`` matters for the iterative
+  Pregel loop (hama_spark.plans.pregel): keeping the same hash
+  partitioning across iterations lets Spark reuse exchange outputs
+  instead of re-planning a different partitioning per superstep.
+- Arrow enabled for the few Pandas-UDF paths (vector kernels,
+  multimodal decode) — everything else stays JVM-side.
+
+On a real cluster these settings come from spark-submit; this factory
+is for tests / local bench (local[N]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "hama_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster you'd size this to ~2-3x total executor cores and rely on
+    AQE coalescing.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver parquet carries TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long and convert in load_tables (matches
+        # DuckDB's truncation to microseconds).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Iterative algorithms checkpoint to cut lineage (SURVEY §4 O10).
+    ckpt = os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/hama_spark_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
+
+
+# columns stored as TIMESTAMP(NANOS) in the driver parquet; surfaced as
+# long by nanosAsLong and converted back to TimestampType here so query
+# results line up with the DuckDB oracle (which reads them as micros).
+NANO_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the driver parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, DataFrame] = {}
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        for c in NANO_TS_COLS.get(t, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                # floor-div to microseconds == DuckDB's nanos->micros truncation
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        out[t] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each table as a temp view (for spark.sql access)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
