@@ -1,0 +1,34 @@
+from hama_spark.functions.distance import cosine_distance, euclidean_distance
+from hama_spark.functions.linalg import (
+    vec_abs,
+    vec_add,
+    vec_divide,
+    vec_dot,
+    vec_max,
+    vec_min,
+    vec_multiply,
+    vec_pow,
+    vec_scale,
+    vec_slice,
+    vec_sqrt,
+    vec_subtract,
+    vec_sum,
+)
+
+__all__ = [
+    "euclidean_distance",
+    "cosine_distance",
+    "vec_add",
+    "vec_subtract",
+    "vec_multiply",
+    "vec_divide",
+    "vec_scale",
+    "vec_dot",
+    "vec_pow",
+    "vec_sqrt",
+    "vec_abs",
+    "vec_sum",
+    "vec_max",
+    "vec_min",
+    "vec_slice",
+]

@@ -1,0 +1,6 @@
+from hama_spark.ml.gradient_descent import gradient_descent
+from hama_spark.ml.kmeans import kmeans
+from hama_spark.ml.pi import estimate_pi
+from hama_spark.ml.spmv import spmv
+
+__all__ = ["kmeans", "gradient_descent", "spmv", "estimate_pi"]

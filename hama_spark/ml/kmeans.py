@@ -1,0 +1,93 @@
+"""k-means / Lloyd (M1).
+
+Reference: ml/kmeans/KMeansBSP.java:59-304. Exact semantics kept:
+- assignment to argmin-distance center, LOWEST index wins ties
+  (assignCentersInternal uses strict '<').
+- new center = mean of assigned points; centers with no assignment keep
+  their old position (KMeansBSP.java:168-173).
+- convergence: count of centers whose |Δ|₁ > 0; stop at 0 or when the
+  superstep count exceeds max_iterations (KMeansBSP.java:133-141).
+- distance: Euclidean default, cosine pluggable (DistanceMeasurer).
+
+Spark formulation: centers are O(k·dim) driver state broadcast into the
+plan as literals each iteration (Hama broadcasts partial sums to every
+peer — O(peers²) messages; here the shuffle is a k-row aggregate).
+Per-dimension sums are flat ``F.sum(features[i])`` aggregates so the
+whole update is one map-side-combined groupBy — no explode, no UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hama_spark.functions.distance import MEASURES
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame  # (center_id int, features array<double>)
+    centers: list[list[float]]  # final center coordinates by index
+    iterations: int
+
+
+def _assign_expr(centers: list[list[float]], measure, feat="features"):
+    dists = F.array(
+        *[measure(F.col(feat), F.array(*[F.lit(float(v)) for v in c])) for c in centers]
+    )
+    # array_position returns the FIRST match -> lowest center index wins
+    # ties, like the reference's strict '<' scan.
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans(
+    points: DataFrame,
+    initial_centers: list[list[float]],
+    max_iterations: int = 100,
+    distance: str = "euclidean",
+    features_col: str = "features",
+) -> KMeansResult:
+    """points(features array<double>) + seed centers -> assignments/centers."""
+    measure = MEASURES[distance]
+    dim = len(initial_centers[0])
+    k = len(initial_centers)
+    centers = [list(map(float, c)) for c in initial_centers]
+
+    points = points.select(F.col(features_col).alias("features")).cache()
+
+    iterations = 0
+    while True:
+        iterations += 1
+        assigned = points.select(
+            "features", _assign_expr(centers, measure).alias("center_id")
+        )
+        # one groupBy: per-cluster count + per-dimension sums (all partial-agg'd)
+        stats = (
+            assigned.groupBy("center_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("features")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        by_id = {r["center_id"]: r for r in stats}
+        converged_counter = 0
+        for i in range(k):
+            r = by_id.get(i)
+            if r is None:
+                continue  # unassigned center keeps its position
+            new_c = [r[f"s{j}"] / r["n"] for j in range(dim)]
+            err = sum(abs(a - b) for a, b in zip(centers[i], new_c))
+            if err > 0.0:
+                centers[i] = new_c
+                converged_counter += 1
+        if converged_counter == 0 or iterations >= max_iterations:
+            break
+
+    assignments = points.select(
+        _assign_expr(centers, measure).alias("center_id"), "features"
+    )
+    points.unpersist()
+    return KMeansResult(assignments=assignments, centers=centers, iterations=iterations)

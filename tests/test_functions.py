@@ -1,0 +1,75 @@
+"""Unit tests for the linalg/distance kernels (mirrors the reference's
+commons math tests: TestDenseDoubleVector/Matrix, distance measures)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hama_spark.functions import (
+    cosine_distance,
+    euclidean_distance,
+    vec_add,
+    vec_dot,
+    vec_scale,
+    vec_subtract,
+    vec_sum,
+)
+from hama_spark.functions.linalg import mat_mul, mat_transpose, mat_vec_mul
+
+
+def test_vector_ops(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        vec_add("a", "b").alias("add"),
+        vec_subtract("a", "b").alias("sub"),
+        vec_scale("a", 2.0).alias("scale"),
+        vec_dot("a", "b").alias("dot"),
+        vec_sum("a").alias("sum"),
+    ).collect()[0]
+    assert r["add"] == [5.0, 7.0, 9.0]
+    assert r["sub"] == [-3.0, -3.0, -3.0]
+    assert r["scale"] == [2.0, 4.0, 6.0]
+    assert r["dot"] == 32.0
+    assert r["sum"] == 6.0
+
+
+def test_distances(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        euclidean_distance("a", "b").alias("e"), cosine_distance("a", "b").alias("c")
+    ).collect()
+    assert abs(rows[0]["e"] - math.sqrt(2)) < 1e-12
+    assert abs(rows[0]["c"] - 1.0) < 1e-12  # orthogonal
+    assert rows[1]["e"] == 0.0 and abs(rows[1]["c"]) < 1e-12  # identical
+    assert rows[2]["c"] == 1.0  # zero vector -> reference returns 1.0
+
+
+def test_mat_vec_and_matmul(spark):
+    a = np.arange(6).reshape(2, 3).astype(float)
+    b = np.arange(12).reshape(3, 4).astype(float)
+    adf = spark.createDataFrame(
+        [(i, a[i].tolist()) for i in range(2)], "row int, vec array<double>"
+    )
+    bdf = spark.createDataFrame(
+        [(i, b[i].tolist()) for i in range(3)], "row int, vec array<double>"
+    )
+    got = {r["row"]: r["value"] for r in mat_vec_mul(adf, [1.0, 2.0, 3.0]).collect()}
+    want = a @ np.array([1.0, 2.0, 3.0])
+    assert got == {0: want[0], 1: want[1]}
+
+    prod = {r["row"]: r["vec"] for r in mat_mul(adf, bdf).collect()}
+    want_m = a @ b
+    for i in range(2):
+        assert np.allclose(prod[i], want_m[i])
+
+    t = {r["row"]: r["vec"] for r in mat_transpose(adf).collect()}
+    for j in range(3):
+        assert t[j] == a[:, j].tolist()

@@ -1,0 +1,125 @@
+"""ML-layer tests mirroring the reference's tier-3 example tests:
+TestKMeansBSP (cluster quality), LinearRegressionTest /
+LogisticRegressionTest (convergence), SpMVTest (multiply-back
+verification), PiEstimatorTest (|π−3.14| small).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.ml import estimate_pi, gradient_descent, kmeans, spmv
+
+
+def test_kmeans_exact_lloyd_replay(spark):
+    # deterministic oracle: replay Lloyd in NumPy with identical rules
+    rng = np.random.RandomState(7)
+    pts = np.vstack(
+        [rng.randn(40, 3) + [5, 0, 0], rng.randn(40, 3) + [0, 5, 0], rng.randn(40, 3)]
+    )
+    init = [[4.0, 1.0, 0.0], [1.0, 4.0, 0.0], [0.5, 0.5, 0.5]]
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in pts], "features array<double>"
+    )
+    res = kmeans(df, init, max_iterations=50)
+
+    centers = [np.array(c) for c in init]
+    for _ in range(50):
+        d = np.stack([np.linalg.norm(pts - c, axis=1) for c in centers], axis=1)
+        assign = d.argmin(axis=1)
+        moved = 0
+        for i in range(3):
+            sel = pts[assign == i]
+            if len(sel) == 0:
+                continue
+            new_c = sel.mean(axis=0)
+            if np.abs(centers[i] - new_c).sum() > 0:
+                centers[i] = new_c
+                moved += 1
+        if moved == 0:
+            break
+    for got, want in zip(res.centers, centers):
+        assert np.allclose(got, want, atol=1e-9)
+
+    counts = {r["center_id"]: r["n"] for r in
+              res.assignments.groupBy("center_id").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 120
+
+
+def test_gradient_descent_linear(spark):
+    # y = 2*x (data exactly on the line, x = [bias, feature])
+    rows = [([1.0, float(i)], 2.0 * i + 0.5) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    res = gradient_descent(df, model="linear", alpha=0.0005, cost_threshold=0.5,
+                           iterations_threshold=5000)
+    # converged: prediction close to the line
+    pred = res.theta[0] + res.theta[1] * 10.0
+    assert abs(pred - 20.5) < 1.0
+    assert res.cost < 0.5
+
+
+def test_gradient_descent_exact_replay(spark):
+    # exact parity with a NumPy replay of the reference update schedule
+    rows = [([1.0, float(i % 5)], float((i * 3) % 7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    res = gradient_descent(df, model="linear", alpha=0.001, cost_threshold=1e-12,
+                           iterations_threshold=10)
+
+    X = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    m = len(rows)
+    theta = np.zeros(2)
+    it = 0
+    while True:
+        cost = float(np.sum(y * (X @ theta - y) ** 2 / (2 * m)))
+        if cost == 0 or cost < 1e-12 or it >= 10:
+            break
+        grad = X.T @ (X @ theta - y)
+        theta = theta - 0.001 * grad
+        it += 1
+    assert res.iterations == it
+    assert np.allclose(res.theta, theta, atol=1e-9)
+
+
+def test_gradient_descent_logistic(spark):
+    rows = [([1.0, float(i)], 1.0 if i > 5 else 0.0) for i in range(11)]
+    df = spark.createDataFrame(rows, "features array<double>, label double")
+    res = gradient_descent(df, model="logistic", alpha=0.01, cost_threshold=0.4,
+                           iterations_threshold=2000)
+    h = 1 / (1 + math.exp(-(res.theta[0] + res.theta[1] * 10)))
+    assert h > 0.5
+    h0 = 1 / (1 + math.exp(-(res.theta[0] + res.theta[1] * 1)))
+    assert h0 < 0.5
+
+
+def test_spmv_multiply_back(spark):
+    # SpMVTest verifies by multiplying back — here against NumPy
+    rng = np.random.RandomState(11)
+    n, d = 50, 20
+    dense = rng.rand(n, d) * (rng.rand(n, d) < 0.3)
+    vec = rng.rand(d)
+    mrows = []
+    for i in range(n):
+        idx = np.nonzero(dense[i])[0]
+        mrows.append((i, idx.tolist(), dense[i][idx].tolist()))
+    mdf = spark.createDataFrame(mrows, "row int, indices array<int>, values array<double>")
+    vdf = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vec)], "pos int, value double"
+    )
+    got = {r["row"]: r["value"] for r in spmv(mdf, vdf).collect()}
+    want = dense @ vec
+    assert len(got) == n
+    for i in range(n):
+        assert abs(got[i] - want[i]) < 1e-9
+
+
+def test_pi(spark):
+    pi = estimate_pi(spark, samples=200_000, seed=42).collect()[0]["pi"]
+    assert abs(pi - math.pi) < 0.02
+    # deterministic across runs
+    pi2 = estimate_pi(spark, samples=200_000, seed=42).collect()[0]["pi"]
+    assert pi == pi2
