@@ -1,0 +1,34 @@
+from hama_spark.extensions.dedup import (
+    dedup_exact,
+    embedding_cosine_dup_pairs,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from hama_spark.extensions.multimodal import extract_image_features, sample_frames
+from hama_spark.extensions.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
+from hama_spark.extensions.text import (
+    doc_fingerprint,
+    lang_id,
+    text_stats,
+    token_count,
+    tokenize,
+)
+
+__all__ = [
+    "dedup_exact",
+    "minhash_lsh_dup_pairs",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_dup_pairs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "ivf_topk",
+    "extract_image_features",
+    "sample_frames",
+    "tokenize",
+    "token_count",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+]

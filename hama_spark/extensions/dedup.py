@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines (north star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a fingerprint — one shuffle, partial agg.
+- MinHash/LSH: shingle -> minhash signature -> band buckets -> pair
+  candidates ONLY within buckets (the join is on band hash, never a
+  cross product); candidates verified with true Jaccard.
+- SimHash: 64-bit signature via per-bit majority over token hashes; the
+  banding trick (4x16-bit chunks) finds hamming<=k candidates without a
+  cross join.
+- embedding cosine: brute-force is quadratic — kept for small dims /
+  oracle ground truth; LSH/IVF variants live in similarity.py.
+
+Everything except simhash has an exact ANSI-SQL twin (md5-based
+hashing, string-min minhash) for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.text import doc_fingerprint, tokenize
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest id per identical (whitespace-normalized,
+    lowercased) text. Returns (doc_id, n_dups) per surviving doc."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
+# ------------------------------------------------------------- shingles
+def word_shingles(text, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined), the MinHash/Jaccard unit.
+    Documents shorter than k tokens contribute their full token string
+    as a single shingle so they still participate."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a<b) with Jaccard similarity of word-k-gram sets >=
+    threshold. The self-join is on the shingle (inverted index), so cost
+    is Σ df(shingle)² — fine when shingles are selective; for hot
+    shingles prefer minhash_lsh_dup_pairs."""
+    sh = _shingle_rows(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- MinHash LSH
+def minhash_signature(text, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>: element i is
+    min(md5(i || ':' || shingle)). String-min over md5 hex is a valid
+    uniform min-hash and is reproducible verbatim in ANSI SQL."""
+    sh = word_shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, i=i: F.md5(
+                        F.concat(F.lit(f"{i}:"), s).cast("binary")
+                    ),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    num_hashes/bands rows per band; candidates = pairs agreeing on ALL
+    rows of >=1 band (join key = band index + concatenated band slice);
+    verified with exact shingle Jaccard when ``verify``.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    )
+    # (id, band, band_key) — band_key joins equal slices
+    bands_df = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return candidates
+
+    sh = _shingle_rows(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        candidates.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.sh") == F.col("b.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------- SimHash
+def simhash64(text, id_col_hint: str | None = None) -> Column:
+    """64-bit SimHash over whitespace tokens: bit j of the signature is
+    the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+    Pure JVM expressions (xxhash64 + fold over 64 bits)."""
+    toks = tokenize(text)
+    # per-token 64-bit hash, then per-bit vote; fold accumulates the
+    # signed vote per bit into an array, then assemble the sign bits.
+    # bit positions are unrolled Python-side (shiftright needs int bits).
+    votes = F.aggregate(
+        toks,
+        F.array(*[F.lit(0)] * 64).cast("array<int>"),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(64)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        sig = sig.bitwiseOR(
+            F.when(votes[j] > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+    Banding: 4 x 16-bit chunks — any pair within hamming 3 must agree on
+    at least one chunk (pigeonhole), so candidates join on chunk value.
+    Returns (id_a, id_b, hamming)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sig"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "sig", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------- embedding cosine
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-duplicate pairs by cosine similarity >= threshold.
+    Brute force O(n²) — the oracle/ground-truth path; use
+    similarity.lsh_cosine_topk for the scale path. Cosine computed on
+    L2-normalized doubles, rounded to 9 dp for cross-engine stability."""
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 9).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over embedding columns (north star).
+
+- cosine_topk: exact brute-force top-k — the correctness baseline and
+  small-query path (queries side is broadcast).
+- lsh_cosine_topk: random-hyperplane LSH — the 100 TB path. Hyperplane
+  components are seeded ±1 derived from xxhash64(seed, plane, dim), so
+  signatures are deterministic and partitioning-independent. Candidates
+  come from bucket collisions across ``tables`` independent hash tables
+  (multi-probe by table, not by bit flip), then exact re-rank.
+- ivf_topk: inverted-file index — k-means coarse centroids, probe the
+  ``nprobe`` nearest cells, exact re-rank inside. Uses ml.kmeans.
+
+Shuffle profile at scale: LSH/IVF turn the n×q cross join into
+per-bucket joins; the re-rank top-k is a windowless groupBy(max_by)…
+actually a window over query id — bounded by candidates, not corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda s, x: s + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, id, cosine, rank). The queries
+    side is broadcast — corpus×queries stays a map-side nested loop, no
+    shuffle of the corpus. Ties broken by corpus id (deterministic)."""
+    c = _normalized(corpus, id_col, vec_col)
+    q = _normalized(queries, query_id_col or id_col, query_vec_col or vec_col)
+    q = q.select(F.col("id").alias("qid"), F.col("v").alias("qv"))
+    scored = c.join(F.broadcast(q)).select(
+        "qid", "id", F.round(_dot(F.col("v"), F.col("qv")), 9).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank")
+    )
+
+
+def _plane(seed: int, table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components, derived driver-side from
+    md5(seed:table:plane) — O(dim) literals in the plan instead of
+    per-row hash calls."""
+    import hashlib
+
+    comps: list[float] = []
+    d = 0
+    counter = 0
+    while len(comps) < dim:
+        h = hashlib.md5(f"{seed}:{table}:{plane}:{counter}".encode()).digest()
+        for byte in h:
+            if len(comps) >= dim:
+                break
+            comps.append(1.0 if byte & 1 else -1.0)
+        counter += 1
+    return comps
+
+
+def _hyperplane_sig(v: Column, dim: int, planes: int, seed: int, table: int) -> Column:
+    """LSH signature: for each plane, sign of v · h_plane. Returns a
+    bigint bucket id."""
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        comps = F.array(*[F.lit(c) for c in _plane(seed, table, p, dim)])
+        proj = F.aggregate(
+            F.zip_with(v, comps, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        out = out.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus+queries by random-hyperplane
+    signatures in ``tables`` independent tables, join on (table, bucket),
+    exact-cosine re-rank candidates. Recall grows with tables; cost is
+    per-bucket, never corpus×queries."""
+    if dim is None:
+        dim = corpus.select(F.size(vec_col)).first()[0]
+    c = _normalized(corpus, id_col, vec_col)
+    q = _normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def with_buckets(df, vcol, out):
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _hyperplane_sig(F.col(vcol), dim, planes, seed, t).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias(out),
+        ).select("*", F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt")).drop(out)
+
+    cb = with_buckets(c, "v", "_b")
+    qb = with_buckets(q, "qv", "_b")
+    cand = (
+        cb.join(qb, ["tbl", "bkt"])
+        .select("qid", "id", "v", "qv")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid", "id", F.round(_dot(F.col("v"), F.col("qv")), 9).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: coarse-quantize the corpus with k-means centroids, search
+    only the ``nprobe`` cells nearest each query, exact re-rank.
+    Centroids are O(n_cells·dim) driver state (broadcast literals)."""
+    from hama_spark.ml.kmeans import kmeans, _assign_expr
+    from hama_spark.functions.distance import MEASURES
+
+    c = _normalized(corpus, id_col, vec_col)
+    init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
+    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
+    centers = km.centers
+
+    measure = MEASURES["euclidean"]
+    cb = c.select("id", "v", _assign_expr(centers, measure, feat="v").alias("cell"))
+
+    q = _normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    # nprobe nearest cells per query
+    dists = F.array(
+        *[
+            F.struct(
+                measure(F.col("qv"), F.array(*[F.lit(x) for x in ctr])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    qcells = q.select(
+        "qid",
+        "qv",
+        F.explode(F.slice(F.array_sort(dists), 1, nprobe)).alias("dc"),
+    ).select("qid", "qv", F.col("dc.cell").alias("cell"))
+
+    scored = cb.join(F.broadcast(qcells), "cell").select(
+        "qid", "id", F.round(_dot(F.col("v"), F.col("qv")), 9).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank")
+    )

@@ -1,0 +1,184 @@
+"""Extension operator tests on the real documents/embeddings tables,
+with DuckDB oracles where SQL-expressible and invariant checks where
+approximate (LSH recall vs brute force)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.extensions import (
+    cosine_topk,
+    dedup_exact,
+    doc_fingerprint,
+    embedding_cosine_dup_pairs,
+    extract_image_features,
+    ivf_topk,
+    lang_id,
+    lsh_cosine_topk,
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    sample_frames,
+    simhash_dup_pairs,
+    token_count,
+)
+from hama_spark.extensions.multimodal import MEDIA_SCHEMA
+from tests.conftest import assert_df_equals_oracle
+
+
+def test_token_count_oracle(spark, tables, duck):
+    got = tables["documents"].select("doc_id", token_count("text").alias("n_tokens"))
+    assert_df_equals_oracle(
+        got,
+        duck,
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents",
+    )
+
+
+def test_fingerprint_oracle(spark, tables, duck):
+    got = tables["documents"].select("doc_id", doc_fingerprint("text").alias("fp"))
+    assert_df_equals_oracle(
+        got,
+        duck,
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    )
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "Hello world"), (3, "unique doc"), (4, "hello world ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_dups"] for r in dedup_exact(df).collect()}
+    # 1,2,4 normalize to the same text; min id 1 survives with 3 dups
+    assert got == {1: 3, 3: 1}
+
+
+def test_lang_id_runs_and_is_deterministic(spark, tables):
+    r1 = tables["documents"].select("doc_id", lang_id("text").alias("l")).collect()
+    counts = {}
+    for r in r1:
+        counts[r["l"]] = counts.get(r["l"], 0) + 1
+    assert sum(counts.values()) == len(r1)
+    # synthetic corpus is English-like filler; just require a verdict everywhere
+    assert all(k in ("en", "es", "de", "fr", "zh", "und") for k in counts)
+
+
+def test_ngram_jaccard_self_duplicate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog"),  # near dup
+            (4, "completely different text about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    rows = [(i, f"some shared prefix text block number {i % 3} with trailing words") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_dup_pairs(df, threshold=0.99, num_hashes=16, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical texts (same i%3) must all pair up: 3 groups of 10 -> 3*45 pairs
+    assert len(got) == 3 * 45
+    for a, b in got:
+        assert a % 3 == b % 3
+
+
+def test_simhash_near_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),
+            (4, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_dup_pairs(df, max_hamming=10).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got
+
+
+def test_embedding_cosine_pairs_oracle(spark, tables, duck):
+    emb = tables["embeddings"].limit(80)
+    emb.createOrReplaceTempView("_emb80")
+    got = embedding_cosine_dup_pairs(emb, threshold=0.5)
+    duck.execute(
+        "CREATE OR REPLACE VIEW emb80 AS SELECT * FROM embeddings ORDER BY vec_id LIMIT 80"
+    )
+    assert_df_equals_oracle(
+        got,
+        duck,
+        """
+        WITH n AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+          FROM emb80)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v), 9) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v), 9) >= 0.5
+        """,
+        tol=1e-8,
+    )
+
+
+def test_cosine_topk_and_lsh_recall(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(5)
+    exact = cosine_topk(emb, queries, k=10)
+    exact_sets = {
+        r["query_id"]: set()
+        for r in exact.select("query_id").distinct().collect()
+    }
+    for r in exact.collect():
+        exact_sets[r["query_id"]].add(r["vec_id"])
+    assert all(len(s) == 10 for s in exact_sets.values())
+    # self should be rank 1 with cosine ~1
+    top1 = {r["query_id"]: (r["vec_id"], r["cosine"]) for r in exact.filter("rank=1").collect()}
+    for qid, (vid, cos) in top1.items():
+        assert vid == qid and cos > 0.999999
+
+    approx = lsh_cosine_topk(emb, queries, k=10, planes=4, tables=8, dim=64)
+    hits = 0
+    for r in approx.collect():
+        if r["vec_id"] in exact_sets[r["query_id"]]:
+            hits += 1
+    recall = hits / (10 * len(exact_sets))
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_self_hit(spark, tables):
+    emb = tables["embeddings"]
+    queries = emb.limit(3)
+    r = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3)
+    top1 = {x["query_id"]: x["vec_id"] for x in r.filter("rank=1").collect()}
+    assert all(top1[q] == q for q in top1)
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04", "image/fake", 4, 2, None),
+        (2, "image", b"", "image/fake", 8, 8, None),
+        (3, "video", b"\xff\xee", "video/fake", None, None, 2500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert feats[1]["n_bytes"] == 4 and feats[1]["mean_byte"] == 2
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 2
+    assert feats[2]["n_bytes"] == 0 and feats[2]["mean_byte"] == 0
+    assert 3 not in feats  # video filtered out
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {f["ts_ms"] for f in frames} == {0, 1000, 2000}
+    assert all(f["media_id"] == 3 for f in frames)
+    assert len({f["frame_sha1"] for f in frames}) == 3  # distinct per ts
