@@ -1,0 +1,92 @@
+"""Mimic the driver's correctness gate: run every __spark_entry__ query
+at sf0.01 in Spark AND its DuckDB oracle, compare row count + column
+names + order-insensitive values. Usage:
+
+    python scripts/selfcheck.py [query ...]   # default: all
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from hama_spark.session import TABLES, get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            rows = df.collect()
+            cols = df.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        elapsed = time.time() - t0
+        if name not in oracles:
+            print(f"ok-   {name}: rows={len(rows)} (rows-only, no oracle) [{elapsed:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
+            print(f"FAIL  {name}: columns {cols} vs oracle {ocols}")
+            failures += 1
+            continue
+        # align oracle column order to spark's
+        idx = [[c.lower() for c in ocols].index(c.lower()) for c in cols]
+        orows = [tuple(r[i] for i in idx) for r in orows]
+        if len(rows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(rows)} vs oracle {len(orows)}")
+            failures += 1
+            continue
+        a = sorted(tuple(norm(v) for v in r) for r in rows)
+        b = sorted(tuple(norm(v) for v in r) for r in orows)
+        if a != b:
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            failures += 1
+            continue
+        print(f"OK    {name}: rows={len(rows)} hash-match [{elapsed:.1f}s]")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
