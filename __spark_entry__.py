@@ -100,9 +100,10 @@ SP_EDGES_SQL = "SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, 'p' || CAST(l_p
 
 SPMV_VEC_SQL = "SELECT CAST(i AS INT) AS pos, ((i*7) % 13) / 13.0 AS value FROM range(64) r(i)"
 
-# sum-based gradient (no 1/m) scales with row count: alpha must satisfy
-# alpha < 2/λmax(XᵀX) at the LARGEST sf we run (sf0.1, m≈600k, λmax≈5e6)
-GD_ALPHA = 2e-7
+# sum-based gradient (no 1/m) scales with row count: alpha must keep the
+# y-weighted cost monotone at the LARGEST sf we run (sf0.1, m≈600k,
+# λmax≈5.6e6; 2e-7 diverges there, 1e-7 converges with margin)
+GD_ALPHA = 1e-7
 GD_ITERS = 5
 
 
@@ -198,9 +199,13 @@ def _jaccard_tail_sql(threshold: float) -> str:
 
 
 def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 16, bands: int = 4) -> str:
+    from hama_spark.extensions.dedup import MINHASH_PRIME, minhash_coeffs
+
     rpb = num_hashes // bands
+    base = "(('0x' || substr(md5(sh), 1, 8))::BIGINT)"
     mins = ", ".join(
-        f"min(md5(concat('{i}:', sh))) AS m{i}" for i in range(num_hashes)
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_keys = ", ".join(
         "concat_ws('|', " + ", ".join(f"m{b * rpb + r}" for r in range(rpb)) + f") AS b{b}"

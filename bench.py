@@ -7,8 +7,9 @@ JSON line:
 
 The query set is __spark_entry__.queries() — the same inventory the
 correctness gate checks, so bench and correctness can never drift.
-Timing = full materialization (count() of the result), excluding Spark
-session startup.
+Timing = full materialization via a noop-sink write (count() would let
+Catalyst prune the computed columns of map-only queries and time just
+the scan); row counts come from an attached Observation for free.
 """
 
 from __future__ import annotations
@@ -49,7 +50,15 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            n = fn(spark, SF_DIR).count()
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = fn(spark, SF_DIR)
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            n = obs.get["n"]
         except Exception as e:  # a failing query must not hide the rest
             print(f"# bench ERROR {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -73,7 +73,7 @@ def ngram_jaccard_pairs(
     threshold. The self-join is on the shingle (inverted index), so cost
     is Σ df(shingle)² — fine when shingles are selective; for hot
     shingles prefer minhash_lsh_dup_pairs."""
-    sh = _shingle_rows(df, id_col, text_col, k)
+    sh = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -93,24 +93,72 @@ def ngram_jaccard_pairs(
 
 
 # ----------------------------------------------------------- MinHash LSH
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine hash family
+    h_i(x) = (a_i*x + b_i) mod P. a_i < 2^30 keeps a_i*x < 2^62 for
+    32-bit x — overflow-free in BOTH Spark and DuckDB int64 math."""
+    return [
+        ((1 + i * 0x9E3779B1) % (1 << 30) or 1, (0x85EBCA6B * (i + 1)) % MINHASH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(text, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string>: element i is
-    min(md5(i || ':' || shingle)). String-min over md5 hex is a valid
-    uniform min-hash and is reproducible verbatim in ANSI SQL."""
+    """Column-level MinHash signature as array<long>: md5 per shingle
+    folded to a 32-bit int (first 8 hex chars), then ``num_hashes``
+    affine mixes (a_i*h + b_i) mod P — reproducible verbatim in DuckDB
+    as ('0x'||substr(md5(s),1,8))::BIGINT.
+
+    NOTE: as a single expression Catalyst inlines the md5 array into
+    each of the num_hashes array_min branches (no common-subexpression
+    reuse), re-hashing every shingle per branch. Fine for ad-hoc column
+    use; the scale path is ``minhash_signatures`` (explode + one
+    groupBy), which hashes each shingle exactly once."""
     sh = word_shingles(text, k)
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    )
+    def _mix(a: int, b: int):
+        # bind a/b here: defaults on the lambda itself would make
+        # PySpark's arity inspection see a 3-arg higher-order function
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, i=i: F.md5(
-                        F.concat(F.lit(f"{i}:"), s).cast("binary")
-                    ),
-                )
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(base, _mix(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
         ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig array<long>) — the scale path: explode shingles, md5
+    each ONCE, one shuffle with ``num_hashes`` min-aggregates (map-side
+    partial agg keeps shuffle volume at num_hashes longs per doc)."""
+    sh = _shingle_rows(df, id_col, text_col, k)
+    h = sh.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    agg = h.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_dup_pairs(
@@ -132,9 +180,10 @@ def minhash_lsh_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, k).alias("sig"),
+    # eager checkpoint: the bands self-join below would otherwise
+    # re-derive (and re-hash) the signatures once PER SIDE
+    sig = minhash_signatures(df, num_hashes, k, id_col, text_col).localCheckpoint(
+        eager=True
     )
     # (id, band, band_key) — band_key joins equal slices
     bands_df = sig.select(
@@ -168,7 +217,7 @@ def minhash_lsh_dup_pairs(
     if not verify:
         return candidates
 
-    sh = _shingle_rows(df, id_col, text_col, k)
+    sh = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -187,39 +236,37 @@ def minhash_lsh_dup_pairs(
 
 
 # --------------------------------------------------------------- SimHash
-def simhash64(text, id_col_hint: str | None = None) -> Column:
-    """64-bit SimHash over whitespace tokens: bit j of the signature is
-    the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
-    Pure JVM expressions (xxhash64 + fold over 64 bits)."""
-    toks = tokenize(text)
-    # per-token 64-bit hash, then per-bit vote; fold accumulates the
-    # signed vote per bit into an array, then assemble the sign bits.
-    # bit positions are unrolled Python-side (shiftright needs int bits).
-    votes = F.aggregate(
-        toks,
-        F.array(*[F.lit(0)] * 64).cast("array<int>"),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(tok), j).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
-                    for j in range(64)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig:long) — 64-bit SimHash over whitespace tokens: bit j of
+    the signature is the sign of Σ_tokens (±1 depending on bit j of
+    xxhash64(token)).
+
+    Shape: explode tokens once, hash each token ONCE, then one groupBy
+    with 64 conditional-sum aggregates (all JVM/codegen). The earlier
+    formulation folded a 64-int array per token inside ``F.aggregate`` —
+    one array allocation per token — and was ~10x slower.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
     )
     sig = F.lit(0).cast("long")
     for j in range(64):
         sig = sig.bitwiseOR(
-            F.when(votes[j] > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return sig
+    return votes.select("id", sig.alias("sig"))
 
 
 def simhash_dup_pairs(
@@ -232,7 +279,7 @@ def simhash_dup_pairs(
     Banding: 4 x 16-bit chunks — any pair within hamming 3 must agree on
     at least one chunk (pigeonhole), so candidates join on chunk value.
     Returns (id_a, id_b, hamming)."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sig"))
+    sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         "id",
         "sig",
@@ -290,7 +337,7 @@ def embedding_cosine_dup_pairs(
     v = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = v.alias("a"), v.alias("b")
     cos = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
