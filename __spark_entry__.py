@@ -175,6 +175,36 @@ def _gd_linear_sql(iters: int = GD_ITERS, alpha: float = GD_ALPHA) -> str:
     return "\n".join(parts)
 
 
+KCORE_ITERS = 6  # converged by iter 4 at sf0.01; fixed schedule both sides
+
+
+def _kcore_sql(edges_sql: str, iters: int = KCORE_ITERS) -> str:
+    """Synchronous h-index k-core refinement, unrolled: c0 = degree;
+    c_{t+1}(v) = min(c_t(v), H-index of neighbor c_t values). Mirrors
+    hama_spark.graph.kcore exactly (same fixed iteration count)."""
+    parts = [
+        f"WITH base AS ({edges_sql}),",
+        "sym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),",
+        "c0 AS (SELECT src AS id, CAST(count(*) AS INT) AS core FROM sym GROUP BY src)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", n{t} AS (
+              SELECT s.dst AS id, c.core AS nc
+              FROM sym s JOIN c{t} c ON c.id = s.src
+            ), h{t} AS (
+              SELECT id, max(least(r, nc)) AS h FROM (
+                SELECT id, nc, row_number() OVER (PARTITION BY id ORDER BY nc DESC) AS r
+                FROM n{t}) GROUP BY id
+            ), c{t + 1} AS (
+              SELECT c.id, CAST(least(c.core, coalesce(h.h, 1)) AS INT) AS core
+              FROM c{t} c LEFT JOIN h{t} h ON h.id = c.id
+            )"""
+        )
+    parts.append(f" SELECT id, core FROM c{iters}")
+    return "\n".join(parts)
+
+
 # shared SQL fragments for the text/dedup oracles
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
 _SHINGLES_SQL = f"""
@@ -313,6 +343,45 @@ def _q_dynamic_sum(spark, t):
     return dynamic_sum(t["lineitem"].select(F.col("l_linenumber").alias("value")))
 
 
+def _q_kcore(spark, t):
+    from hama_spark.graph import kcore
+
+    return kcore(_sp_edges(spark, t), fixed_iters=KCORE_ITERS)
+
+
+def _q_bipartite_matching(spark, t):
+    from hama_spark.graph import bipartite_matching
+
+    edges = _sp_edges(spark, t).distinct()
+    verts = (
+        edges.select(F.col("src").alias("id"), F.lit("L").alias("side"))
+        .union(edges.select(F.col("dst").alias("id"), F.lit("R").alias("side")))
+        .distinct()
+    )
+    m = bipartite_matching(verts, edges, seed=42)
+    # stable scalar summary (the matching itself is seed-deterministic
+    # but has no SQL twin): per-side matched counts must be equal
+    return m.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.count("match").alias("n_matched"),
+    )
+
+
+def _q_semi_clustering(spark, t):
+    from hama_spark.graph import semi_clustering
+
+    edges = _nation_dag(spark, t).select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    )
+    res = semi_clustering(edges, max_iter=4, max_vertex_count=4, max_clusters=4)
+    return res.select(
+        "id",
+        F.col("clusters")[0]["cid"].alias("best_cid"),
+        F.round(F.col("clusters")[0]["score"], 6).alias("best_score"),
+        F.size("clusters").alias("n_clusters"),
+    )
+
+
 # --- ML layer ----------------------------------------------------------
 def _q_spmv(spark, t):
     from hama_spark.ml import spmv
@@ -374,6 +443,30 @@ def _q_pi(spark, t):
     from hama_spark.ml import estimate_pi
 
     return estimate_pi(spark, samples=100_000, seed=42)
+
+
+def _q_matmul(spark, t):
+    # M6: dense A(7x8)·Aᵀ via mat_mul + mat_transpose; A[r][j] =
+    # Σ l_quantity over (l_linenumber=r, l_partkey%8=j)
+    from hama_spark.functions.linalg import mat_mul, mat_transpose
+
+    a = (
+        t["lineitem"]
+        .groupBy(F.col("l_linenumber").alias("row"))
+        .agg(
+            F.array(
+                *[
+                    F.sum(F.when(F.col("l_partkey") % 8 == j, F.col("l_quantity")).otherwise(0.0))
+                    for j in range(8)
+                ]
+            ).alias("vec")
+        )
+    )
+    prod = mat_mul(a, mat_transpose(a))
+    # rows are l_linenumber 1..7, so transposed vec position p == row p+1
+    return prod.select("row", F.posexplode("vec").alias("pos", "v")).select(
+        "row", (F.col("pos") + 1).alias("col"), F.round("v", 4).alias("value")
+    )
 
 
 # --- relational layer --------------------------------------------------
@@ -575,11 +668,15 @@ QUERIES: dict[str, Callable] = {
     "connected_components": _q_cc,
     "pagerank": _q_pagerank,
     "dynamic_sum": _q_dynamic_sum,
+    "kcore": _q_kcore,
+    "bipartite_matching": _q_bipartite_matching,
+    "semi_clustering": _q_semi_clustering,
     # ml (§2.4)
     "spmv": _q_spmv,
     "gradient_descent_linear": _q_gd,
     "kmeans_sizes": _q_kmeans,
     "pi_estimate": _q_pi,
+    "matmul": _q_matmul,
     # relational (§2.5 + Spark-free extras)
     "inner_join": _q_inner_join,
     "full_outer_join": _q_full_outer_join,
@@ -636,6 +733,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || CAST(k AS VARCHAR), comp FROM m
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
+        "kcore": _kcore_sql(SP_EDGES_SQL),
+        "matmul": """
+            WITH cells AS (
+              SELECT l_linenumber AS r, l_partkey % 8 AS j, sum(l_quantity) AS v
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT a.r AS row, b.r AS col, round(sum(a.v * b.v), 4) AS value
+            FROM cells a JOIN cells b ON a.j = b.j
+            GROUP BY a.r, b.r
+        """,
         "dynamic_sum": """
             SELECT 'sum' AS vertex,
                    CAST(sum(l_linenumber) + count(*) AS BIGINT) AS value

