@@ -445,6 +445,31 @@ def _q_pi(spark, t):
     return estimate_pi(spark, samples=100_000, seed=42)
 
 
+def _q_online_cf(spark, t):
+    # M3: matrix-factorization recommender on an orders-derived rating
+    # matrix; rows-only check (iterative float accumulation has no exact
+    # SQL twin), invariants tested in tests/test_cf_sources.py
+    from hama_spark.ml import online_cf_train
+
+    ratings = (
+        t["orders"]
+        .select(
+            (F.col("o_custkey") % 100).alias("user"),
+            (F.col("o_orderkey") % 40).alias("item"),
+            (F.col("o_totalprice") / 100000.0).alias("rating"),
+        )
+        .groupBy("user", "item")
+        .agg(F.avg("rating").alias("rating"))
+    )
+    model = online_cf_train(
+        ratings, rank=4, iterations=3, learning_rate=0.01, track_rmse=False
+    )
+    users = ratings.select("user").distinct().filter("user < 5")
+    return model.most_preferred_items(users, count=3).select(
+        "user", "item", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
 def _q_matmul(spark, t):
     # M6: dense A(7x8)·Aᵀ via mat_mul + mat_transpose; A[r][j] =
     # Σ l_quantity over (l_linenumber=r, l_partkey%8=j)
@@ -677,6 +702,7 @@ QUERIES: dict[str, Callable] = {
     "kmeans_sizes": _q_kmeans,
     "pi_estimate": _q_pi,
     "matmul": _q_matmul,
+    "online_cf_topk": _q_online_cf,
     # relational (§2.5 + Spark-free extras)
     "inner_join": _q_inner_join,
     "full_outer_join": _q_full_outer_join,

@@ -1,6 +1,14 @@
 from hama_spark.ml.gradient_descent import gradient_descent
 from hama_spark.ml.kmeans import kmeans
+from hama_spark.ml.online_cf import CFModel, online_cf_train
 from hama_spark.ml.pi import estimate_pi
 from hama_spark.ml.spmv import spmv
 
-__all__ = ["kmeans", "gradient_descent", "spmv", "estimate_pi"]
+__all__ = [
+    "kmeans",
+    "gradient_descent",
+    "spmv",
+    "estimate_pi",
+    "online_cf_train",
+    "CFModel",
+]

@@ -1,0 +1,28 @@
+from hama_spark.sources.generators import fast_graph_gen, symmetric_matrix_gen
+from hama_spark.sources.io import (
+    observed,
+    read_text,
+    read_text_kv,
+    write_null,
+    write_text_kv,
+)
+from hama_spark.sources.readers import (
+    read_json_graph,
+    read_movielens,
+    read_tab_adjacency,
+    read_weighted_adjacency,
+)
+
+__all__ = [
+    "read_tab_adjacency",
+    "read_weighted_adjacency",
+    "read_json_graph",
+    "read_movielens",
+    "fast_graph_gen",
+    "symmetric_matrix_gen",
+    "read_text",
+    "read_text_kv",
+    "write_text_kv",
+    "write_null",
+    "observed",
+]

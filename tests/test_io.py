@@ -1,0 +1,64 @@
+"""Tests for the I/O format equivalents (S1-S10) and counters (P9).
+
+Reference test models: core/src/test/.../bsp/TestKeyValueTextInputFormat
+.java (first-tab split), TestFileInputFormat.java.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from hama_spark.sources import (
+    observed,
+    read_text,
+    read_text_kv,
+    write_null,
+    write_text_kv,
+)
+
+
+def test_read_text_offsets(spark, tmp_path):
+    p = str(tmp_path / "t.txt")
+    with open(p, "w") as f:
+        f.write("alpha\nbeta\ngamma\n")
+    rows = sorted(map(tuple, read_text(spark, p).collect()))
+    assert rows == [(0, "alpha"), (1, "beta"), (2, "gamma")]
+
+
+def test_read_text_kv_first_sep_only(spark, tmp_path):
+    p = str(tmp_path / "kv.txt")
+    with open(p, "w") as f:
+        f.write("k1\tv1\tv1b\nk2\tv2\nnovalue\n")
+    rows = sorted(map(tuple, read_text_kv(spark, p).collect()))
+    # value keeps later tabs (split at FIRST tab only); missing value -> ""
+    assert rows == [("k1", "v1\tv1b"), ("k2", "v2"), ("novalue", "")]
+
+
+def test_write_text_kv_roundtrip_gzip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, value int")
+    out = str(tmp_path / "out")
+    write_text_kv(df, out, compression="gzip")
+    parts = [f for f in os.listdir(out) if f.endswith(".gz")]
+    assert parts, "no gzip part files written"
+    lines = set()
+    for part in parts:
+        with gzip.open(os.path.join(out, part), "rt") as f:
+            lines.update(line.rstrip("\n") for line in f if line.strip())
+    assert lines == {"a\t1", "b\t2"}
+    back = sorted(map(tuple, read_text_kv(spark, out).collect()))
+    assert back == [("a", "1"), ("b", "2")]
+
+
+def test_write_null_executes_plan(spark):
+    df, obs = observed(
+        spark.range(100).select((F.col("id") * 2).alias("x")),
+        "counters",
+        n=F.count(F.lit(1)),
+        total=F.sum("x"),
+    )
+    write_null(df)  # noop sink must still run the plan -> metrics filled
+    assert obs.get["n"] == 100
+    assert obs.get["total"] == 9900
