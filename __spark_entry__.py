@@ -152,6 +152,31 @@ def _pagerank_sql(edges_sql: str, n: int, iters: int, damping: float = 0.85) -> 
     return "\n".join(parts)
 
 
+def _gd_logistic_sql(iters: int = GD_ITERS, alpha: float = GD_ALPHA) -> str:
+    parts = [
+        "WITH d AS (SELECT 1.0 AS x0, l_quantity/10.0 AS x1,",
+        "                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y",
+        "           FROM lineitem),",
+        "c AS (SELECT count(*) AS m FROM d),",
+        "t0 AS (SELECT 0.0 AS a, 0.0 AS b)",
+    ]
+    h = "(1.0 / (1.0 + exp(-(t.a + t.b*d.x1))))"
+    for i in range(iters):
+        parts.append(
+            f""", t{i + 1} AS (
+            SELECT t.a - {alpha!r} * sum({h} - d.y) AS a,
+                   t.b - {alpha!r} * sum(({h} - d.y) * d.x1) AS b
+            FROM t{i} t, d GROUP BY t.a, t.b)"""
+        )
+    parts.append(
+        f""" SELECT round(t.a, 6) AS theta0, round(t.b, 6) AS theta1,
+               round(sum(-(d.y * ln({h}) + (1.0 - d.y) * ln(1.0 - {h}))) / c.m, 6) AS cost,
+               {iters} AS iterations
+        FROM t{iters} t, d, c GROUP BY t.a, t.b, c.m"""
+    )
+    return "\n".join(parts)
+
+
 def _gd_linear_sql(iters: int = GD_ITERS, alpha: float = GD_ALPHA) -> str:
     parts = [
         "WITH d AS (SELECT 1.0 AS x0, l_quantity/10.0 AS x1,",
@@ -171,6 +196,56 @@ def _gd_linear_sql(iters: int = GD_ITERS, alpha: float = GD_ALPHA) -> str:
                round(sum(d.y * pow(t.a + t.b*d.x1 - d.y, 2)) / (2*c.m), 6) AS cost,
                {iters} AS iterations
         FROM t{iters} t, d, c GROUP BY t.a, t.b, c.m"""
+    )
+    return "\n".join(parts)
+
+
+KMEANS_ITERS = 3
+KMEANS_K = 4
+KMEANS_DIM = 64
+
+
+def _kmeans_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, dim: int = KMEANS_DIM) -> str:
+    """Unrolled Lloyd on embeddings: seed centers = first k vectors by
+    vec_id (matching _q_kmeans), assign by argmin squared distance
+    (|c|² − 2p·c — same ranking as Euclidean, |p|² constant per point),
+    lowest cid wins ties, empty centers keep position. Mirrors
+    hama_spark.ml.kmeans's exact schedule."""
+    d2 = (
+        "list_aggregate(list_transform(c.c, y -> y*y), 'sum')"
+        " - 2*list_dot_product(e.v, c.c)"
+    )
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+               FROM emb ORDER BY vec_id LIMIT {k})""",
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f""", a{t} AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM emb e CROSS JOIN c{t} c)
+              WHERE rn = 1)"""
+        )
+        if t == iters:
+            break
+        parts.append(
+            f""", u{t} AS (
+              SELECT cid, dim, avg(val) AS m
+              FROM (SELECT cid, unnest(v) AS val,
+                           unnest(range(1, {dim + 1})) AS dim FROM a{t})
+              GROUP BY cid, dim
+            ), n{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)
+            , c{t + 1} AS (
+              SELECT c.cid, coalesce(n.c, c.c) AS c
+              FROM c{t} c LEFT JOIN n{t} n ON n.cid = c.cid)"""
+        )
+    parts.append(
+        f""" SELECT CAST(cid AS INT) AS center_id, CAST(count(*) AS BIGINT) AS n_points
+        FROM a{iters} GROUP BY cid"""
     )
     return "\n".join(parts)
 
@@ -423,6 +498,26 @@ def _q_gd(spark, t):
     )
 
 
+def _q_gd_logistic(spark, t):
+    from hama_spark.ml import gradient_descent
+
+    data = t["lineitem"].select(
+        F.array(F.lit(1.0), F.col("l_quantity") / 10.0).alias("features"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+    )
+    res = gradient_descent(
+        data,
+        model="logistic",
+        alpha=GD_ALPHA,
+        cost_threshold=0.0,
+        iterations_threshold=GD_ITERS,
+    )
+    return spark.createDataFrame(
+        [(round(res.theta[0], 6), round(res.theta[1], 6), round(res.cost, 6), res.iterations)],
+        "theta0 double, theta1 double, cost double, iterations int",
+    )
+
+
 def _q_kmeans(spark, t):
     from hama_spark.ml import kmeans
 
@@ -431,11 +526,11 @@ def _q_kmeans(spark, t):
         r["features"]
         for r in t["embeddings"]
         .orderBy("vec_id")
-        .limit(4)
+        .limit(KMEANS_K)
         .select(F.col("embedding").cast("array<double>").alias("features"))
         .collect()
     ]
-    res = kmeans(emb, init, max_iterations=3)
+    res = kmeans(emb, init, max_iterations=KMEANS_ITERS)
     return res.assignments.groupBy("center_id").agg(F.count(F.lit(1)).alias("n_points"))
 
 
@@ -631,6 +726,12 @@ def _q_dedup_exact(spark, t):
     return dedup_exact(t["documents"])
 
 
+def _q_dedup_near(spark, t):
+    from hama_spark.extensions import dedup_near
+
+    return dedup_near(t["documents"], threshold=0.5)
+
+
 def _q_ngram_jaccard(spark, t):
     from hama_spark.extensions import ngram_jaccard_pairs
 
@@ -699,6 +800,7 @@ QUERIES: dict[str, Callable] = {
     # ml (§2.4)
     "spmv": _q_spmv,
     "gradient_descent_linear": _q_gd,
+    "gradient_descent_logistic": _q_gd_logistic,
     "kmeans_sizes": _q_kmeans,
     "pi_estimate": _q_pi,
     "matmul": _q_matmul,
@@ -720,6 +822,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
     "dedup_exact": _q_dedup_exact,
+    "dedup_near": _q_dedup_near,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "minhash_lsh_pairs": _q_minhash_lsh,
     "simhash_pairs": _q_simhash,
@@ -735,10 +838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Omitted (rows-only check): kmeans_sizes (Lloyd in
-    SQL deferred), pi_estimate (xxhash64 sampling), simhash_pairs /
-    lsh_cosine_topk (xxhash64/LSH bucketing not in DuckDB),
-    image_features (sha1/byte-stats not in DuckDB)."""
+    """DuckDB twins. Omitted (rows-only check): pi_estimate (xxhash64
+    sampling), simhash_pairs / lsh_cosine_topk (xxhash64/LSH bucketing
+    not in DuckDB), image_features (sha1/byte-stats not in DuckDB),
+    bipartite_matching / semi_clustering / online_cf_topk (seeded
+    iterative float/hash schedules with no SQL twin; invariant-tested
+    in pytest)."""
     return {
         "inlink_count": f"""
             WITH e AS ({SP_EDGES_SQL}),
@@ -782,6 +887,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_suppkey
         """,
         "gradient_descent_linear": _gd_linear_sql(),
+        "gradient_descent_logistic": _gd_logistic_sql(),
+        "kmeans_sizes": _kmeans_sql(),
         "inner_join": """
             SELECT c_custkey AS k, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM customer JOIN orders ON c_custkey = o_custkey
@@ -878,6 +985,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fp
         """,
         "ngram_jaccard_pairs": f"WITH {_SHINGLES_SQL} {_jaccard_tail_sql(0.5)}",
+        "dedup_near": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5, 16, 4)})
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            ),
+            lbl AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            labeled AS (
+              SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+              FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+            )
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM labeled GROUP BY comp
+        """,
         "minhash_lsh_pairs": _minhash_lsh_sql(0.5, 16, 4),
         "embedding_cosine_pairs": """
             WITH n AS (

@@ -1,5 +1,6 @@
 from hama_spark.extensions.dedup import (
     dedup_exact,
+    dedup_near,
     embedding_cosine_dup_pairs,
     minhash_lsh_dup_pairs,
     ngram_jaccard_pairs,
@@ -17,6 +18,7 @@ from hama_spark.extensions.text import (
 
 __all__ = [
     "dedup_exact",
+    "dedup_near",
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",

@@ -320,6 +320,48 @@ def simhash_dup_pairs(
     )
 
 
+# ------------------------------------------------- near-dup collapsing
+def dedup_near(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse near-duplicate CLUSTERS (not just pairs): MinHash-LSH
+    pairs -> connected components via Pregel min-label propagation
+    (SURVEY §7 Phase 6: dedup clustering reuses the graph layer) -> keep
+    the lowest id per component. Returns (doc_id, n_dups) where n_dups
+    counts the component (1 = unique doc).
+
+    ids propagate as zero-padded strings so the string-min label equals
+    the numeric min (mindist_search compares lexicographically, A3)."""
+    from hama_spark.graph import mindist_search
+
+    pairs = minhash_lsh_dup_pairs(
+        df, threshold, num_hashes, bands, k, id_col, text_col
+    ).localCheckpoint(eager=True)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    comp = mindist_search(edges, undirected=True, max_iter=30)
+
+    ids = df.select(F.col(id_col), pad(id_col).alias("_pid"))
+    labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col("_pid")).alias("_comp"),
+    )
+    return (
+        labeled.groupBy("_comp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(id_col, "n_dups")
+    )
+
+
 # ---------------------------------------------------- embedding cosine
 def embedding_cosine_dup_pairs(
     df: DataFrame,
