@@ -540,6 +540,40 @@ def _q_pi(spark, t):
     return estimate_pi(spark, samples=100_000, seed=42)
 
 
+# --- generated-graph scale runs (BASELINE.md bench plan: FastGraphGen-
+# equivalent 10^4-10^6 vertex scales; rows-only — the seeded generator
+# uses xxhash64, which DuckDB lacks; invariants asserted in pytest) ----
+GEN_N = 100_000
+
+
+def _q_pagerank_gen(spark, t):
+    from hama_spark.graph import pagerank
+    from hama_spark.sources import fast_graph_gen
+
+    edges = fast_graph_gen(spark, GEN_N, max_out=3, seed=42).select("src", "dst")
+    pr = pagerank(edges, epsilon=None, max_iter=5, self_ref=True)
+    # output IS the PageRankTest invariant: Σranks ≈ 1 (rounded 2dp)
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.round(F.sum("rank"), 2).alias("sum_rank"),
+    )
+
+
+def _q_sssp_gen(spark, t):
+    from hama_spark.graph import sssp
+    from hama_spark.sources import fast_graph_gen
+
+    edges = fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7).select(
+        "src", "dst", (F.col("weight") + 1).alias("weight")
+    )
+    d = sssp(edges, "0", max_iter=50)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.when(F.col("dist") < 2147483647, 1).otherwise(0)).alias("n_reachable"),
+        F.max(F.when(F.col("dist") < 2147483647, F.col("dist"))).alias("max_dist"),
+    )
+
+
 def _q_online_cf(spark, t):
     # M3: matrix-factorization recommender on an orders-derived rating
     # matrix; rows-only check (iterative float accumulation has no exact
@@ -797,6 +831,8 @@ QUERIES: dict[str, Callable] = {
     "kcore": _q_kcore,
     "bipartite_matching": _q_bipartite_matching,
     "semi_clustering": _q_semi_clustering,
+    "pagerank_gen_100k": _q_pagerank_gen,
+    "sssp_gen_100k": _q_sssp_gen,
     # ml (§2.4)
     "spmv": _q_spmv,
     "gradient_descent_linear": _q_gd,

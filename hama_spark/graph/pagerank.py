@@ -88,6 +88,7 @@ def pagerank(
         prev = ctx.prev_aggregates.get("err")
         return ctx.superstep + 1 > 2 and prev is not None and prev < epsilon
 
+    fixed = epsilon is None
     result = pregel(
         vertices,
         edges,
@@ -95,9 +96,13 @@ def pagerank(
         send=send,
         combine=F.sum,
         initial_message=initial_message,
-        aggregators={"err": lambda v: F.avg("delta")},
-        halt=halt,
+        # epsilon=None runs exactly max_iter supersteps: skip both the
+        # per-superstep aggregate collect and the message-count job —
+        # two fewer Spark jobs per iteration
+        aggregators=None if fixed else {"err": lambda v: F.avg("delta")},
+        halt=None if fixed else halt,
         max_iter=max_iter,
         checkpoint_interval=checkpoint_interval,
+        detect_halt=not fixed,
     )
     return result.select("id", "rank")

@@ -70,6 +70,7 @@ def pregel(
     checkpoint_interval: int = 4,
     reliable_checkpoint: bool = False,
     num_partitions: int | None = None,
+    detect_halt: bool = True,
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -98,6 +99,10 @@ def pregel(
     aggregators : name -> (vertices -> agg Column); evaluated after each
         compute, visible to callbacks the NEXT superstep (ctx.aggregates).
     halt : extra termination predicate checked after each superstep.
+    detect_halt : when False, skips the per-superstep message count used
+        for empty-inbox termination — one fewer job+cache per iteration.
+        Use for fixed-iteration runs (the loop then ends on max_iter /
+        ``halt`` only).
     """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -158,13 +163,14 @@ def pregel(
         msgs = send(vertices, edges, ctx)
         if msgs is None:
             break
-        # Message count doubles as the halt signal (GraphJobRunner halts
-        # when no peer saw messages, :398-414). Materialize via cache once.
-        msgs = msgs.cache()
-        ctx.num_messages = msgs.count()
-        if ctx.num_messages == 0:
-            msgs.unpersist()
-            break
+        if detect_halt:
+            # Message count doubles as the halt signal (GraphJobRunner
+            # halts when no peer saw messages, :398-414). localCheckpoint
+            # materializes once; the count is then metadata-cheap.
+            msgs = msgs.localCheckpoint(eager=True)
+            ctx.num_messages = msgs.count()
+            if ctx.num_messages == 0:
+                break
         inbox = msgs
         ctx.superstep += 1
 
