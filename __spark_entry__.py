@@ -336,6 +336,16 @@ def _minhash_lsh_sql(threshold: float = 0.5, num_hashes: int = 16, bands: int = 
     """
 
 
+def _bpe_token_count_sql() -> str:
+    from hama_spark.extensions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+        " AS n_bpe_tokens FROM documents"
+    )
+
+
 def _lang_id_sql() -> str:
     from hama_spark.extensions.text import LANG_MARKERS
 
@@ -730,6 +740,12 @@ def _q_token_count(spark, t):
     return t["documents"].select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def _q_bpe_token_count(spark, t):
+    from hama_spark.extensions import bpe_token_count
+
+    return t["documents"].select("doc_id", bpe_token_count("text").alias("n_bpe_tokens"))
+
+
 def _q_text_stats(spark, t):
     from hama_spark.extensions.text import text_stats
 
@@ -853,6 +869,7 @@ QUERIES: dict[str, Callable] = {
     "sessionize": _q_sessionize,
     # extensions (north star)
     "token_count": _q_token_count,
+    "bpe_token_count": _q_bpe_token_count,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "lang_id": _q_lang_id,
@@ -995,6 +1012,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sid GROUP BY user_id, session_id
         """,
         "token_count": f"SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents",
+        "bpe_token_count": _bpe_token_count_sql(),
         "text_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -9,6 +9,7 @@ from hama_spark.extensions.dedup import (
 from hama_spark.extensions.multimodal import extract_image_features, sample_frames
 from hama_spark.extensions.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
 from hama_spark.extensions.text import (
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     text_stats,
@@ -30,6 +31,7 @@ __all__ = [
     "sample_frames",
     "tokenize",
     "token_count",
+    "bpe_token_count",
     "text_stats",
     "lang_id",
     "doc_fingerprint",

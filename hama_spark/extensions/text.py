@@ -43,6 +43,19 @@ def token_count(text) -> Column:
     return F.size(tokenize(text))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to a dialect both Java
+# regex (Spark) and RE2 (DuckDB) interpret identically: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+
+
+def bpe_token_count(text) -> Column:
+    """Subword-ish token count via the BPE pre-tokenizer regex — the
+    LLM-pipeline sizing metric (whitespace counts undercount code/punct
+    heavy text). SQL twin: len(regexp_extract_all(text, pattern))."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def _count_matches(tokens: Column, words: tuple[str, ...]) -> Column:
     wl = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens, lambda t: F.array_contains(wl, F.lower(t))))

@@ -1,0 +1,82 @@
+"""Property/golden tests: near-dup cluster collapse + linalg kernels.
+
+hypothesis drives the linalg checks against numpy ground truth (the
+reference's math kernels are tested value-by-value in
+commons/src/test/.../math/TestDenseDoubleVector.java etc.; properties
+subsume those goldens).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hama_spark.extensions import bpe_token_count, dedup_near
+from hama_spark.functions.linalg import (
+    vec_add,
+    vec_dot,
+    vec_scale,
+    vec_sum,
+)
+
+
+def test_dedup_near_collapses_known_clusters(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, base.replace("dog", "cat")),  # near-dup of 1
+        (10, "completely different text about spark dataframes and shuffles at scale"),
+        (11, "completely different text about spark dataframes and shuffles at scale yes"),
+        (20, "unrelated singleton document with its own unique words entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # 8 bands of 2 rows: collision prob ~1 at jaccard >= 0.7 (4-row
+    # bands can miss a 0.9-jaccard pair — LSH recall is probabilistic)
+    out = {
+        r["doc_id"]: r["n_dups"]
+        for r in dedup_near(df, threshold=0.4, bands=8).collect()
+    }
+    assert out == {1: 3, 10: 2, 20: 1}
+
+
+def test_bpe_token_count_examples(spark):
+    rows = [
+        (1, "hello world"),          # 2
+        (2, "it's 2026, isn't it?"),  # it 's 2026 , isn 't it ? = 8
+        (3, "x=1+2;"),               # x =1+2; -> x, =, 1, +, 2, ; = 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    assert got[1] == 2
+    assert got[2] == 8
+    assert got[3] == 6
+
+
+VEC = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(a=VEC)
+def test_vec_kernels_match_numpy(spark, a):
+    b = [x * 0.5 + 1.0 for x in a]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        vec_sum(vec_add("a", "b")).alias("s"),
+        vec_dot("a", "b").alias("d"),
+        vec_sum(vec_scale("a", 2.0)).alias("sc"),
+    ).collect()[0]
+    na, nb = np.array(a), np.array(b)
+    assert math.isclose(row["s"], float((na + nb).sum()), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row["d"], float(na @ nb), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row["sc"], float((na * 2).sum()), rel_tol=1e-9, abs_tol=1e-9)
