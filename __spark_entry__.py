@@ -346,6 +346,92 @@ def _bpe_token_count_sql() -> str:
     )
 
 
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """60-bit SimHash pairs, mirroring extensions.dedup exactly: md5-
+    derived token hashes, per-bit sign votes, 4x15-bit chunk banding,
+    bit_count(xor) verification."""
+    from hama_spark.extensions.dedup import SIMHASH_BITS, _SIMHASH_CHUNK
+
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    mask = (1 << _SIMHASH_CHUNK) - 1
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk, (sig >> {c * _SIMHASH_CHUNK}) & {mask} AS val FROM sig"
+        for c in range(4)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+        ),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, {sig} AS sig FROM votes),
+        chunks AS ({chunk_rows}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                 x.sig AS sa, y.sig AS sb
+          FROM chunks x JOIN chunks y
+            ON x.chunk = y.chunk AND x.val = y.val AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _lsh_topk_sql(
+    k: int = 10, planes: int = 4, tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Random-hyperplane LSH top-k, mirroring extensions.similarity
+    .lsh_cosine_topk: the ±1 plane components come from driver-side md5
+    (hashlib) and are embedded as list literals in BOTH engines — no
+    engine-side hashing to diverge."""
+    from hama_spark.extensions.similarity import _plane
+
+    def bucket(vcol: str, t: int) -> str:
+        terms = []
+        for p in range(planes):
+            comps = ", ".join(str(x) for x in _plane(seed, t, p, dim))
+            terms.append(
+                f"(CASE WHEN list_dot_product({vcol}, [{comps}]) > 0"
+                f" THEN (1::BIGINT << {p}) ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {bucket('v', t)} AS bkt FROM n" for t in range(tables)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT qid, qv, {t} AS tbl, {bucket('qv', t)} AS bkt FROM q" for t in range(tables)
+    )
+    return f"""
+        WITH n AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (SELECT DISTINCT qb.qid, cb.vec_id AS id
+                 FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bkt = qb.bkt),
+        scored AS (
+          SELECT cand.qid, cand.id,
+                 round(list_dot_product(c.v, q2.v), 9) AS cosine
+          FROM cand JOIN n c ON c.vec_id = cand.id
+               JOIN n q2 ON q2.vec_id = cand.qid)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT qid AS query_id, id AS vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        WHERE rank <= {k}
+    """
+
+
 def _lang_id_sql() -> str:
     from hama_spark.extensions.text import LANG_MARKERS
 
@@ -942,6 +1028,17 @@ def oracle_sql() -> dict[str, str]:
         "gradient_descent_linear": _gd_linear_sql(),
         "gradient_descent_logistic": _gd_logistic_sql(),
         "kmeans_sizes": _kmeans_sql(),
+        "pi_estimate": """
+            WITH s AS (
+              SELECT (('0x' || substr(md5(CAST(i AS VARCHAR) || ':42'), 1, 13))::BIGINT
+                      / 4503599627370496.0) * 2 - 1 AS x,
+                     (('0x' || substr(md5(CAST(i AS VARCHAR) || ':43'), 1, 13))::BIGINT
+                      / 4503599627370496.0) * 2 - 1 AS y
+              FROM range(100000) r(i))
+            SELECT 4.0 * sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END)
+                   / 100000.0 AS pi
+            FROM s
+        """,
         "inner_join": """
             SELECT c_custkey AS k, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice
             FROM customer JOIN orders ON c_custkey = o_custkey
@@ -1059,6 +1156,8 @@ def oracle_sql() -> dict[str, str]:
             FROM labeled GROUP BY comp
         """,
         "minhash_lsh_pairs": _minhash_lsh_sql(0.5, 16, 4),
+        "simhash_pairs": _simhash_sql(3),
+        "lsh_cosine_topk": _lsh_topk_sql(10, 4, 8, 64),
         "embedding_cosine_pairs": """
             WITH n AS (
               SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /

@@ -236,31 +236,41 @@ def minhash_lsh_dup_pairs(
 
 
 # --------------------------------------------------------------- SimHash
+SIMHASH_BITS = 60  # 15 md5 hex chars -> no int64 overflow in any engine
+_SIMHASH_CHUNK = SIMHASH_BITS // 4
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, sig:long) — 64-bit SimHash over whitespace tokens: bit j of
-    the signature is the sign of Σ_tokens (±1 depending on bit j of
-    xxhash64(token)).
+    """(id, sig:long) — 60-bit SimHash over whitespace tokens: bit j of
+    the signature is the sign of Σ_tokens (±1 depending on bit j of the
+    token hash). The token hash is the first 15 md5 hex chars as an
+    integer — same stream as DuckDB's ('0x'||substr(md5(tok),1,15))
+    ::BIGINT, which makes pairs oracle-checkable.
 
     Shape: explode tokens once, hash each token ONCE, then one groupBy
-    with 64 conditional-sum aggregates (all JVM/codegen). The earlier
-    formulation folded a 64-int array per token inside ``F.aggregate`` —
-    one array allocation per token — and was ~10x slower.
+    with 60 conditional-sum aggregates (all JVM/codegen). A per-token
+    60-wide array fold inside ``F.aggregate`` is ~10x slower.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     votes = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
     sig = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
                 F.lit(0).cast("long")
@@ -276,9 +286,10 @@ def simhash_dup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
-    Banding: 4 x 16-bit chunks — any pair within hamming 3 must agree on
+    Banding: 4 x 15-bit chunks — any pair within hamming 3 must agree on
     at least one chunk (pigeonhole), so candidates join on chunk value.
     Returns (id_a, id_b, hamming)."""
+    mask = (1 << _SIMHASH_CHUNK) - 1
     sigs = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = sigs.select(
         "id",
@@ -288,8 +299,8 @@ def simhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("sig"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sig"), c * _SIMHASH_CHUNK)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for c in range(4)
