@@ -1,3 +1,4 @@
+from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
 
-__all__ = ["composite_join", "override_join"]
+__all__ = ["composite_join", "override_join", "parse_join_expr"]

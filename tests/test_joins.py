@@ -66,3 +66,42 @@ def test_override_join_rightmost_wins(spark, tables, duck):
            FROM part""",
         tol=1e-12,
     )
+
+
+# ---------------------------------------------------- expression parser
+def test_join_expr_inner(spark, tables):
+    from pyspark.sql import functions as F
+
+    from hama_spark.operators import parse_join_expr
+
+    t = {
+        "cust": tables["customer"].select(F.col("c_custkey").alias("k"), "c_name"),
+        "ords": tables["orders"].select(F.col("o_custkey").alias("k"), "o_orderkey"),
+    }
+    got = parse_join_expr("inner(tbl(cust), tbl(ords))", tables=t, on="k")
+    expect = t["cust"].join(t["ords"], "k", "inner")
+    assert got.count() == expect.count() > 0
+
+
+def test_join_expr_nested_override(spark):
+    from hama_spark.operators import parse_join_expr
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, v string")
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], "k int, v string")
+    c = spark.createDataFrame([(1, "c1")], "k int, w string")
+    got = parse_join_expr("outer(override(a, b), tbl(c))", tables={"a": a, "b": b, "c": c}, on="k")
+    rows = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+    # override: b wins on k=2; outer keeps every key
+    assert rows == {1: ("a1", "c1"), 2: ("b2", None), 3: ("b3", None)}
+
+
+def test_join_expr_errors(spark):
+    import pytest
+
+    from hama_spark.operators import parse_join_expr
+
+    a = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="unknown table"):
+        parse_join_expr("inner(a, missing)", tables={"a": a}, on="k")
+    with pytest.raises(ValueError, match=">= 2 children"):
+        parse_join_expr("inner(a)", tables={"a": a}, on="k")
