@@ -670,6 +670,17 @@ def _q_sssp_gen(spark, t):
     )
 
 
+RB_PEERS, RB_MSGS, RB_SIZE, RB_STEPS = 32, 10_000, 100, 5
+
+
+def _q_randbench(spark, t):
+    # the reference's RandBench message round-trip tool (SURVEY §6):
+    # wall-clock here / RB_STEPS ~ per-superstep shuffle cost
+    from hama_spark.plans import rand_bench
+
+    return rand_bench(spark, RB_PEERS, RB_MSGS, RB_SIZE, RB_STEPS, seed=42)
+
+
 def _q_online_cf(spark, t):
     # M3: matrix-factorization recommender on an orders-derived rating
     # matrix; rows-only check (iterative float accumulation has no exact
@@ -935,6 +946,7 @@ QUERIES: dict[str, Callable] = {
     "semi_clustering": _q_semi_clustering,
     "pagerank_gen_100k": _q_pagerank_gen,
     "sssp_gen_100k": _q_sssp_gen,
+    "randbench": _q_randbench,
     # ml (§2.4)
     "spmv": _q_spmv,
     "gradient_descent_linear": _q_gd,
@@ -1004,6 +1016,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
         "kcore": _kcore_sql(SP_EDGES_SQL),
+        "randbench": f"""
+            SELECT (('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+                       CAST(i.i AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                    % {RB_PEERS}) AS peer,
+                   CAST(count(*) AS BIGINT) AS n_received,
+                   CAST(count(*) * {RB_SIZE} AS BIGINT) AS bytes_received
+            FROM range({RB_STEPS}) s(s), range({RB_MSGS}) i(i)
+            GROUP BY 1
+        """,
         "matmul": """
             WITH cells AS (
               SELECT l_linenumber AS r, l_partkey % 8 AS j, sum(l_quantity) AS v

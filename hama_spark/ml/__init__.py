@@ -1,3 +1,10 @@
+from hama_spark.ml.feature import (
+    FeatureTransformer,
+    apply_features,
+    identity_transformer,
+    log1p_abs_transformer,
+    scale_transformer,
+)
 from hama_spark.ml.gradient_descent import gradient_descent
 from hama_spark.ml.kmeans import kmeans
 from hama_spark.ml.online_cf import CFModel, online_cf_train
@@ -11,4 +18,9 @@ __all__ = [
     "estimate_pi",
     "online_cf_train",
     "CFModel",
+    "FeatureTransformer",
+    "apply_features",
+    "identity_transformer",
+    "scale_transformer",
+    "log1p_abs_transformer",
 ]

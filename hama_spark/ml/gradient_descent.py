@@ -54,6 +54,7 @@ def gradient_descent(
     initial_theta: list[float] | None = None,
     features_col: str = "features",
     label_col: str = "label",
+    feature_transformer=None,
 ) -> GDResult:
     """data(features array<double>, label double) -> GDResult.
 
@@ -62,6 +63,10 @@ def gradient_descent(
     """
     if model not in ("linear", "logistic"):
         raise ValueError(f"unknown model {model!r}")
+    if feature_transformer is not None:
+        from hama_spark.ml.feature import apply_features
+
+        data = apply_features(data, feature_transformer, features_col)
 
     data = data.select(
         F.col(features_col).alias("x"), F.col(label_col).cast("double").alias("y")

@@ -48,8 +48,15 @@ def kmeans(
     max_iterations: int = 100,
     distance: str = "euclidean",
     features_col: str = "features",
+    feature_transformer=None,
 ) -> KMeansResult:
-    """points(features array<double>) + seed centers -> assignments/centers."""
+    """points(features array<double>) + seed centers -> assignments/centers.
+    ``feature_transformer`` (M7, ml/util/FeatureTransformer.java:41) is a
+    Column->Column pre-transform applied once before the loop."""
+    if feature_transformer is not None:
+        from hama_spark.ml.feature import apply_features
+
+        points = apply_features(points, feature_transformer, features_col)
     measure = MEASURES[distance]
     dim = len(initial_centers[0])
     k = len(initial_centers)

@@ -71,6 +71,8 @@ def pregel(
     reliable_checkpoint: bool = False,
     num_partitions: int | None = None,
     detect_halt: bool = True,
+    mutate: Callable[[DataFrame, "PregelContext"], tuple[DataFrame | None, DataFrame | None]]
+    | None = None,
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -103,6 +105,12 @@ def pregel(
         for empty-inbox termination — one fewer job+cache per iteration.
         Use for fixed-iteration runs (the loop then ends on max_iter /
         ``halt`` only).
+    mutate : dynamic graph mutation (G9, Vertex.addVertex/remove —
+        graph/GraphJobRunner.java:626-702): called after each compute
+        with (vertices, ctx), returns (additions, removal_ids) — either
+        may be None. Additions are unioned in (same schema), removals
+        anti-joined out by ``id_col``; ``ctx.num_vertices`` is updated
+        like the master's count adjustment (:664-675).
     """
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -134,6 +142,19 @@ def pregel(
         new_vertices = compute(with_inbox, ctx)
         if MSG in new_vertices.columns:
             new_vertices = new_vertices.drop(MSG)
+
+        if mutate is not None:
+            additions, removals = mutate(new_vertices, ctx)
+            if removals is not None:
+                new_vertices = new_vertices.join(
+                    removals.select(F.col(removals.columns[0]).alias(id_col)),
+                    on=id_col,
+                    how="left_anti",
+                )
+            if additions is not None:
+                new_vertices = new_vertices.unionByName(additions)
+            if additions is not None or removals is not None:
+                ctx.num_vertices = new_vertices.count()
 
         # Cut lineage periodically; eager so the old cached plan is freed.
         if ctx.superstep % checkpoint_interval == checkpoint_interval - 1:

@@ -1,0 +1,71 @@
+"""Pregel dynamic mutation (G9), feature transformer (M7), RandBench.
+
+Reference models: graph/GraphJobRunner.java:626-702 (addVertex/remove
+routed via control messages, master count adjustment),
+ml/util/FeatureTransformer.java:41, examples/RandBench.java:40-110.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hama_spark.ml import kmeans, scale_transformer
+from hama_spark.plans import PregelContext, pregel, rand_bench
+
+
+def test_pregel_mutation_add_remove(spark):
+    verts = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, value int"
+    )
+    seen_counts = []
+
+    def compute(with_inbox, ctx):
+        return with_inbox.select("id", "value")
+
+    def mutate(vertices, ctx):
+        if ctx.superstep == 0:
+            additions = spark.createDataFrame([("d", 40)], "id string, value int")
+            removals = spark.createDataFrame([("c",)], "id string")
+            return additions, removals
+        return None, None
+
+    def send(vertices, edges, ctx):
+        seen_counts.append(ctx.num_vertices)
+        return None  # one superstep is enough
+
+    out = pregel(
+        verts,
+        edges=None,
+        compute=compute,
+        send=send,
+        combine=F.min,
+        initial_message=None,
+        mutate=mutate,
+        max_iter=3,
+    )
+    rows = {r["id"]: r["value"] for r in out.collect()}
+    assert rows == {"a": 1, "b": 2, "d": 40}
+    assert seen_counts == [3]  # master-style count adjustment (3 after mutation)
+
+
+def test_kmeans_feature_transformer_equals_prescaled(spark):
+    pts = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.9, 0.1],), ([0.0, 1.0],), ([0.1, 0.9],)],
+        "features array<double>",
+    )
+    scaled = pts.select(
+        F.transform("features", lambda x: x * 2).alias("features")
+    )
+    init = [[2.0, 0.0], [0.0, 2.0]]
+    a = kmeans(pts, init, max_iterations=5, feature_transformer=scale_transformer(2.0))
+    b = kmeans(scaled, init, max_iterations=5)
+    assert a.centers == b.centers
+    assert a.iterations == b.iterations
+
+
+def test_rand_bench_conservation(spark):
+    df = rand_bench(spark, num_peers=8, msgs_per_superstep=1000, msg_size=10, supersteps=3)
+    rows = df.collect()
+    assert sum(r["n_received"] for r in rows) == 3000
+    assert sum(r["bytes_received"] for r in rows) == 30000
+    assert len(rows) == 8  # every peer received something at this volume
