@@ -919,6 +919,34 @@ def _q_lsh_topk(spark, t):
     )
 
 
+def _q_ivf_topk(spark, t):
+    from hama_spark.extensions import ivf_topk
+
+    return ivf_topk(
+        t["embeddings"],
+        t["embeddings"].filter("vec_id < 5"),
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        kmeans_iter=3,
+    )
+
+
+def _q_video_frames(spark, t):
+    from hama_spark.extensions import sample_frames
+
+    media = t["documents"].limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=1000)
+
+
 def _q_image_features(spark, t):
     from hama_spark.extensions import extract_image_features
 
@@ -980,7 +1008,9 @@ QUERIES: dict[str, Callable] = {
     "embedding_cosine_pairs": _q_embedding_dups,
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
+    "ivf_topk": _q_ivf_topk,
     "image_features": _q_image_features,
+    "video_frames": _q_video_frames,
 }
 
 

@@ -1,3 +1,7 @@
-from hama_spark.streaming.events import sessionize, windowed_event_stats
+from hama_spark.streaming.events import (
+    running_user_totals,
+    sessionize,
+    windowed_event_stats,
+)
 
-__all__ = ["windowed_event_stats", "sessionize"]
+__all__ = ["windowed_event_stats", "sessionize", "running_user_totals"]

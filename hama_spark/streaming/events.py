@@ -47,6 +47,43 @@ def windowed_event_stats(
     )
 
 
+def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (the path SURVEY §2.5 reserves for operators Spark's built-in
+    windowed aggs can't express): per-user running event count + value
+    sum maintained in GroupState across micro-batches, one updated row
+    emitted per user per batch.
+
+    Streaming-only (raises on a batch DataFrame — use a plain groupBy
+    there). State is O(1) per user; at 100 TB/day the state store holds
+    |users| tiny rows, bounded further by adding a timeout eviction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not events.isStreaming:
+        raise ValueError("running_user_totals is the streaming path; "
+                         "use groupBy().agg() on batch DataFrames")
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    return events.select(user_col, "value").groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -20,6 +20,51 @@ def _events_subset(tables, n=2000):
     ].columns else tables["events"].limit(n)
 
 
+def test_running_user_totals_state_across_microbatches(spark, tables, tmp_path):
+    from hama_spark.streaming import running_user_totals
+
+    src = str(tmp_path / "ev_files")
+    ev = _events_subset(tables, 900).select("user_id", "value", "ts")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1: state must
+    # carry totals across batches, not reset per batch
+    ev.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_totals(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode appends one row per user per batch; the MAX n_events
+    # per user is the final running total
+    final = {
+        r["user_id"]: r["mx"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS mx FROM running_totals GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == expected
+    # and state genuinely accumulated over >1 batch: some user must have
+    # emitted more than one distinct running value
+    multi = spark.sql(
+        "SELECT user_id, count(DISTINCT n_events) c FROM running_totals GROUP BY user_id"
+    ).collect()
+    assert any(r["c"] > 1 for r in multi)
+
+
 def test_windowed_stats_streaming_matches_batch(spark, tables, tmp_path):
     src = str(tmp_path / "events_src")
     events = _events_subset(tables).select("ts", "event_type", "value")
