@@ -824,6 +824,12 @@ def _q_events_window(spark, t):
     return windowed_event_stats(t["events"], window="1 hour")
 
 
+def _q_events_sliding(spark, t):
+    from hama_spark.streaming import sliding_event_stats
+
+    return sliding_event_stats(t["events"], window="2 hours", slide="1 hour")
+
+
 def _q_sessionize(spark, t):
     from hama_spark.streaming import sessionize
 
@@ -992,6 +998,7 @@ QUERIES: dict[str, Callable] = {
     "top_customers": _q_top_customers,
     # streaming-shaped
     "events_window": _q_events_window,
+    "events_sliding": _q_events_sliding,
     "sessionize": _q_sessionize,
     # extensions (north star)
     "token_count": _q_token_count,
@@ -1143,6 +1150,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # sliding 2h/1h: an event belongs to the 2 hourly-aligned windows
+        # starting at bucket(ts) and bucket(ts)-1h
+        "events_sliding": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts) - (k.k * INTERVAL 1 HOUR),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events, range(2) k(k)
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH brk AS (

@@ -47,6 +47,34 @@ def windowed_event_stats(
     )
 
 
+def sliding_event_stats(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """SLIDING-window per-type stats: each event contributes to
+    window/slide overlapping windows (F.window with slideDuration).
+    Epoch-aligned like the tumbling variant, so the DuckDB twin is
+    time_bucket shifted by each slide offset. Works on streaming DFs
+    with a watermark upstream."""
+    return (
+        events.groupBy(
+            F.window(ts_col, window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``
     (the path SURVEY §2.5 reserves for operators Spark's built-in
