@@ -250,6 +250,45 @@ def _kmeans_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, dim: int = KMEANS_
     return "\n".join(parts)
 
 
+def _matching_sql(edges_sql: str, seed: int = 42, rounds: int = 3) -> str:
+    """Unrolled randomized-matching rounds mirroring
+    hama_spark.graph.matching exactly: per round, RIGHT accepts the
+    min-hash proposal, LEFT confirms the min-hash acceptance, both
+    endpoints record; hash = md5("seed:round:l:r") first 8 hex."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src AS l, dst AS r FROM ({edges_sql})),",
+        """s0 AS (
+          SELECT l AS id, 'L' AS side, CAST(NULL AS VARCHAR) AS match FROM (SELECT DISTINCT l FROM e)
+          UNION ALL
+          SELECT r, 'R', NULL FROM (SELECT DISTINCT r FROM e))""",
+    ]
+    for t in range(rounds):
+        h = f"('0x' || substr(md5('{seed}:{t}:' || p.l || ':' || p.r), 1, 8))::BIGINT"
+        parts.append(
+            f""", p{t} AS (
+              SELECT e.l, e.r FROM e
+                JOIN s{t} sl ON sl.id = e.l AND sl.match IS NULL
+                JOIN s{t} sr ON sr.id = e.r AND sr.match IS NULL
+            ), acc{t} AS (
+              SELECT l, r FROM (
+                SELECT p.l, p.r,
+                       row_number() OVER (PARTITION BY p.r ORDER BY {h}, p.l) AS rn
+                FROM p{t} p) WHERE rn = 1
+            ), m{t} AS (
+              SELECT l, r FROM (
+                SELECT p.l, p.r,
+                       row_number() OVER (PARTITION BY p.l ORDER BY {h}, p.r) AS rn
+                FROM acc{t} p) WHERE rn = 1
+            ), s{t + 1} AS (
+              SELECT s.id, s.side, coalesce(s.match, ml.r, mr.l) AS match
+              FROM s{t} s
+                LEFT JOIN m{t} ml ON ml.l = s.id
+                LEFT JOIN m{t} mr ON mr.r = s.id)"""
+        )
+    parts.append(f" SELECT id, side, match FROM s{rounds}")
+    return "\n".join(parts)
+
+
 KCORE_ITERS = 6  # converged by iter 4 at sf0.01; fixed schedule both sides
 
 
@@ -520,6 +559,9 @@ def _q_kcore(spark, t):
     return kcore(_sp_edges(spark, t), fixed_iters=KCORE_ITERS)
 
 
+MATCH_ROUNDS = 3  # sf0.01 converges in 1; extra unrolled rounds no-op
+
+
 def _q_bipartite_matching(spark, t):
     from hama_spark.graph import bipartite_matching
 
@@ -529,13 +571,8 @@ def _q_bipartite_matching(spark, t):
         .union(edges.select(F.col("dst").alias("id"), F.lit("R").alias("side")))
         .distinct()
     )
-    m = bipartite_matching(verts, edges, seed=42)
-    # stable scalar summary (the matching itself is seed-deterministic
-    # but has no SQL twin): per-side matched counts must be equal
-    return m.groupBy("side").agg(
-        F.count(F.lit(1)).alias("n_vertices"),
-        F.count("match").alias("n_matched"),
-    )
+    # full matching, hash-checked: the md5-seeded picks replay in SQL
+    return bipartite_matching(verts, edges, seed=42, max_rounds=MATCH_ROUNDS)
 
 
 def _q_semi_clustering(spark, t):
@@ -1053,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
         "kcore": _kcore_sql(SP_EDGES_SQL),
+        "bipartite_matching": _matching_sql(SP_EDGES_SQL, 42, MATCH_ROUNDS),
         "randbench": f"""
             SELECT (('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
                        CAST(i.i AS VARCHAR) || ':42'), 1, 8))::BIGINT

@@ -8,13 +8,15 @@ confirms one acceptance at random and records its match, (3) RIGHT
 records the (unique) confirmation. Repeats until no proposals flow.
 
 Spark formulation: the 4 phases are one loop round of two
-pick-one-per-key aggregations — the phase structure in the reference is
-an artifact of message passing, not of the algorithm. The reference
+pick-one-per-key window argmins — the phase structure in the reference
+is an artifact of message passing, not of the algorithm. The reference
 seeds ``Random`` per peer (BipartiteMatching.java:86,100 uses
 currentTimeMillis; the test fixes a seed conf); here every "random"
-pick is ``min_by(candidate, xxhash64(seed, round, edge))`` — a seeded,
-reproducible, fully distributed choice with no RNG state per task
-(SURVEY §7: reproducible streams keyed by row id).
+pick orders candidates by md5("seed:round:l:r") with an id tie-break —
+a seeded, reproducible, fully distributed choice with no RNG state per
+task (SURVEY §7), and — because md5 exists in ANSI SQL — one the DuckDB
+oracle replays round-for-round (the full matching is hash-checked, not
+just invariants).
 
 Invariants (checked by tests, matching the reference's test):
 - matched pairs are real edges;
@@ -24,8 +26,15 @@ Invariants (checked by tests, matching the reference's test):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _pick_hash(seed: int, rnd: int):
+    """Seeded per-edge ordering key, identical in DuckDB:
+    ('0x' || substr(md5(seed||':'||rnd||':'||l||':'||r), 1, 8))::BIGINT."""
+    s = F.concat_ws(":", F.lit(str(seed)), F.lit(str(rnd)), F.col("l"), F.col("r"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
 
 
 def bipartite_matching(
@@ -60,11 +69,22 @@ def bipartite_matching(
         if proposals.limit(1).count() == 0:
             break
 
-        pick = F.xxhash64(F.lit(seed), F.lit(rnd), F.col("l"), F.col("r"))
-        # phase 1: each RIGHT accepts one proposal (seeded pick)
-        accepts = proposals.groupBy("r").agg(F.min_by(F.col("l"), pick).alias("l"))
+        pick = _pick_hash(seed, rnd)
+        # phase 1: each RIGHT accepts one proposal (seeded pick; id
+        # tie-break makes hash collisions deterministic cross-engine)
+        wr = Window.partitionBy("r").orderBy(pick, F.col("l"))
+        accepts = (
+            proposals.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # phase 2: each LEFT confirms one acceptance -> these pairs match
-        matched = accepts.groupBy("l").agg(F.min_by(F.col("r"), pick).alias("r"))
+        wl = Window.partitionBy("l").orderBy(pick, F.col("r"))
+        matched = (
+            accepts.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         # phase 3: both endpoints record the match (each r appears at most
         # once in `matched`: it accepted a single l, so only that l can
         # confirm it — BipartiteMatching.java:113-121 takes the first and
