@@ -674,9 +674,22 @@ def _q_pi(spark, t):
 
 
 # --- generated-graph scale runs (BASELINE.md bench plan: FastGraphGen-
-# equivalent 10^4-10^6 vertex scales; rows-only — the seeded generator
-# uses xxhash64, which DuckDB lacks; invariants asserted in pytest) ----
+# equivalent 10^4-10^6 vertex scales). The md5-based generator replays
+# in SQL, so even the 100k-vertex PageRank is value-checked; SSSP stays
+# rows-only (its recursive-CTE oracle needs a DAG, the gen graph has
+# cycles) with invariants in pytest. ----------------------------------
 GEN_N = 100_000
+
+
+def _gen_edges_sql(n: int, max_out: int, seed: int) -> str:
+    """fast_graph_gen(n, max_out, weight=0, seed) twin (per-src distinct
+    destinations == SELECT DISTINCT)."""
+    return f"""
+        SELECT DISTINCT CAST(i AS VARCHAR) AS src,
+               CAST((('0x' || substr(md5('{seed}:' || i || ':' || j), 1, 8))::BIGINT
+                     % {n}) AS VARCHAR) AS dst
+        FROM range({n}) r(i), range({max_out}) g(j)
+    """
 
 
 def _q_pagerank_gen(spark, t):
@@ -1089,6 +1102,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || CAST(k AS VARCHAR), comp FROM m
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
+        "pagerank_gen_100k": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                   round(sum(rank), 2) AS sum_rank
+            FROM ({_pagerank_sql(_gen_edges_sql(GEN_N, 3, 42), GEN_N, 5)})
+        """,
         "kcore": _kcore_sql(SP_EDGES_SQL),
         "bipartite_matching": _matching_sql(SP_EDGES_SQL, 42, MATCH_ROUNDS),
         "randbench": f"""

@@ -6,10 +6,12 @@ examples/util/SymmetricMatrixGen.java:44-150 (random symmetric sparse
 matrix as an edge list), examples/util/Generator.java driver.
 
 The reference seeds ``new Random()`` per task (non-reproducible across
-runs); here every random draw is ``xxhash64(seed, i, j)`` keyed by the
-row being generated — same output for any partitioning / executor count
-(SURVEY §7 risk register). Generation is ``spark.range`` + explode: no
-driver-side data, scales linearly with N.
+runs); here every random draw is an md5 hash keyed by (seed, i, j) —
+the row being generated — so output is identical for any partitioning /
+executor count (SURVEY §7 risk register) AND replayable in ANSI SQL
+(('0x'||substr(md5(seed||':'||i||':'||j),1,8))::BIGINT % mod), which
+lets generated-graph queries be oracle-checked end-to-end. Generation
+is ``spark.range`` + explode: no driver-side data, linear in N.
 """
 
 from __future__ import annotations
@@ -19,8 +21,10 @@ from pyspark.sql import functions as F
 
 
 def _hash_int(seed: int, *cols, mod: int):
-    """Deterministic pseudo-uniform int in [0, mod)."""
-    return F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(mod))
+    """Deterministic pseudo-uniform int in [0, mod) — md5-based for
+    cross-engine replay."""
+    s = F.concat_ws(":", F.lit(str(seed)), *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % mod
 
 
 def fast_graph_gen(
