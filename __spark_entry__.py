@@ -720,6 +720,70 @@ def _q_sssp_gen(spark, t):
     )
 
 
+CF_RANK, CF_ITERS, CF_LR, CF_SCALE = 4, 3, 0.01, 0.3
+
+
+def _online_cf_sql(rank: int = CF_RANK, iters: int = CF_ITERS, lr: float = CF_LR) -> str:
+    """Batch-MF replay as (id, dim, value) rows: same md5 init, same
+    full-batch gradient schedule (both updates read iteration t's
+    factors), same top-3 ranking as _q_online_cf."""
+    div = repr(100_000.0 / (2 * CF_SCALE))
+
+    def init(alias: str, id_col: str, seed: int) -> str:
+        return f"""
+        {alias}0 AS (
+          SELECT id, j,
+                 (('0x' || substr(md5('{seed}:' || id || ':' || j), 1, 8))::BIGINT
+                  % 100000) / {div} - {CF_SCALE} AS val
+          FROM (SELECT DISTINCT {id_col} AS id FROM ratings), range({rank}) g(j))"""
+
+    parts = [
+        """WITH ratings AS (
+          SELECT (o_custkey % 100) AS "user", (o_orderkey % 40) AS item,
+                 avg(o_totalprice / 100000.0) AS rating
+          FROM orders GROUP BY 1, 2),""",
+        init("uf", '"user"', 42) + ",",
+        init("vf", "item", 43),
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", err{t} AS (
+              SELECT r."user", r.item, r.rating - sum(uf.val * vf.val) AS err
+              FROM ratings r
+                JOIN uf{t} uf ON uf.id = r."user"
+                JOIN vf{t} vf ON vf.id = r.item AND vf.j = uf.j
+              GROUP BY r."user", r.item, r.rating
+            ), gu{t} AS (
+              SELECT e."user" AS id, vf.j, sum(e.err * vf.val) AS g
+              FROM err{t} e JOIN vf{t} vf ON vf.id = e.item
+              GROUP BY e."user", vf.j
+            ), gv{t} AS (
+              SELECT e.item AS id, uf.j, sum(e.err * uf.val) AS g
+              FROM err{t} e JOIN uf{t} uf ON uf.id = e."user"
+              GROUP BY e.item, uf.j
+            ), uf{t + 1} AS (
+              SELECT u.id, u.j, u.val + {2 * lr} * coalesce(g.g, 0.0) AS val
+              FROM uf{t} u LEFT JOIN gu{t} g ON g.id = u.id AND g.j = u.j
+            ), vf{t + 1} AS (
+              SELECT v.id, v.j, v.val + {2 * lr} * coalesce(g.g, 0.0) AS val
+              FROM vf{t} v LEFT JOIN gv{t} g ON g.id = v.id AND g.j = v.j)"""
+        )
+    parts.append(
+        f""" SELECT "user", item, score, rnk FROM (
+          SELECT s."user", s.item, round(s.score, 6) AS score,
+                 row_number() OVER (PARTITION BY s."user"
+                                    ORDER BY s.score DESC, s.item) AS rnk
+          FROM (
+            SELECT u.uid AS "user", v.id AS item, sum(u.val * v.val) AS score
+            FROM (SELECT id AS uid, j, val FROM uf{iters}
+                  WHERE id IN (SELECT DISTINCT "user" FROM ratings WHERE "user" < 5)) u
+              JOIN vf{iters} v ON v.j = u.j
+            GROUP BY u.uid, v.id) s)
+        WHERE rnk <= 3"""
+    )
+    return "\n".join(parts)
+
+
 RB_PEERS, RB_MSGS, RB_SIZE, RB_STEPS = 32, 10_000, 100, 5
 
 
@@ -748,7 +812,12 @@ def _q_online_cf(spark, t):
         .agg(F.avg("rating").alias("rating"))
     )
     model = online_cf_train(
-        ratings, rank=4, iterations=3, learning_rate=0.01, track_rmse=False
+        ratings,
+        rank=CF_RANK,
+        iterations=CF_ITERS,
+        learning_rate=CF_LR,
+        init_scale=CF_SCALE,
+        track_rmse=False,
     )
     users = ratings.select("user").distinct().filter("user < 5")
     return model.most_preferred_items(users, count=3).select(
@@ -1142,6 +1211,7 @@ def oracle_sql() -> dict[str, str]:
         "gradient_descent_linear": _gd_linear_sql(),
         "gradient_descent_logistic": _gd_logistic_sql(),
         "kmeans_sizes": _kmeans_sql(),
+        "online_cf_topk": _online_cf_sql(),
         "pi_estimate": """
             WITH s AS (
               SELECT (('0x' || substr(md5(CAST(i AS VARCHAR) || ':42'), 1, 13))::BIGINT

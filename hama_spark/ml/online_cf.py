@@ -32,14 +32,17 @@ from pyspark.sql import functions as F
 
 def _hash_factors(id_col, rank: int, seed: int, scale: float):
     """array<double> of `rank` deterministic pseudo-random values in
-    [-scale, scale), keyed by (seed, id, dim)."""
+    [-scale, scale), keyed by (seed, id, dim). md5-derived so the DuckDB
+    oracle replays the identical stream:
+    (('0x'||substr(md5(seed||':'||id||':'||j),1,8))::BIGINT % 100000)."""
+
+    def h(j: int):
+        s = F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"), F.lit(str(j)))
+        return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
     return F.array(
         *[
-            (
-                F.pmod(F.xxhash64(F.lit(seed), id_col, F.lit(j)), F.lit(100_000))
-                / F.lit(100_000.0 / (2 * scale))
-                - F.lit(scale)
-            )
+            (h(j) % 100_000) / F.lit(100_000.0 / (2 * scale)) - F.lit(scale)
             for j in range(rank)
         ]
     )
