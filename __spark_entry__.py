@@ -581,7 +581,13 @@ def _q_semi_clustering(spark, t):
     edges = _nation_dag(spark, t).select(
         "src", "dst", F.col("weight").cast("double").alias("weight")
     )
-    res = semi_clustering(edges, max_iter=4, max_vertex_count=4, max_clusters=4)
+    res = semi_clustering(
+        edges,
+        max_iter=SC_ITERS,
+        max_vertex_count=SC_VMAX,
+        max_clusters=SC_CMAX,
+        max_sent=SC_SENT,
+    )
     return res.select(
         "id",
         F.col("clusters")[0]["cid"].alias("best_cid"),
@@ -692,6 +698,50 @@ def _gen_edges_sql(n: int, max_out: int, seed: int) -> str:
     """
 
 
+def _sssp_gen_sql(n: int, max_out: int, seed: int, wmod: int, steps: int) -> str:
+    """Unrolled Bellman-Ford over the generated weighted graph (the
+    fixture has cycles, so the recursive-walk oracle doesn't apply; the
+    unrolled form is safe here — all CTEs are generated, no parquet view
+    re-opens). ``steps`` = the Spark query's max_iter cap; extra steps
+    past the fixpoint are no-ops, so results match even when Spark's
+    frontier empties early. Weight = hash(seed+1, src, dst) % wmod + 1
+    (fast_graph_gen's weight draw + the query's +1)."""
+    parts = [
+        f"""WITH p AS (
+          SELECT DISTINCT i AS src_i,
+                 ('0x' || substr(md5('{seed}:' || i || ':' || j), 1, 8))::BIGINT % {n} AS dst_i
+          FROM range({n}) r(i), range({max_out}) g(j)),
+        e AS (
+          SELECT CAST(src_i AS VARCHAR) AS src, CAST(dst_i AS VARCHAR) AS dst,
+                 ('0x' || substr(md5('{seed + 1}:' || src_i || ':' || dst_i), 1, 8))::BIGINT
+                 % {wmod} + 1 AS weight
+          FROM p),
+        v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        d0 AS (SELECT id, CASE WHEN id = '0' THEN 0 END AS dist FROM v)""",
+    ]
+    for t in range(steps):
+        # MATERIALIZED is load-bearing: each d_t is referenced twice and
+        # DuckDB would otherwise inline it, re-evaluating the whole
+        # prefix chain exponentially
+        parts.append(
+            f""", d{t + 1} AS MATERIALIZED (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM d{t}
+                UNION ALL
+                SELECT e.dst, d.dist + e.weight FROM d{t} d
+                  JOIN e ON e.src = d.id WHERE d.dist IS NOT NULL
+              ) GROUP BY id)"""
+        )
+    parts.append(
+        f""" SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(sum(CASE WHEN dist IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_reachable,
+               CAST(max(dist) AS INT) AS max_dist
+        FROM d{steps}"""
+    )
+    return "\n".join(parts)
+
+
 def _q_pagerank_gen(spark, t):
     from hama_spark.graph import pagerank
     from hama_spark.sources import fast_graph_gen
@@ -718,6 +768,83 @@ def _q_sssp_gen(spark, t):
         F.sum(F.when(F.col("dist") < 2147483647, 1).otherwise(0)).alias("n_reachable"),
         F.max(F.when(F.col("dist") < 2147483647, F.col("dist"))).alias("max_dist"),
     )
+
+
+SC_ITERS, SC_VMAX, SC_CMAX, SC_SENT = 4, 4, 4, 10
+
+
+def _semi_clustering_sql(edges_sql: str) -> str:
+    """SemiClustering replay: state is (id, members list, score) rows;
+    per round — send top max_sent clusters to neighbors, extend
+    candidates not containing the receiver (size < max), score distinct
+    member-sets once ((iC - 0*bC) / (vC(vC-1)/2), singletons 1.0), merge
+    with current clusters, keep best max_clusters by (score desc, size
+    desc, cid asc). Mirrors hama_spark.graph.semiclustering exactly."""
+    rank_order = "score DESC, len(members) DESC, array_to_string(members, '+') ASC"
+    parts = [
+        f"WITH base AS ({edges_sql}),",
+        """sym AS (SELECT DISTINCT * FROM (
+             SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM base
+             UNION ALL
+             SELECT dst, src, CAST(weight AS DOUBLE) FROM base)),""",
+        """s0 AS (SELECT DISTINCT src AS id, [src] AS members, 1.0 AS score FROM sym)""",
+    ]
+    for t in range(SC_ITERS):
+        parts.append(
+            f""", ob{t} AS (
+              SELECT id, members FROM (
+                SELECT id, members,
+                       row_number() OVER (PARTITION BY id ORDER BY {rank_order}) AS rn
+                FROM s{t}) WHERE rn <= {SC_SENT}
+            ), recv{t} AS (
+              SELECT sym.dst AS id, ob.members
+              FROM ob{t} ob JOIN sym ON sym.src = ob.id
+            ), cand{t} AS (
+              SELECT DISTINCT id, members FROM (
+                SELECT id, members FROM recv{t}
+                UNION ALL
+                SELECT id, list_sort(list_append(members, id)) AS members
+                FROM recv{t}
+                WHERE NOT list_contains(members, id) AND len(members) < {SC_VMAX})
+            ), sc{t} AS (
+              SELECT m.members,
+                     CASE WHEN len(m.members) > 1
+                          THEN coalesce(sum(CASE WHEN list_contains(m.members, sym.dst)
+                                                 THEN sym.weight END), 0.0) / 2
+                               / (len(m.members) * (len(m.members) - 1) / 2)
+                          ELSE 1.0 END AS score
+              FROM (SELECT DISTINCT members FROM cand{t}) m
+                   CROSS JOIN LATERAL (SELECT unnest(m.members) AS src) u
+                   LEFT JOIN sym ON sym.src = u.src
+              GROUP BY m.members
+            ), merged{t} AS (
+              SELECT id, members, score FROM (
+                SELECT id, members, score,
+                       row_number() OVER (
+                         PARTITION BY id, array_to_string(members, '+')
+                         ORDER BY score DESC) AS dup
+                FROM (
+                  SELECT c.id, c.members, sc.score
+                  FROM cand{t} c JOIN sc{t} sc ON sc.members = c.members
+                  WHERE list_contains(c.members, c.id)
+                  UNION ALL
+                  SELECT id, members, score FROM s{t})) WHERE dup = 1
+            ), s{t + 1} AS (
+              SELECT id, members, score FROM (
+                SELECT id, members, score,
+                       row_number() OVER (PARTITION BY id ORDER BY {rank_order}) AS rn
+                FROM merged{t}) WHERE rn <= {SC_CMAX})"""
+        )
+    parts.append(
+        f""" SELECT id, array_to_string(members, '+') AS best_cid,
+               round(score, 6) AS best_score, CAST(n_clusters AS INT) AS n_clusters
+        FROM (
+          SELECT id, members, score,
+                 count(*) OVER (PARTITION BY id) AS n_clusters,
+                 row_number() OVER (PARTITION BY id ORDER BY {rank_order}) AS rn
+          FROM s{SC_ITERS}) WHERE rn = 1"""
+    )
+    return "\n".join(parts)
 
 
 CF_RANK, CF_ITERS, CF_LR, CF_SCALE = 4, 3, 0.01, 0.3
@@ -1176,8 +1303,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(rank), 2) AS sum_rank
             FROM ({_pagerank_sql(_gen_edges_sql(GEN_N, 3, 42), GEN_N, 5)})
         """,
+        "sssp_gen_100k": _sssp_gen_sql(GEN_N, 3, 7, 100, 50),
         "kcore": _kcore_sql(SP_EDGES_SQL),
         "bipartite_matching": _matching_sql(SP_EDGES_SQL, 42, MATCH_ROUNDS),
+        "semi_clustering": _semi_clustering_sql(NATION_DAG_SQL),
         "randbench": f"""
             SELECT (('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
                        CAST(i.i AS VARCHAR) || ':42'), 1, 8))::BIGINT
