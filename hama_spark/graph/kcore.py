@@ -62,13 +62,21 @@ def kcore(
         nbr = sym.join(cores, sym["src"] == cores["id"]).select(
             F.col("dst").alias("id"), F.col("core").alias("nbr_core")
         )
-        # h-index with cap: new = min(core, max_r min(r, c_(r)))
-        # where c_(r) is the r-th largest neighbor core.
-        w = Window.partitionBy("id").orderBy(F.desc("nbr_core"))
+        # h-index H = max over distinct core values c of min(c, N_c),
+        # N_c = #neighbors with core >= c (equivalent to the sorted-rank
+        # definition, but the window runs over distinct (id, core) pairs
+        # instead of every neighbor edge — far fewer rows on skewed
+        # degree distributions)
+        cnts = nbr.groupBy("id", "nbr_core").agg(F.count(F.lit(1)).alias("n"))
+        w = (
+            Window.partitionBy("id")
+            .orderBy(F.desc("nbr_core"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         h = (
-            nbr.withColumn("r", F.row_number().over(w))
+            cnts.withColumn("cum", F.sum("n").over(w))
             .groupBy("id")
-            .agg(F.max(F.least(F.col("r"), F.col("nbr_core"))).alias("h"))
+            .agg(F.max(F.least(F.col("nbr_core").cast("long"), F.col("cum"))).alias("h"))
         )
         new_cores = (
             cores.join(h, "id", "left")

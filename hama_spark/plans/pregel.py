@@ -16,11 +16,24 @@ Scale design (100 TB):
   the loop with the session's fixed shuffle-partition count, so every
   per-iteration join reuses the same partitioning (SURVEY §4 "custom
   Spark work (c)").
-- ``localCheckpoint`` every ``checkpoint_interval`` iterations truncates
-  the logical plan; without it the plan grows linearly with supersteps
-  and planning time dominates (SURVEY §7 risk register). On a real
-  cluster with unstable executors use reliable ``checkpoint()`` instead
-  (``reliable_checkpoint=True``).
+- per-superstep materialization is ``localCheckpoint(eager=True)``.
+  Measured tradeoff: ``cache()`` would preserve the vertex hash
+  partitioning across supersteps (InMemoryRelation keeps
+  outputPartitioning; a checkpoint becomes a LogicalRDD and loses it,
+  so a non-broadcastable inbox join re-exchanges the vertex set), BUT a
+  cached plan keeps the full lineage, so the next superstep's
+  ``send(vertices, edges)`` self-join fails Spark's ambiguous-attribute
+  check (the vertices plan now CONTAINS the edges subplan). Checkpoint
+  re-anchors attributes each round — the same design GraphFrames'
+  AggregateMessages uses (getCachedDataFrame) for the same reason. The
+  cost is moot for frontier-style algorithms: Catalyst broadcasts the
+  (small) inbox and never shuffles vertices; for dense-message phases at
+  cluster scale, storage-partitioned joins or qualified aliases in the
+  callbacks recover co-location.
+- checkpoints also truncate the logical plan (without it analysis cost
+  grows with supersteps — SURVEY §7 risk register); on a cluster with
+  preemptible executors use reliable ``checkpoint()``
+  (``reliable_checkpoint=True``) every ``checkpoint_interval``.
 - message combining is a plain ``groupBy().agg()`` — Spark inserts a
   map-side partial aggregate automatically, which IS Hama's Combiner
   optimization (bsp/Combiner.java:30) without user wiring.
@@ -115,7 +128,8 @@ def pregel(
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Pin the partitioning once; every iteration's join on id reuses it.
+    # Pin the partitioning once (see module docstring for why the loop
+    # re-anchors with checkpoints rather than caches).
     vertices = vertices.repartition(n_part, id_col)
     if edges is not None:
         edges = edges.repartition(n_part, "src").cache()
@@ -156,12 +170,13 @@ def pregel(
             if additions is not None or removals is not None:
                 ctx.num_vertices = new_vertices.count()
 
-        # Cut lineage periodically; eager so the old cached plan is freed.
-        if ctx.superstep % checkpoint_interval == checkpoint_interval - 1:
-            if reliable_checkpoint:
-                new_vertices = new_vertices.checkpoint(eager=True)
-            else:
-                new_vertices = new_vertices.localCheckpoint(eager=True)
+        # Re-anchor every superstep (attribute dedup + lineage cut);
+        # reliable checkpoint at the interval when requested.
+        if (
+            reliable_checkpoint
+            and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
+        ):
+            new_vertices = new_vertices.checkpoint(eager=True)
         else:
             new_vertices = new_vertices.localCheckpoint(eager=True)
 
