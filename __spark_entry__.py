@@ -289,6 +289,74 @@ def _matching_sql(edges_sql: str, seed: int = 42, rounds: int = 3) -> str:
     return "\n".join(parts)
 
 
+IVF_CELLS, IVF_PROBE, IVF_KM_ITERS, IVF_K = 8, 3, 3, 10
+
+
+def _ivf_topk_sql(dim: int = 64) -> str:
+    """IVF replay: Lloyd on L2-normalized embeddings (seed centers =
+    first IVF_CELLS by vec_id, lowest-cid ties, empty cells keep
+    position), corpus assigned to final cells, each query probes its
+    IVF_PROBE nearest cells, exact cosine re-rank inside. Mirrors
+    extensions.similarity.ivf_topk + ml.kmeans exactly."""
+    d2 = (
+        "list_aggregate(list_transform(c.c, y -> y*y), 'sum')"
+        " - 2*list_dot_product(e.v, c.c)"
+    )
+    parts = [
+        """WITH n AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+          FROM embeddings),""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+               FROM n ORDER BY vec_id LIMIT {IVF_CELLS})""",
+    ]
+    for t in range(IVF_KM_ITERS + 1):
+        parts.append(
+            f""", a{t} AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM n e CROSS JOIN c{t} c)
+              WHERE rn = 1)"""
+        )
+        if t == IVF_KM_ITERS:
+            break
+        parts.append(
+            f""", u{t} AS (
+              SELECT cid, dim, avg(val) AS m
+              FROM (SELECT cid, unnest(v) AS val,
+                           unnest(range(1, {dim + 1})) AS dim FROM a{t})
+              GROUP BY cid, dim
+            ), m{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)
+            , c{t + 1} AS (
+              SELECT c.cid, coalesce(m.c, c.c) AS c
+              FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid)"""
+        )
+    parts.append(
+        f""", q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
+        qcells AS (
+          SELECT qid, qv, cid FROM (
+            SELECT q.qid, q.qv, c.cid,
+                   row_number() OVER (PARTITION BY q.qid ORDER BY
+                     list_aggregate(list_transform(c.c, y -> y*y), 'sum')
+                     - 2*list_dot_product(q.qv, c.c), c.cid) AS rn
+            FROM q CROSS JOIN c{IVF_KM_ITERS} c)
+          WHERE rn <= {IVF_PROBE}),
+        scored AS (
+          SELECT qc.qid, a.vec_id AS id,
+                 round(list_dot_product(a.v, qc.qv), 9) AS cosine
+          FROM a{IVF_KM_ITERS} a JOIN qcells qc ON qc.cid = a.cid)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT qid AS query_id, id AS vec_id, cosine,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cosine DESC, id) AS rank
+          FROM scored)
+        WHERE rank <= {IVF_K}"""
+    )
+    return "\n".join(parts)
+
+
 KCORE_ITERS = 6  # converged by iter 4 at sf0.01; fixed schedule both sides
 
 
@@ -1177,10 +1245,10 @@ def _q_ivf_topk(spark, t):
     return ivf_topk(
         t["embeddings"],
         t["embeddings"].filter("vec_id < 5"),
-        k=10,
-        n_cells=8,
-        nprobe=3,
-        kmeans_iter=3,
+        k=IVF_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_PROBE,
+        kmeans_iter=IVF_KM_ITERS,
     )
 
 
@@ -1482,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(0.5, 16, 4),
         "simhash_pairs": _simhash_sql(3),
         "lsh_cosine_topk": _lsh_topk_sql(10, 4, 8, 64),
+        "ivf_topk": _ivf_topk_sql(64),
         "embedding_cosine_pairs": """
             WITH n AS (
               SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
