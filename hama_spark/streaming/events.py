@@ -112,6 +112,76 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFra
     )
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin of ``sessionize``: gap-based sessions maintained
+    in GroupState via ``applyInPandasWithState``. Emits, per user per
+    micro-batch, one row per session touched in that batch
+    (user_id, session_start string, n_events) in update mode — the last
+    emission per (user, session_start) carries the final count.
+
+    State is the OPEN session only: (start_epoch, last_epoch, n) — O(1)
+    per user. Batches are sorted per user before folding; cross-batch
+    out-of-order data older than the open session is counted into it
+    (use an event-time timeout + watermark upstream to bound that at
+    scale)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not events.isStreaming:
+        raise ValueError("sessionize_stateful is the streaming path; "
+                         "use sessionize() on batch DataFrames")
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        touched: dict[int, int] = {}
+        rows = pd.concat(list(pdfs))
+        ts = rows["_ts_epoch"].sort_values()
+        for t in ts:
+            t = int(t)
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                touched[start] = n  # close previous session
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        touched[start] = n
+        state.update((start, last, n))
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(touched),
+                "session_start_epoch": list(touched.keys()),
+                "n_events": list(touched.values()),
+            }
+        )
+        yield out
+
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("long").alias("_ts_epoch"),
+    )
+    out = prepped.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start_epoch long, n_events long",
+        stateStructType="start long, last long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        F.date_format(F.timestamp_seconds("session_start_epoch"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

@@ -105,3 +105,43 @@ def test_join_expr_errors(spark):
         parse_join_expr("inner(a, missing)", tables={"a": a}, on="k")
     with pytest.raises(ValueError, match=">= 2 children"):
         parse_join_expr("inner(a)", tables={"a": a}, on="k")
+
+
+# ------------------------------------------------- hypothesis properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+KV = st.dictionaries(st.integers(0, 20), st.integers(-100, 100), max_size=12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=KV, b=KV)
+def test_override_join_rightmost_wins_property(spark, a, b):
+    from hama_spark.operators import override_join
+
+    dfa = spark.createDataFrame(list(a.items()) or [(None, None)], "k int, v int").filter(
+        "k IS NOT NULL"
+    )
+    dfb = spark.createDataFrame(list(b.items()) or [(None, None)], "k int, v int").filter(
+        "k IS NOT NULL"
+    )
+    got = {r["k"]: r["v"] for r in override_join([dfa, dfb], on="k").collect()}
+    expected = {**a, **b}  # rightmost source wins, like dict merge
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(a=KV, b=KV)
+def test_composite_join_key_sets_property(spark, a, b):
+    from hama_spark.operators import composite_join
+
+    dfa = spark.createDataFrame(list(a.items()) or [(None, None)], "k int, va int").filter(
+        "k IS NOT NULL"
+    )
+    dfb = spark.createDataFrame(list(b.items()) or [(None, None)], "k int, vb int").filter(
+        "k IS NOT NULL"
+    )
+    inner_keys = {r["k"] for r in composite_join([dfa, dfb], on="k", how="inner").collect()}
+    outer_keys = {r["k"] for r in composite_join([dfa, dfb], on="k", how="full_outer").collect()}
+    assert inner_keys == set(a) & set(b)
+    assert outer_keys == set(a) | set(b)

@@ -65,6 +65,39 @@ def test_running_user_totals_state_across_microbatches(spark, tables, tmp_path):
     assert any(r["c"] > 1 for r in multi)
 
 
+def test_sessionize_stateful_matches_batch(spark, tables, tmp_path):
+    from hama_spark.streaming import sessionize, sessionize_stateful
+
+    src = str(tmp_path / "ev_sess")
+    ev = _events_subset(tables, 1500).select("user_id", "ts")
+    ev.coalesce(1).write.parquet(src)  # single batch: exact parity
+
+    batch = sessionize(spark.read.parquet(src), gap_minutes=30)
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    )
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stateful(stream, gap_minutes=30)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["mx"])
+        for r in spark.sql(
+            "SELECT user_id, session_start, max(n_events) AS mx "
+            "FROM sessions GROUP BY user_id, session_start"
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_windowed_stats_streaming_matches_batch(spark, tables, tmp_path):
     src = str(tmp_path / "events_src")
     events = _events_subset(tables).select("ts", "event_type", "value")
