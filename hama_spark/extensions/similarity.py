@@ -3,8 +3,9 @@
 - cosine_topk: exact brute-force top-k — the correctness baseline and
   small-query path (queries side is broadcast).
 - lsh_cosine_topk: random-hyperplane LSH — the 100 TB path. Hyperplane
-  components are seeded ±1 derived from xxhash64(seed, plane, dim), so
-  signatures are deterministic and partitioning-independent. Candidates
+  components are seeded ±1 derived driver-side from md5(seed:table:
+  plane), so signatures are deterministic, partitioning-independent,
+  and replayable in the DuckDB oracle. Candidates
   come from bucket collisions across ``tables`` independent hash tables
   (multi-probe by table, not by bit flip), then exact re-rank.
 - ivf_topk: inverted-file index — k-means coarse centroids, probe the
