@@ -88,9 +88,29 @@ NANO_TS_COLS = {
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Load the driver parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    """Load the driver parquet tables from ``sf_dir`` as a dict of DataFrames.
+
+    Works on ANY SparkSession, not just ones built by :func:`get_spark`:
+    the driver parquet stores TIMESTAMP(NANOS) which Spark cannot read
+    natively, so the runtime-settable ``nanosAsLong`` escape hatch is
+    applied here (a foreign session — e.g. the external correctness
+    harness — would otherwise die with PARQUET_TYPE_ILLEGAL before any
+    operator runs).
+    """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamps must compare in UTC like the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # perf confs that are runtime-settable: a foreign session otherwise
+    # runs with shuffle.partitions=200, which at test SFs is pure
+    # scheduling overhead (and on a real cluster would come from submit).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     out: dict[str, DataFrame] = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
