@@ -1255,7 +1255,7 @@ def _q_ivf_topk(spark, t):
 def _q_video_frames(spark, t):
     from hama_spark.extensions import sample_frames
 
-    media = t["documents"].limit(50).select(
+    media = t["documents"].filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
         F.col("text").cast("binary").alias("payload"),
@@ -1342,10 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins. Omitted (rows-only check): pi_estimate (xxhash64
     sampling), simhash_pairs / lsh_cosine_topk (xxhash64/LSH bucketing
-    not in DuckDB), image_features (sha1/byte-stats not in DuckDB),
-    bipartite_matching / semi_clustering / online_cf_topk (seeded
-    iterative float/hash schedules with no SQL twin; invariant-tested
-    in pytest)."""
+    not in DuckDB), bipartite_matching / semi_clustering /
+    online_cf_topk (seeded iterative float/hash schedules with no SQL
+    twin; invariant-tested in pytest)."""
     return {
         "inlink_count": f"""
             WITH e AS ({SP_EDGES_SQL}),
@@ -1574,5 +1573,27 @@ def oracle_sql() -> dict[str, str]:
                                                  c.vec_id) AS rank
               FROM n c, n q WHERE q.vec_id < 5)
             WHERE rank <= 10
+        """,
+        # documents.text is ASCII-only in the driver data (verified per
+        # SF), so the byte-level fake decode equals code-point math here.
+        "image_features": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars % 100 AS INT) AS width,
+                   CAST((n_chars * 7) % 100 AS INT) AS height,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS md5,
+                   CAST(list_sum(list_transform(split(text, ''), c -> unicode(c)))
+                        // length(text) AS INT) AS mean_byte
+            FROM documents
+        """,
+        "video_frames": """
+            WITH vid AS (
+              SELECT doc_id AS media_id, text,
+                     CAST((n_chars % 10 + 1) * 1000 AS INT) AS duration_ms
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT media_id, CAST(ts_ms AS INT) AS ts_ms,
+                   md5(text || CAST(ts_ms AS VARCHAR)) AS frame_md5
+            FROM vid, unnest(range(0, duration_ms, 1000)) AS u(ts_ms)
         """,
     }

@@ -48,7 +48,7 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_bytes", LongType()),
-        StructField("sha1", StringType()),
+        StructField("md5", StringType()),
         StructField("mean_byte", IntegerType()),
     ]
 )
@@ -66,7 +66,7 @@ def _decode_image_py(payload: bytes, width: int | None, height: int | None):
         "width": width or 0,
         "height": height or 0,
         "n_bytes": len(payload),
-        "sha1": hashlib.sha1(payload).hexdigest(),
+        "md5": hashlib.md5(payload).hexdigest(),
         "mean_byte": int(sum(payload) / len(payload)) if payload else 0,
     }
 
@@ -84,7 +84,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             # fake decode echoes metadata dims; drop its copies
-            out = out[["media_id", "width", "height", "n_bytes", "sha1", "mean_byte"]]
+            out = out[["media_id", "width", "height", "n_bytes", "md5", "mean_byte"]]
             yield out
 
     img = media.filter(F.col("kind") == "image").select(
@@ -95,7 +95,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled timestamp
-    (decode stubbed — emits (media_id, ts_ms, frame_sha1) with the sha1
+    (decode stubbed — emits (media_id, ts_ms, frame_md5) with the md5
     of payload+offset as the deterministic fake frame id). The
     sequence/explode shape is exactly what a real ffmpeg-backed UDF
     produces."""
@@ -112,7 +112,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return ts.select(
         "media_id",
         "ts_ms",
-        F.sha1(F.concat(F.col("payload"), F.col("ts_ms").cast("string").cast("binary"))).alias(
-            "frame_sha1"
+        F.md5(F.concat(F.col("payload"), F.col("ts_ms").cast("string").cast("binary"))).alias(
+            "frame_md5"
         ),
     )

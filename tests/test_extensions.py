@@ -181,4 +181,4 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media, every_ms=1000).collect()
     assert {f["ts_ms"] for f in frames} == {0, 1000, 2000}
     assert all(f["media_id"] == 3 for f in frames)
-    assert len({f["frame_sha1"] for f in frames}) == 3  # distinct per ts
+    assert len({f["frame_md5"] for f in frames}) == 3  # distinct per ts
