@@ -340,6 +340,7 @@ def dedup_near(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Collapse near-duplicate CLUSTERS (not just pairs): MinHash-LSH
     pairs -> connected components via Pregel min-label propagation
@@ -347,13 +348,19 @@ def dedup_near(
     the lowest id per component. Returns (doc_id, n_dups) where n_dups
     counts the component (1 = unique doc).
 
+    ``pairs`` lets a pipeline that already materialized the LSH pairs
+    (columns id_a, id_b) feed them in instead of re-shingling and
+    re-signing the corpus — cluster collapse then costs only the
+    connected-components pass.
+
     ids propagate as zero-padded strings so the string-min label equals
     the numeric min (mindist_search compares lexicographically, A3)."""
     from hama_spark.graph import mindist_search
 
-    pairs = minhash_lsh_dup_pairs(
-        df, threshold, num_hashes, bands, k, id_col, text_col
-    ).localCheckpoint(eager=True)
+    if pairs is None:
+        pairs = minhash_lsh_dup_pairs(
+            df, threshold, num_hashes, bands, k, id_col, text_col
+        ).localCheckpoint(eager=True)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
     comp = mindist_search(edges, undirected=True, max_iter=30)
