@@ -1,9 +1,12 @@
 from hama_spark.sources.generators import fast_graph_gen, symmetric_matrix_gen
 from hama_spark.sources.io import (
     observed,
+    pipe_lines,
+    read_sequence_file,
     read_text,
     read_text_kv,
     write_null,
+    write_sequence_file,
     write_text_kv,
 )
 from hama_spark.sources.readers import (
@@ -22,7 +25,10 @@ __all__ = [
     "symmetric_matrix_gen",
     "read_text",
     "read_text_kv",
+    "read_sequence_file",
     "write_text_kv",
+    "write_sequence_file",
     "write_null",
+    "pipe_lines",
     "observed",
 ]

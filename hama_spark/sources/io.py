@@ -8,13 +8,14 @@ compression) so a Hama job's I/O contract can be restated in one call.
 |---|---|
 | TextInputFormat (bsp/TextInputFormat.java:28, (offset, line)) | ``read_text`` |
 | KeyValueTextInputFormat (bsp/KeyValueTextInputFormat.java:31, split at first tab) | ``read_text_kv`` |
-| SequenceFileInputFormat (bsp/SequenceFileInputFormat.java:28) | parquet is this engine's binary format of record: ``spark.read.parquet`` |
+| SequenceFileInputFormat (bsp/SequenceFileInputFormat.java:28) | ``read_sequence_file`` (Hadoop ``.seq``; parquet remains the binary format of record for new data) |
 | CombineFileInputFormat (bsp/CombineFileInputFormat.java:59) | built-in: ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` |
 | NullInputFormat (bsp/NullInputFormat.java:26) | ``spark.range(n)`` |
 | FileInputFormat globbing (bsp/FileInputFormat.java:46-174) | ``pathGlobFilter`` option |
 | TextOutputFormat (bsp/TextOutputFormat.java:33, key\\tvalue + codec) | ``write_text_kv`` |
-| SequenceFileOutputFormat (bsp/SequenceFileOutputFormat.java:27) | ``df.write.parquet`` |
+| SequenceFileOutputFormat (bsp/SequenceFileOutputFormat.java:27) | ``write_sequence_file`` |
 | NullOutputFormat (bsp/NullOutputFormat.java:22) | ``write_null`` (noop sink) |
+| Pipes / arbitrary-language UDFs (c++/src/main/native/pipes/api/hama/Pipes.hh:56) | ``pipe_lines`` (``RDD.pipe``) |
 
 Counters (bsp/BSPPeer.java:157-188): ``observed`` attaches named
 aggregate metrics to a DataFrame — evaluated during the action that
@@ -78,6 +79,53 @@ def write_text_kv(
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def read_sequence_file(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Read a Hadoop SequenceFile as (key, value) rows
+    (SequenceFileInputFormat.java:28). Writable->Python conversion is
+    Spark's built-in (Text->str, LongWritable->int, BytesWritable->
+    bytearray, ...); splits parallelize like any Hadoop input, so a
+    directory of .seq shards scans with full parallelism. This is the
+    migration on-ramp for existing Hama data — convert once to parquet
+    (``df.write.parquet``) and stay columnar after that."""
+    rdd = spark.sparkContext.sequenceFile(path, minSplits=min_partitions)
+    return spark.createDataFrame(rdd, schema=[key_col, value_col])
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str = "key", value_col: str = "value"
+) -> None:
+    """Write (key, value) rows as a Hadoop SequenceFile
+    (SequenceFileOutputFormat.java:27). Python primitives map back to
+    Writables (str->Text, int->LongWritable, ...)."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def pipe_lines(
+    df: DataFrame,
+    command: str,
+    sep: str = "\t",
+    out_col: str = "line",
+) -> DataFrame:
+    """Arbitrary-language UDF surface (P19): stream rows through an
+    external command, one tab-joined line per row on stdin, one output
+    row per stdout line — the Hama Pipes contract
+    (c++/src/main/native/pipes/api/hama/Pipes.hh:56) restated as
+    ``RDD.pipe``. The command runs once per partition, so a C++/awk/
+    any-language filter scales with the partition count; this is the
+    documented escape hatch, NOT the hot path (built-in columnar
+    expressions and Pandas UDFs stay preferred)."""
+    spark = df.sparkSession
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    rdd = df.select(line.alias("l")).rdd.map(lambda r: r[0]).pipe(command)
+    return spark.createDataFrame(rdd.map(lambda s: (s,)), schema=f"{out_col} string")
 
 
 def write_null(df: DataFrame) -> None:

@@ -13,9 +13,12 @@ from pyspark.sql import functions as F
 
 from hama_spark.sources import (
     observed,
+    pipe_lines,
+    read_sequence_file,
     read_text,
     read_text_kv,
     write_null,
+    write_sequence_file,
     write_text_kv,
 )
 
@@ -50,6 +53,36 @@ def test_write_text_kv_roundtrip_gzip(spark, tmp_path):
     assert lines == {"a\t1", "b\t2"}
     back = sorted(map(tuple, read_text_kv(spark, out).collect()))
     assert back == [("a", "1"), ("b", "2")]
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    # Hama migrations start from .seq files (SequenceFileInputFormat.java:28):
+    # write with Spark's Hadoop path, read back, values survive verbatim.
+    df = spark.createDataFrame(
+        [("v1", "a payload"), ("v2", "b\tpayload"), ("v3", "")],
+        "key string, value string",
+    )
+    out = str(tmp_path / "seq")
+    write_sequence_file(df, out)
+    assert any(f.startswith("part-") for f in os.listdir(out))
+    back = sorted(map(tuple, read_sequence_file(spark, out).collect()))
+    assert back == [("v1", "a payload"), ("v2", "b\tpayload"), ("v3", "")]
+
+
+def test_sequence_file_long_keys(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "key long, value string")
+    out = str(tmp_path / "seqlong")
+    write_sequence_file(df, out)
+    back = sorted(map(tuple, read_sequence_file(spark, out).collect()))
+    assert back == [(1, "x"), (2, "y")]
+
+
+def test_pipe_lines_external_command(spark):
+    # P19 (Hama Pipes): rows stream through an external process once per
+    # partition; `tr` upper-cases — any-language UDF without a JVM/Py binding.
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int").repartition(2)
+    out = sorted(r["line"] for r in pipe_lines(df, "tr a-z A-Z").collect())
+    assert out == ["A\t1", "B\t2"]
 
 
 def test_write_null_executes_plan(spark):
