@@ -72,12 +72,69 @@ class CFModel:
         )
 
     def most_preferred_items(self, users: DataFrame, count: int = 10) -> DataFrame:
-        """users(user) -> top `count` items per user by estimated score."""
+        """users(user) -> top `count` items per user by estimated score.
+
+        Exact scorer: scores EVERY catalog item per user (users x items).
+        This is the oracle/small-catalog path — fine at MovieLens scale,
+        quadratic at a web-scale catalog. For large catalogs use
+        :meth:`most_preferred_items_ann`, which probes an IVF index
+        instead of scanning the catalog per user."""
         from pyspark.sql import Window
 
         scored = self.estimate_preference(
             users.crossJoin(self.item_factors.select("item"))
         )
+        w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= count)
+            .select("user", "item", "score", "rnk")
+        )
+
+    def most_preferred_items_ann(
+        self,
+        users: DataFrame,
+        count: int = 10,
+        n_cells: int = 16,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Scale path for top-k recommendation: route the maximum-inner-
+        product search through the IVF ANN layer instead of a users x
+        catalog cross join.
+
+        Uses the standard MIPS->cosine reduction: items are augmented
+        with an extra component sqrt(M² − ‖v‖²) (M = max item-factor
+        norm) and users with 0 — the cosine ORDER of the augmented
+        vectors equals the dot-product order of the originals, so IVF
+        cell probing applies directly. Candidates are then re-scored
+        with the exact factor dot product, so returned scores match the
+        exact path; only the candidate set is approximate (recall grows
+        with nprobe; nprobe == n_cells degenerates to an exhaustive but
+        still bucketed, never cartesian, scan)."""
+        from pyspark.sql import Window
+
+        from hama_spark.extensions.similarity import ivf_topk
+
+        norm2 = F.aggregate(F.col("vf"), F.lit(0.0), lambda a, x: a + x * x)
+        m2 = self.item_factors.agg(F.max(norm2).alias("m")).first()["m"] or 0.0
+        items_aug = self.item_factors.select(
+            F.col("item").alias("vec_id"),
+            F.concat(
+                F.col("vf"), F.array(F.sqrt(F.greatest(F.lit(m2) - norm2, F.lit(0.0))))
+            ).alias("embedding"),
+        )
+        users_aug = users.join(self.user_factors, "user").select(
+            F.col("user").alias("vec_id"),
+            F.concat(F.col("uf"), F.array(F.lit(0.0))).alias("embedding"),
+        )
+        cand = ivf_topk(
+            items_aug,
+            users_aug,
+            k=count,
+            n_cells=n_cells,
+            nprobe=nprobe,
+        ).select(F.col("query_id").alias("user"), F.col("vec_id").alias("item"))
+        scored = self.estimate_preference(cand)
         w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
         return (
             scored.withColumn("rnk", F.row_number().over(w))

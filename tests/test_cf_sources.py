@@ -68,6 +68,38 @@ def test_online_cf_estimate_and_topk(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_online_cf_topk_ann_matches_exact(spark):
+    # Full-probe IVF (nprobe == n_cells) must recover the exact top-k:
+    # the MIPS->cosine augmentation preserves dot-product order, and the
+    # candidate set is then the whole catalog (bucketed scan, never a
+    # cartesian). The final rank uses exact re-scored dots, so the
+    # result is identical to the cross-join scorer.
+    ratings = _synthetic_ratings(spark)
+    model = online_cf_train(ratings, rank=4, iterations=8, learning_rate=0.05)
+    users = ratings.select("user").distinct().limit(4)
+    exact = sorted(
+        (r["user"], r["item"], r["rnk"])
+        for r in model.most_preferred_items(users, count=5).collect()
+    )
+    ann = sorted(
+        (r["user"], r["item"], r["rnk"])
+        for r in model.most_preferred_items_ann(
+            users, count=5, n_cells=4, nprobe=4
+        ).collect()
+    )
+    assert ann == exact
+
+
+def test_online_cf_topk_ann_plan_not_cartesian(spark):
+    ratings = _synthetic_ratings(spark, n_users=10, n_items=8)
+    model = online_cf_train(ratings, rank=3, iterations=2, track_rmse=False)
+    users = ratings.select("user").distinct().limit(2)
+    plan = model.most_preferred_items_ann(
+        users, count=3, n_cells=2, nprobe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_online_cf_deterministic(spark):
     ratings = _synthetic_ratings(spark, n_users=10, n_items=8)
     m1 = online_cf_train(ratings, rank=3, iterations=3, track_rmse=False)
