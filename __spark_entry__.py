@@ -1357,11 +1357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. Omitted (rows-only check): pi_estimate (xxhash64
-    sampling), simhash_pairs / lsh_cosine_topk (xxhash64/LSH bucketing
-    not in DuckDB), bipartite_matching / semi_clustering /
-    online_cf_topk (seeded iterative float/hash schedules with no SQL
-    twin; invariant-tested in pytest)."""
+    """DuckDB twins — one per queries() entry (44/44). Iterative and
+    seeded operators are covered by full SQL replays of their exact
+    deterministic schedules (md5 hash streams, unrolled/recursive
+    supersteps), so every query is value-hash-checked, not just
+    row-counted."""
     return {
         "inlink_count": f"""
             WITH e AS ({SP_EDGES_SQL}),

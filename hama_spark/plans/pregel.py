@@ -16,7 +16,10 @@ Scale design (100 TB):
   the loop with the session's fixed shuffle-partition count, so every
   per-iteration join reuses the same partitioning (SURVEY §4 "custom
   Spark work (c)").
-- per-superstep materialization is ``localCheckpoint(eager=True)``.
+- per-superstep re-anchoring is a LAZY ``localCheckpoint`` — the plan is
+  truncated immediately, while block materialization rides whatever
+  action the superstep already runs (aggregator collect / message
+  count), so halt detection and aggregators cost no extra job.
   Measured tradeoff: ``cache()`` would preserve the vertex hash
   partitioning across supersteps (InMemoryRelation keeps
   outputPartitioning; a checkpoint becomes a LogicalRDD and loses it,
@@ -134,7 +137,8 @@ def pregel(
     if edges is not None:
         edges = edges.repartition(n_part, "src").cache()
         edges.count()  # materialize so per-iteration scans hit cache
-    vertices = vertices.localCheckpoint(eager=True)
+    # lazy checkpoint: the count() below materializes it — one job, not two
+    vertices = vertices.localCheckpoint(eager=False)
 
     ctx = PregelContext(superstep=0, num_vertices=vertices.count())
 
@@ -157,6 +161,7 @@ def pregel(
         if MSG in new_vertices.columns:
             new_vertices = new_vertices.drop(MSG)
 
+        mutated = False
         if mutate is not None:
             additions, removals = mutate(new_vertices, ctx)
             if removals is not None:
@@ -167,20 +172,31 @@ def pregel(
                 )
             if additions is not None:
                 new_vertices = new_vertices.unionByName(additions)
-            if additions is not None or removals is not None:
-                ctx.num_vertices = new_vertices.count()
+            mutated = additions is not None or removals is not None
 
         # Re-anchor every superstep (attribute dedup + lineage cut);
-        # reliable checkpoint at the interval when requested.
+        # reliable checkpoint at the interval when requested. Local
+        # checkpoints are LAZY: the next action that touches the vertices
+        # (mutation count, aggregator collect, or the detect_halt message
+        # count) materializes the checkpoint in the SAME job — one Spark
+        # job per superstep instead of two or three. Fixed-iteration
+        # aggregator-less runs have no mid-loop action at all: the whole
+        # superstep chain executes inside the caller's single action,
+        # with each checkpoint still truncating the logical plan (the
+        # analysis-time growth is what the checkpoint is for).
         if (
             reliable_checkpoint
             and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
         ):
             new_vertices = new_vertices.checkpoint(eager=True)
         else:
-            new_vertices = new_vertices.localCheckpoint(eager=True)
+            new_vertices = new_vertices.localCheckpoint(eager=False)
 
         vertices = new_vertices
+        if mutated:
+            # like the master's vertex-count adjustment; doubles as the
+            # action that materializes this superstep's checkpoint
+            ctx.num_vertices = vertices.count()
 
         # --- aggregators: ONE collect of one row per superstep ----------
         ctx.prev_aggregates = ctx.aggregates
@@ -201,9 +217,10 @@ def pregel(
             break
         if detect_halt:
             # Message count doubles as the halt signal (GraphJobRunner
-            # halts when no peer saw messages, :398-414). localCheckpoint
-            # materializes once; the count is then metadata-cheap.
-            msgs = msgs.localCheckpoint(eager=True)
+            # halts when no peer saw messages, :398-414). The lazy
+            # checkpoint means this single count() job materializes the
+            # messages AND the new vertex state they derive from.
+            msgs = msgs.localCheckpoint(eager=False)
             ctx.num_messages = msgs.count()
             if ctx.num_messages == 0:
                 break
