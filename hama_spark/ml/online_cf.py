@@ -197,6 +197,11 @@ def online_cf_train(
     spark = ratings.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # Checkpoint policy: `joined` is materialized EAGERLY every iteration
+    # because both factor updates read it — left lazy, the two gradient
+    # stages race to recompute it (measured 2x). The uf/vf re-anchors are
+    # linear chains consumed by the next `joined`, so they stay lazy and
+    # ride that job: one or two Spark jobs per iteration instead of four.
     r = ratings.select(
         F.col(user_col).alias("user"),
         F.col(item_col).alias("item"),
@@ -206,10 +211,10 @@ def online_cf_train(
 
     uf = r.select("user").distinct().select(
         "user", _hash_factors(F.col("user"), rank, seed, init_scale).alias("uf")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     vf = r.select("item").distinct().select(
         "item", _hash_factors(F.col("item"), rank, seed + 1, init_scale).alias("vf")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     history: list[float] = []
     for _ in range(iterations):
@@ -233,8 +238,9 @@ def online_cf_train(
             )
         uf = _grad_update(uf, joined, "user", "vf", "uf", rank, learning_rate)
         vf = _grad_update(vf, joined, "item", "uf", "vf", rank, learning_rate)
-        # the two updates share `joined`; re-anchor factor lineage
-        uf = uf.select("user", "uf").localCheckpoint(eager=True)
-        vf = vf.select("item", "vf").localCheckpoint(eager=True)
+        # the two updates share `joined` (cached at first materialization);
+        # re-anchor factor lineage
+        uf = uf.select("user", "uf").localCheckpoint(eager=False)
+        vf = vf.select("item", "vf").localCheckpoint(eager=False)
 
     return CFModel(user_factors=uf, item_factors=vf, rank=rank, rmse_history=history)
