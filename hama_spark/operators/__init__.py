@@ -1,4 +1,11 @@
+from hama_spark.operators.bucketing import co_located_join, write_bucketed
 from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
 
-__all__ = ["composite_join", "override_join", "parse_join_expr"]
+__all__ = [
+    "composite_join",
+    "override_join",
+    "parse_join_expr",
+    "write_bucketed",
+    "co_located_join",
+]

@@ -72,6 +72,50 @@ def test_pushdown_on_embeddings_queries(spark, tables):
     assert "LessThan(vec_id,5)" in plan, plan
 
 
+def test_bucketed_join_is_exchange_free(spark, tables, tmp_path):
+    # The repeated-join scale path (README "Design for 100 TB"): both
+    # sides bucketed+sorted on the join key -> SMJ with no Exchange and
+    # no per-query Sort on either side.
+    from hama_spark.operators import co_located_join, write_bucketed
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the assertion targets the shuffle, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(
+            tables["orders"].select("o_orderkey", "o_custkey"),
+            "b_orders", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "b_orders"),
+        )
+        write_bucketed(
+            tables["lineitem"].select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+            ),
+            "b_lineitem", "o_orderkey", n_buckets=8,
+            path=str(tmp_path / "b_lineitem"),
+        )
+        joined = co_located_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # same rows as the plain (shuffling) join
+        plain = (
+            tables["orders"]
+            .select("o_orderkey", "o_custkey")
+            .join(
+                tables["lineitem"].select(
+                    F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+                ),
+                "o_orderkey",
+            )
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_pregel_join_no_cartesian(spark):
     # the per-iteration message join must be an equi-join (hash/SMJ),
     # never a nested-loop cartesian
