@@ -165,16 +165,20 @@ def ivf_topk(
     """IVF: coarse-quantize the corpus with k-means centroids, search
     only the ``nprobe`` cells nearest each query, exact re-rank.
     Centroids are O(n_cells·dim) driver state (broadcast literals)."""
-    from hama_spark.ml.kmeans import kmeans, _assign_expr
+    from hama_spark.ml.kmeans import kmeans, _with_center_assignment
     from hama_spark.functions.distance import MEASURES
 
-    c = _normalized(corpus, id_col, vec_col)
+    # normalized corpus is read three times (centroid seed, k-means
+    # training, cell assignment) — materialize it once
+    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
     init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
     km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
     centers = km.centers
 
     measure = MEASURES["euclidean"]
-    cb = c.select("id", "v", _assign_expr(centers, measure, feat="v").alias("cell"))
+    cb = _with_center_assignment(c, centers, measure, feat="v").withColumnRenamed(
+        "center_id", "cell"
+    )
 
     q = _normalized(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
