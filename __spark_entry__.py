@@ -1138,6 +1138,39 @@ def _q_events_window(spark, t):
     return windowed_event_stats(t["events"], window="1 hour")
 
 
+def _q_events_enriched(spark, t):
+    # stream-static enrichment: events decorated with customer market
+    # segment via a broadcast dim join, then per-segment rollup
+    from hama_spark.streaming import enrich_events
+
+    dim = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_events(t["events"], dim, on="user_id")
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _q_events_props(spark, t):
+    # semi-structured extraction: typed JSON field -> per-type rollup
+    from hama_spark.streaming import parse_props
+
+    p = parse_props(t["events"], {"k": "int"})
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+def _q_events_dedup_hourly(spark, t):
+    from hama_spark.streaming import dedup_events_within
+
+    return dedup_events_within(t["events"], window="1 hour")
+
+
 def _q_events_sliding(spark, t):
     from hama_spark.streaming import sliding_event_stats
 
@@ -1331,6 +1364,9 @@ QUERIES: dict[str, Callable] = {
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
     "sessionize": _q_sessionize,
+    "events_enriched": _q_events_enriched,
+    "events_props": _q_events_props,
+    "events_dedup_hourly": _q_events_dedup_hourly,
     # extensions (north star)
     "token_count": _q_token_count,
     "bpe_token_count": _q_bpe_token_count,
@@ -1489,6 +1525,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_enriched": """
+            SELECT c_mktsegment,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY c_mktsegment
+        """,
+        "events_props": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "events_dedup_hourly": """
+            SELECT user_id, event_type,
+                   strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_id,
+                   n_in_window
+            FROM (SELECT user_id, event_type, event_id,
+                         time_bucket(INTERVAL 1 HOUR, ts) AS w,
+                         row_number() OVER (
+                           PARTITION BY user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                           ORDER BY ts, event_id) AS rn,
+                         count(*) OVER (
+                           PARTITION BY user_id, event_type, time_bucket(INTERVAL 1 HOUR, ts)
+                         ) AS n_in_window
+                  FROM events)
+            WHERE rn = 1
         """,
         # sliding 2h/1h: an event belongs to the 2 hourly-aligned windows
         # starting at bucket(ts) and bucket(ts)-1h

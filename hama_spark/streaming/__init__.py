@@ -1,8 +1,12 @@
 from hama_spark.streaming.events import (
+    dedup_events_within,
+    enrich_events,
+    parse_props,
     running_user_totals,
     sessionize,
     sessionize_stateful,
     sliding_event_stats,
+    stream_dedup_within,
     windowed_event_stats,
 )
 
@@ -12,4 +16,8 @@ __all__ = [
     "sessionize",
     "sessionize_stateful",
     "running_user_totals",
+    "enrich_events",
+    "parse_props",
+    "dedup_events_within",
+    "stream_dedup_within",
 ]

@@ -75,6 +75,97 @@ def sliding_event_stats(
     )
 
 
+def enrich_events(
+    events: DataFrame, dim: DataFrame, on: str | list[str], broadcast: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to an
+    event stream. Stream-static joins are STATELESS in Structured
+    Streaming (each micro-batch joins against the current dim snapshot),
+    so this is the scale-correct way to decorate a 100 TB/day stream
+    with slowly-changing reference data — broadcast the dim, never
+    shuffle the stream. Works identically on batch DataFrames."""
+    d = F.broadcast(dim) if broadcast else dim
+    return events.join(d, on=on, how="left")
+
+
+def parse_props(
+    events: DataFrame,
+    fields: dict[str, str] | None = None,
+    props_col: str = "props",
+) -> DataFrame:
+    """Extract typed columns from a JSON string column (the events
+    table's ``props``): ``fields`` maps JSON key -> Spark cast type.
+    ``get_json_object`` is a JVM-side expression — semi-structured
+    extraction without a UDF, fully pushed through codegen."""
+    fields = fields or {"k": "int"}
+    return events.select(
+        "*",
+        *[
+            F.get_json_object(F.col(props_col), f"$.{k}").cast(t).alias(k)
+            for k, t in fields.items()
+        ],
+    )
+
+
+def dedup_events_within(
+    events: DataFrame,
+    window: str = "1 hour",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of per-window event dedup/throttling: keep the
+    EARLIEST event (by event time, id tie-break — deterministic, hence
+    oracle-checkable) per (keys, tumbling window). Returns
+    (keys..., window_start string, id_col, n_in_window). One shuffle,
+    map-side combined."""
+    w = F.window(ts_col, window).alias("w")
+    first = F.min(
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+    ).alias("first")
+    return (
+        events.groupBy(*keys, w)
+        .agg(first, F.count(F.lit(1)).alias("n_in_window"))
+        .select(
+            *keys,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("first.id").alias(id_col),
+            "n_in_window",
+        )
+    )
+
+
+def stream_dedup_within(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming path of per-window dedup: watermark + dropDuplicates on
+    (keys, window) keeps the FIRST-ARRIVED event per key per window and
+    lets the state store evict keys older than the watermark. Arrival
+    order is not event-time order, so the kept row can differ from the
+    batch twin's earliest-event choice — at-most-once-per-window is the
+    contract here, determinism is the batch twin's."""
+    if not events.isStreaming:
+        raise ValueError("stream_dedup_within is the streaming path; "
+                         "use dedup_events_within on batch DataFrames")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("w", F.window(ts_col, window))
+        # the window struct inherits the event-time marker; Spark allows
+        # only one event-time column through a stateful operator
+        .drop(ts_col)
+        .dropDuplicates([*keys, "w"])
+        .withColumn(
+            "window_start",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss"),
+        )
+        .drop("w")
+    )
+
+
 def running_user_totals(events: DataFrame, user_col: str = "user_id") -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``
     (the path SURVEY §2.5 reserves for operators Spark's built-in

@@ -98,6 +98,88 @@ def test_sessionize_stateful_matches_batch(spark, tables, tmp_path):
     assert got == expected
 
 
+def test_enrich_events_stream_static_join(spark, tables, tmp_path):
+    # stream-static joins are stateless: each micro-batch joins the dim
+    # snapshot; result must equal the batch join
+    from hama_spark.streaming import enrich_events
+
+    src = str(tmp_path / "ev_enrich")
+    ev = _events_subset(tables, 1000).select("event_id", "user_id", "value", "ts")
+    ev.write.parquet(src)
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    batch = sorted(
+        (r["event_id"], r["c_mktsegment"])
+        for r in enrich_events(spark.read.parquet(src), dim, on="user_id").collect()
+    )
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double, ts timestamp"
+    ).parquet(src)
+    out = enrich_events(stream, dim, on="user_id")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT event_id, c_mktsegment FROM enriched").collect()
+    )
+    assert got == batch and len(got) == 1000
+
+
+def test_stream_dedup_within_one_per_key_window(spark, tables, tmp_path):
+    from hama_spark.streaming import dedup_events_within, stream_dedup_within
+
+    src = str(tmp_path / "ev_dedup")
+    ev = _events_subset(tables, 1500).select("event_id", "user_id", "event_type", "ts")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    out = stream_dedup_within(stream, window="1 hour", watermark="2 hours")
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, event_type, window_start, count(*) AS c "
+        "FROM deduped GROUP BY 1, 2, 3"
+    ).collect()
+    assert got and all(r["c"] == 1 for r in got)  # at most one per key+window
+    # the set of (key, window) groups matches the batch twin's exactly
+    batch_groups = {
+        (r["user_id"], r["event_type"], r["window_start"])
+        for r in dedup_events_within(spark.read.parquet(src), window="1 hour").collect()
+    }
+    assert {(r["user_id"], r["event_type"], r["window_start"]) for r in got} == batch_groups
+
+
+def test_parse_props_typed_extraction(spark, tables):
+    from hama_spark.streaming import parse_props
+
+    p = parse_props(tables["events"].limit(50), {"k": "int"})
+    rows = p.select("props", "k").collect()
+    import json
+
+    for r in rows:
+        assert r["k"] == json.loads(r["props"])["k"]
+    assert dict(p.dtypes)["k"] == "int"
+
+
 def test_windowed_stats_streaming_matches_batch(spark, tables, tmp_path):
     src = str(tmp_path / "events_src")
     events = _events_subset(tables).select("ts", "event_type", "value")
