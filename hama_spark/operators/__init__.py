@@ -1,6 +1,7 @@
 from hama_spark.operators.bucketing import co_located_join, write_bucketed
 from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
+from hama_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "composite_join",
@@ -8,4 +9,6 @@ __all__ = [
     "parse_join_expr",
     "write_bucketed",
     "co_located_join",
+    "salted_join",
+    "salted_agg",
 ]

@@ -145,3 +145,70 @@ def test_composite_join_key_sets_property(spark, a, b):
     outer_keys = {r["k"] for r in composite_join([dfa, dfb], on="k", how="full_outer").collect()}
     assert inner_keys == set(a) & set(b)
     assert outer_keys == set(a) | set(b)
+
+
+# ------------------------------------------------------------- skew ops
+def test_salted_join_matches_plain(spark, tables):
+    from hama_spark.operators import salted_join
+
+    large = tables["lineitem"].select(F.col("l_orderkey").alias("k"), "l_quantity")
+    small = tables["orders"].select(F.col("o_orderkey").alias("k"), "o_custkey")
+    plain = sorted(
+        map(tuple, large.join(small, "k").select("k", "l_quantity", "o_custkey").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(large, small, on="k", n_salts=4)
+            .select("k", "l_quantity", "o_custkey")
+            .collect(),
+        )
+    )
+    assert salted == plain and len(salted) > 0
+
+
+def test_salted_join_splits_hot_key(spark):
+    # one hot key with 10k rows: the salted large side must spread it
+    # over n_salts distinct (key, salt) groups
+    from hama_spark.operators.skew import _SALT
+    from pyspark.sql import functions as F2
+
+    hot = spark.range(10_000).select(F2.lit("hot").alias("k"), F2.col("id").alias("v"))
+    salted = hot.withColumn(
+        _SALT, F2.pmod(F2.xxhash64("k", "v"), F2.lit(8)).cast("int")
+    )
+    n_groups = salted.select(_SALT).distinct().count()
+    assert n_groups == 8
+
+
+def test_salted_agg_matches_plain(spark, tables):
+    from hama_spark.operators import salted_agg
+
+    li = tables["lineitem"].select("l_returnflag", "l_quantity")
+    plain = sorted(
+        map(
+            tuple,
+            li.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 6).alias("q"),
+                F.min("l_quantity").alias("mn"),
+                F.max("l_quantity").alias("mx"),
+            )
+            .collect(),
+        )
+    )
+    got = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "q": (F.sum("l_quantity"), "sum"),
+            "mn": (F.min("l_quantity"), "min"),
+            "mx": (F.max("l_quantity"), "max"),
+        },
+        n_salts=4,
+    ).select(
+        "l_returnflag", "n", F.round("q", 6).alias("q"), "mn", "mx"
+    )
+    assert sorted(map(tuple, got.collect())) == plain
