@@ -1317,6 +1317,21 @@ def _q_video_frames(spark, t):
     return sample_frames(media, every_ms=1000)
 
 
+def _q_audio_features(spark, t):
+    from hama_spark.extensions import extract_audio_features
+
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("audio/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 50).cast("int").alias("duration_ms"),
+    )
+    return extract_audio_features(media)
+
+
 def _q_image_features(spark, t):
     from hama_spark.extensions import extract_image_features
 
@@ -1384,6 +1399,7 @@ QUERIES: dict[str, Callable] = {
     "lsh_cosine_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
     "image_features": _q_image_features,
+    "audio_features": _q_audio_features,
     "video_frames": _q_video_frames,
 }
 
@@ -1667,6 +1683,16 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS md5,
                    CAST(list_sum(list_transform(split(text, ''), c -> unicode(c)))
                         // length(text) AS INT) AS mean_byte
+            FROM documents
+        """,
+        "audio_features": """
+            SELECT doc_id AS media_id,
+                   CAST(n_chars * 50 AS INT) AS duration_ms,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS md5,
+                   CAST(floor(sqrt(
+                     list_sum(list_transform(split(text, ''), c -> unicode(c) * unicode(c)))
+                     * 1.0 / length(text))) AS INT) AS rms_byte
             FROM documents
         """,
         "video_frames": """

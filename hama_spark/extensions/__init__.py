@@ -6,7 +6,11 @@ from hama_spark.extensions.dedup import (
     ngram_jaccard_pairs,
     simhash_dup_pairs,
 )
-from hama_spark.extensions.multimodal import extract_image_features, sample_frames
+from hama_spark.extensions.multimodal import (
+    extract_audio_features,
+    extract_image_features,
+    sample_frames,
+)
 from hama_spark.extensions.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
 from hama_spark.extensions.text import (
     bpe_token_count,
@@ -28,6 +32,7 @@ __all__ = [
     "lsh_cosine_topk",
     "ivf_topk",
     "extract_image_features",
+    "extract_audio_features",
     "sample_frames",
     "tokenize",
     "token_count",

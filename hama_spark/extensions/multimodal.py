@@ -93,6 +93,53 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return img.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("md5", StringType()),
+        StructField("rms_byte", IntegerType()),
+    ]
+)
+
+
+def _decode_audio_py(payload: bytes, duration_ms: int | None):
+    """STUB decode. Real impl: soundfile/librosa load + RMS over PCM
+    samples. The deterministic fake computes RMS over the payload bytes
+    so tests and the oracle can assert exact values."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("audio codecs unavailable in this container")
+    n = len(payload)
+    rms = int((sum(b * b for b in payload) / n) ** 0.5) if n else 0
+    return {
+        "duration_ms": duration_ms or 0,
+        "n_bytes": n,
+        "md5": hashlib.md5(payload).hexdigest(),
+        "rms_byte": rms,
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """(MEDIA_SCHEMA rows, kind='audio') -> AUDIO_FEATURES_SCHEMA.
+    Same Arrow-batched mapInPandas shape as the image path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_audio_py(p, d)
+                for p, d in zip(pdf["payload"], pdf["duration_ms"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[["media_id", "duration_ms", "n_bytes", "md5", "rms_byte"]]
+
+    aud = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "duration_ms"
+    )
+    return aud.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled timestamp
     (decode stubbed — emits (media_id, ts_ms, frame_md5) with the md5

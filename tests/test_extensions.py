@@ -182,3 +182,20 @@ def test_multimodal_plumbing(spark):
     assert {f["ts_ms"] for f in frames} == {0, 1000, 2000}
     assert all(f["media_id"] == 3 for f in frames)
     assert len({f["frame_md5"] for f in frames}) == 3  # distinct per ts
+
+
+def test_audio_features_plumbing(spark):
+    from hama_spark.extensions import extract_audio_features
+
+    rows = [
+        (1, "audio", b"\x03\x04", "audio/fake", None, None, 2000),
+        (2, "audio", b"", "audio/fake", None, None, 0),
+        (3, "image", b"\x01", "image/fake", 1, 1, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    # rms of bytes [3,4] = sqrt((9+16)/2) = sqrt(12.5) -> 3
+    assert feats[1]["n_bytes"] == 2 and feats[1]["rms_byte"] == 3
+    assert feats[1]["duration_ms"] == 2000
+    assert feats[2]["n_bytes"] == 0 and feats[2]["rms_byte"] == 0
+    assert 3 not in feats  # image filtered out
