@@ -1,4 +1,9 @@
 from hama_spark.functions.distance import cosine_distance, euclidean_distance
+from hama_spark.functions.sketches import (
+    approx_distinct,
+    approx_group_profile,
+    approx_quantiles,
+)
 from hama_spark.functions.linalg import (
     vec_abs,
     vec_add,
@@ -31,4 +36,7 @@ __all__ = [
     "vec_max",
     "vec_min",
     "vec_slice",
+    "approx_distinct",
+    "approx_quantiles",
+    "approx_group_profile",
 ]

@@ -73,3 +73,33 @@ def test_mat_vec_and_matmul(spark):
     t = {r["row"]: r["vec"] for r in mat_transpose(adf).collect()}
     for j in range(3):
         assert t[j] == a[:, j].tolist()
+
+
+# ----------------------------------------------------------- sketches
+def test_approx_group_profile_error_bounds(spark, tables):
+    from hama_spark.functions import approx_group_profile
+    from pyspark.sql import functions as F
+
+    ev = tables["events"]
+    got = {
+        r["event_type"]: r
+        for r in approx_group_profile(
+            ev, "event_type", "value", distinct_col="user_id"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for k, e in exact.items():
+        # HLL++ at rsd=0.02: allow 3 sigma
+        assert abs(got[k]["approx_distinct"] - e["d"]) <= max(3, 0.06 * e["d"])
+        # quantile sketch: p50 estimate within the observed value range
+        p50_est = got[k]["approx_quantiles"][0]
+        assert abs(p50_est - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"]))
