@@ -1409,7 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins — one per queries() entry (44/44). Iterative and
+    """DuckDB twins — one per queries() entry. Iterative and
     seeded operators are covered by full SQL replays of their exact
     deterministic schedules (md5 hash streams, unrolled/recursive
     supersteps), so every query is value-hash-checked, not just
@@ -1546,7 +1546,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment,
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
-            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
             GROUP BY c_mktsegment
         """,
         "events_props": """

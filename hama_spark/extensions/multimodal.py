@@ -146,9 +146,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     of payload+offset as the deterministic fake frame id). The
     sequence/explode shape is exactly what a real ffmpeg-backed UDF
     produces."""
-    vid = media.filter(F.col("kind") == "video").select(
-        "media_id", "payload", "duration_ms"
-    )
+    # zero/NULL-duration media yields no frames (matches the half-open
+    # [0, duration) sampling the oracle's range() expresses)
+    vid = media.filter(
+        (F.col("kind") == "video") & (F.col("duration_ms") > 0)
+    ).select("media_id", "payload", "duration_ms")
     ts = vid.select(
         "media_id",
         "payload",

@@ -71,6 +71,20 @@ class CFModel:
             )
         )
 
+    @staticmethod
+    def _rank_topk(scored: DataFrame, count: int) -> DataFrame:
+        """(user, item, score) -> top `count` per user, score-desc with
+        item-asc tie-break — shared by the exact and ANN paths so their
+        ranking semantics can never diverge."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= count)
+            .select("user", "item", "score", "rnk")
+        )
+
     def most_preferred_items(self, users: DataFrame, count: int = 10) -> DataFrame:
         """users(user) -> top `count` items per user by estimated score.
 
@@ -79,17 +93,10 @@ class CFModel:
         quadratic at a web-scale catalog. For large catalogs use
         :meth:`most_preferred_items_ann`, which probes an IVF index
         instead of scanning the catalog per user."""
-        from pyspark.sql import Window
-
         scored = self.estimate_preference(
             users.crossJoin(self.item_factors.select("item"))
         )
-        w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= count)
-            .select("user", "item", "score", "rnk")
-        )
+        return self._rank_topk(scored, count)
 
     def most_preferred_items_ann(
         self,
@@ -111,8 +118,6 @@ class CFModel:
         exact path; only the candidate set is approximate (recall grows
         with nprobe; nprobe == n_cells degenerates to an exhaustive but
         still bucketed, never cartesian, scan)."""
-        from pyspark.sql import Window
-
         from hama_spark.extensions.similarity import ivf_topk
 
         norm2 = F.aggregate(F.col("vf"), F.lit(0.0), lambda a, x: a + x * x)
@@ -134,13 +139,7 @@ class CFModel:
             n_cells=n_cells,
             nprobe=nprobe,
         ).select(F.col("query_id").alias("user"), F.col("vec_id").alias("item"))
-        scored = self.estimate_preference(cand)
-        w = Window.partitionBy("user").orderBy(F.desc("score"), F.asc("item"))
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= count)
-            .select("user", "item", "score", "rnk")
-        )
+        return self._rank_topk(self.estimate_preference(cand), count)
 
 
 def _grad_update(

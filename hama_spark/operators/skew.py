@@ -13,9 +13,11 @@ becomes (key, salt), splitting each hot key's rows across n_salts
 reducers. Aggregations salt the same way: partial agg on (key, salt),
 final agg on key — two shuffles, each skew-free.
 
-The salt is a hash of the whole row (xxhash64), not a random draw, so
-results are reproducible under retries and partition changes (SURVEY §7:
-seeded streams, never per-executor RNG).
+The salt is a hash of the whole row plus a per-row ordinal (xxhash64 +
+monotonically_increasing_id), not a random draw, so results are
+reproducible under retries for a deterministic input partitioning
+(SURVEY §7: seeded streams, never per-executor RNG) and identical rows
+under one hot key still spread across all salts.
 """
 
 from __future__ import annotations
@@ -24,6 +26,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SALT = "_salt"
+
+
+def _with_salt(df: DataFrame, n_salts: int) -> DataFrame:
+    """Append a deterministic salt in [0, n_salts): hash of the full row
+    PLUS a per-row ordinal, so identical rows (the degenerate hot-key
+    case — constant payload under one key) still spread across all
+    salts. monotonically_increasing_id is stable under task retry for a
+    deterministic input partitioning, keeping results reproducible."""
+    return df.withColumn(
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
+    )
 
 
 def salted_join(
@@ -36,12 +53,18 @@ def salted_join(
     """Equi-join a skew-prone ``large`` side against ``small`` with the
     hot keys split ``n_salts`` ways. ``small`` is replicated n_salts
     times — size it accordingly (this is for moderate dimension tables
-    too big to broadcast but far smaller than the fact side)."""
+    too big to broadcast but far smaller than the fact side).
+
+    Only ``inner`` and ``left`` (large-side-preserving) joins are
+    supported: an outer join on the replicated small side would emit
+    each unmatched small row once PER SALT."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r} — the "
+            "replicated small side would duplicate unmatched rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
-    lsalted = large.withColumn(
-        _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)).cast("int"),
-    )
+    lsalted = _with_salt(large, n_salts)
     ssalted = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -68,9 +91,8 @@ def salted_agg(
     matters when a single group's partials still overwhelm one reducer
     (e.g. high-cardinality-input distinct-style pipelines)."""
     kl = [keys] if isinstance(keys, str) else list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
     partial = (
-        df.withColumn(_SALT, salt)
+        _with_salt(df, n_salts)
         .groupBy(*kl, _SALT)
         .agg(*[c.alias(f"_p_{name}") for name, (c, _) in aggs.items()])
     )

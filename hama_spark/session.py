@@ -104,9 +104,12 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # perf confs that are runtime-settable: a foreign session otherwise
     # runs with shuffle.partitions=200, which at test SFs is pure
-    # scheduling overhead (and on a real cluster would come from submit).
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    # scheduling overhead. Only override the partition count when it is
+    # still at Spark's stock default — a submit-time --conf (how a real
+    # cluster sizes it) must win over this local heuristic.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -123,7 +123,11 @@ def pipe_lines(
     documented escape hatch, NOT the hot path (built-in columnar
     expressions and Pandas UDFs stay preferred)."""
     spark = df.sparkSession
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    # concat_ws silently drops NULL slots, which would shift field
+    # positions for the external command — empty-string them instead
+    line = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    )
     rdd = df.select(line.alias("l")).rdd.map(lambda r: r[0]).pipe(command)
     return spark.createDataFrame(rdd.map(lambda s: (s,)), schema=f"{out_col} string")
 

@@ -168,17 +168,27 @@ def test_salted_join_matches_plain(spark, tables):
 
 
 def test_salted_join_splits_hot_key(spark):
-    # one hot key with 10k rows: the salted large side must spread it
-    # over n_salts distinct (key, salt) groups
-    from hama_spark.operators.skew import _SALT
+    # one hot key with 10k rows: the operator's own salting step must
+    # spread it over all n_salts groups — even in the degenerate case
+    # where every row of the hot key is IDENTICAL (constant payload)
+    from hama_spark.operators.skew import _SALT, _with_salt
     from pyspark.sql import functions as F2
 
     hot = spark.range(10_000).select(F2.lit("hot").alias("k"), F2.col("id").alias("v"))
-    salted = hot.withColumn(
-        _SALT, F2.pmod(F2.xxhash64("k", "v"), F2.lit(8)).cast("int")
+    assert _with_salt(hot, 8).select(_SALT).distinct().count() == 8
+    constant = spark.range(10_000).select(
+        F2.lit("hot").alias("k"), F2.lit(1).alias("v")
     )
-    n_groups = salted.select(_SALT).distinct().count()
-    assert n_groups == 8
+    assert _with_salt(constant, 8).select(_SALT).distinct().count() == 8
+
+
+def test_salted_join_rejects_outer(spark):
+    from hama_spark.operators import salted_join
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(df, df, on="k", how="full")
 
 
 def test_salted_agg_matches_plain(spark, tables):
