@@ -490,24 +490,31 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _hyperplane_bucket_sql(vcol: str, t: int, planes: int, dim: int, seed: int) -> str:
+    """DuckDB expression for the random-hyperplane LSH bucket of table
+    ``t``: the ±1 plane components come from driver-side md5 (hashlib)
+    and are embedded as list literals in BOTH engines — no engine-side
+    hashing to diverge."""
+    from hama_spark.extensions.similarity import _plane
+
+    terms = []
+    for p in range(planes):
+        comps = ", ".join(str(x) for x in _plane(seed, t, p, dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vcol}, [{comps}]) > 0"
+            f" THEN (1::BIGINT << {p}) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _lsh_topk_sql(
     k: int = 10, planes: int = 4, tables: int = 8, dim: int = 64, seed: int = 42
 ) -> str:
     """Random-hyperplane LSH top-k, mirroring extensions.similarity
-    .lsh_cosine_topk: the ±1 plane components come from driver-side md5
-    (hashlib) and are embedded as list literals in BOTH engines — no
-    engine-side hashing to diverge."""
-    from hama_spark.extensions.similarity import _plane
+    .lsh_cosine_topk (same driver-side plane literals)."""
 
     def bucket(vcol: str, t: int) -> str:
-        terms = []
-        for p in range(planes):
-            comps = ", ".join(str(x) for x in _plane(seed, t, p, dim))
-            terms.append(
-                f"(CASE WHEN list_dot_product({vcol}, [{comps}]) > 0"
-                f" THEN (1::BIGINT << {p}) ELSE 0 END)"
-            )
-        return " + ".join(terms)
+        return _hyperplane_bucket_sql(vcol, t, planes, dim, seed)
 
     cb = " UNION ALL ".join(
         f"SELECT vec_id, v, {t} AS tbl, {bucket('v', t)} AS bkt FROM n" for t in range(tables)
@@ -536,6 +543,34 @@ def _lsh_topk_sql(
                                     ORDER BY cosine DESC, id) AS rank
           FROM scored)
         WHERE rank <= {k}
+    """
+
+
+def _lsh_pairs_sql(
+    threshold: float = 0.45, planes: int = 4, tables: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Random-hyperplane LSH near-dup pairs, mirroring
+    extensions.similarity.lsh_cosine_dup_pairs: same-bucket candidate
+    self-join per table, distinct id pair, exact-cosine verify."""
+    nb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl,"
+        f" {_hyperplane_bucket_sql('v', t, planes, dim, seed)} AS bkt FROM n"
+        for t in range(tables)
+    )
+    return f"""
+        WITH n AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+          FROM embeddings),
+        nb AS ({nb}),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM nb a JOIN nb b
+                   ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        SELECT cand.id_a, cand.id_b,
+               round(list_dot_product(x.v, y.v), 9) AS cosine
+        FROM cand JOIN n x ON x.vec_id = cand.id_a
+                  JOIN n y ON y.vec_id = cand.id_b
+        WHERE round(list_dot_product(x.v, y.v), 9) >= {threshold}
     """
 
 
@@ -1289,6 +1324,34 @@ def _q_lsh_topk(spark, t):
     )
 
 
+_EMB_PAIRS_MEMO: dict = {}
+
+
+def _emb_pairs_cached(spark, emb):
+    """LSH cosine dup pairs, materialized once per (session, corpus):
+    lsh_cosine_pairs and dedup_embedding share the bucket-join output the
+    same way minhash_lsh_pairs/dedup_near share theirs."""
+    from hama_spark.extensions import lsh_cosine_dup_pairs
+
+    key = (spark.sparkContext.applicationId, emb.semanticHash())
+    if key not in _EMB_PAIRS_MEMO:
+        _EMB_PAIRS_MEMO[key] = lsh_cosine_dup_pairs(
+            emb, threshold=0.45, planes=4, tables=8, dim=64
+        ).localCheckpoint(eager=True)
+    return _EMB_PAIRS_MEMO[key]
+
+
+def _q_lsh_cosine_pairs(spark, t):
+    return _emb_pairs_cached(spark, t["embeddings"])
+
+
+def _q_dedup_embedding(spark, t):
+    from hama_spark.extensions import dedup_embedding
+
+    emb = t["embeddings"]
+    return dedup_embedding(emb, pairs=_emb_pairs_cached(spark, emb))
+
+
 def _q_ivf_topk(spark, t):
     from hama_spark.extensions import ivf_topk
 
@@ -1401,6 +1464,11 @@ QUERIES: dict[str, Callable] = {
     "embedding_cosine_pairs": _q_embedding_dups,
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
+    # lsh_cosine_pairs before dedup_embedding: same memo pattern as
+    # minhash_lsh_pairs/dedup_near — the collapse reuses the bucket-join
+    # pairs so in-order runs price the LSH once
+    "lsh_cosine_pairs": _q_lsh_cosine_pairs,
+    "dedup_embedding": _q_dedup_embedding,
     "ivf_topk": _q_ivf_topk,
     "image_features": _q_image_features,
     "audio_features": _q_audio_features,
@@ -1652,6 +1720,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(0.5, 16, 4),
         "simhash_pairs": _simhash_sql(3),
         "lsh_cosine_topk": _lsh_topk_sql(10, 4, 8, 64),
+        "lsh_cosine_pairs": _lsh_pairs_sql(0.45, 4, 8, 64),
+        "dedup_embedding": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_lsh_pairs_sql(0.45, 4, 8, 64)})
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            ),
+            lbl AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            labeled AS (
+              SELECT m.vec_id, coalesce(l.comp, m.vec_id) AS comp
+              FROM embeddings m LEFT JOIN lbl l ON l.id = m.vec_id
+            )
+            SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM labeled GROUP BY comp
+        """,
         "ivf_topk": _ivf_topk_sql(64),
         "embedding_cosine_pairs": """
             WITH n AS (

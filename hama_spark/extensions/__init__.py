@@ -1,4 +1,5 @@
 from hama_spark.extensions.dedup import (
+    dedup_embedding,
     dedup_exact,
     dedup_near,
     embedding_cosine_dup_pairs,
@@ -11,7 +12,12 @@ from hama_spark.extensions.multimodal import (
     extract_image_features,
     sample_frames,
 )
-from hama_spark.extensions.similarity import cosine_topk, ivf_topk, lsh_cosine_topk
+from hama_spark.extensions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_dup_pairs,
+    lsh_cosine_topk,
+)
 from hama_spark.extensions.text import (
     bpe_token_count,
     doc_fingerprint,
@@ -24,12 +30,14 @@ from hama_spark.extensions.text import (
 __all__ = [
     "dedup_exact",
     "dedup_near",
+    "dedup_embedding",
     "minhash_lsh_dup_pairs",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_dup_pairs",
     "cosine_topk",
     "lsh_cosine_topk",
+    "lsh_cosine_dup_pairs",
     "ivf_topk",
     "extract_image_features",
     "extract_audio_features",

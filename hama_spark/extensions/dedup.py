@@ -361,6 +361,20 @@ def dedup_near(
         pairs = minhash_lsh_dup_pairs(
             df, threshold, num_hashes, bands, k, id_col, text_col
         ).localCheckpoint(eager=True)
+    return _collapse_pairs(df, pairs, id_col)
+
+
+def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Shared cluster-collapse tail: duplicate pairs (id_a, id_b) ->
+    connected components via Pregel min-label propagation (SURVEY §7
+    Phase 6: dedup clustering reuses the graph layer) -> keep the lowest
+    id per component. Returns (id_col, n_dups); n_dups = component size
+    (1 = unique row).
+
+    ids propagate as zero-padded strings so the string-min label equals
+    the numeric min (mindist_search compares lexicographically, A3)."""
+    from hama_spark.graph import mindist_search
+
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
     comp = mindist_search(edges, undirected=True, max_iter=30)
@@ -378,6 +392,32 @@ def dedup_near(
         )
         .select(id_col, "n_dups")
     )
+
+
+def dedup_embedding(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup collapse at scale: LSH-bucketed cosine
+    pairs (similarity.lsh_cosine_dup_pairs — per-bucket joins, never
+    all-pairs) -> connected components -> lowest id per cluster.
+    Completes the dedup family's scale paths (exact / MinHash-LSH /
+    SimHash / embedding). ``pairs`` accepts a precomputed (id_a, id_b)
+    DataFrame so a pipeline that already materialized the LSH pairs
+    pays only the cluster-collapse cost (mirrors dedup_near)."""
+    if pairs is None:
+        from hama_spark.extensions.similarity import lsh_cosine_dup_pairs
+
+        pairs = lsh_cosine_dup_pairs(
+            df, threshold, planes, tables, seed, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+    return _collapse_pairs(df, pairs, id_col)
 
 
 # ---------------------------------------------------- embedding cosine

@@ -96,6 +96,30 @@ def _hyperplane_sig(v: Column, dim: int, planes: int, seed: int, table: int) -> 
     return out
 
 
+def _with_buckets(df: DataFrame, vcol: str, dim: int, planes: int, tables: int, seed: int) -> DataFrame:
+    """Explode each row into ``tables`` (tbl, bkt) bucket rows by its
+    random-hyperplane signature in each table."""
+    out = "_b"
+    return (
+        df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            _hyperplane_sig(F.col(vcol), dim, planes, seed, t).alias("bkt"),
+                        )
+                        for t in range(tables)
+                    ]
+                )
+            ).alias(out),
+        )
+        .select("*", F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt"))
+        .drop(out)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,24 +142,8 @@ def lsh_cosine_topk(
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
 
-    def with_buckets(df, vcol, out):
-        return df.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _hyperplane_sig(F.col(vcol), dim, planes, seed, t).alias("bkt"),
-                        )
-                        for t in range(tables)
-                    ]
-                )
-            ).alias(out),
-        ).select("*", F.col(f"{out}.tbl").alias("tbl"), F.col(f"{out}.bkt").alias("bkt")).drop(out)
-
-    cb = with_buckets(c, "v", "_b")
-    qb = with_buckets(q, "qv", "_b")
+    cb = _with_buckets(c, "v", dim, planes, tables, seed)
+    qb = _with_buckets(q, "qv", dim, planes, tables, seed)
     cand = (
         cb.join(qb, ["tbl", "bkt"])
         .select("qid", "id", "v", "qv")
@@ -149,6 +157,46 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank")
+    )
+
+
+def lsh_cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: candidates are rows
+    colliding in the same (table, bucket) of the random-hyperplane LSH
+    — a per-bucket self-join, never all-pairs — verified with the exact
+    cosine (>= threshold). The scale twin of
+    dedup.embedding_cosine_dup_pairs (brute-force ground truth); recall
+    grows with ``tables``, bucket sizes shrink with ``planes``.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, each pair once even
+    when it collides in several tables."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    n = _normalized(df, id_col, vec_col)
+    nb = _with_buckets(n, "v", dim, planes, tables, seed)
+    a = nb.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = nb.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same pair from several tables: keep one copy before the exact
+        # verify (vectors ride along; dedupe on the id pair only)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 9).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

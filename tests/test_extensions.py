@@ -157,6 +157,43 @@ def test_cosine_topk_and_lsh_recall(spark, tables):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_cosine_pairs_subset_of_brute_force(spark, tables):
+    """LSH pairs ⊆ brute-force pairs at the same threshold (the bucket
+    join can only MISS true pairs, never invent false ones: candidates
+    pass the exact cosine verify), and recall is non-trivial."""
+    from hama_spark.extensions import lsh_cosine_dup_pairs
+
+    emb = tables["embeddings"]
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_dup_pairs(emb, threshold=0.45, planes=4, tables=8).collect()
+    }
+    assert lsh <= brute
+    assert len(brute) > 0
+    assert len(lsh) / len(brute) >= 0.5, f"LSH pair recall too low: {len(lsh)}/{len(brute)}"
+
+
+def test_dedup_embedding_collapse(spark, tables):
+    """Cluster collapse: n_dups sums to the corpus size, surviving ids
+    are cluster minima, and known near-dup pairs land in one cluster."""
+    from hama_spark.extensions import dedup_embedding, lsh_cosine_dup_pairs
+
+    emb = tables["embeddings"]
+    total = emb.count()
+    out = dedup_embedding(emb, threshold=0.45, planes=4, tables=8)
+    rows = out.collect()
+    assert sum(r["n_dups"] for r in rows) == total
+    survivors = {r["vec_id"] for r in rows}
+    pairs = lsh_cosine_dup_pairs(emb, threshold=0.45, planes=4, tables=8).collect()
+    for p in pairs:
+        # at most one endpoint of a collapsed pair survives
+        assert not (p["id_a"] in survivors and p["id_b"] in survivors)
+
+
 def test_ivf_topk_self_hit(spark, tables):
     emb = tables["embeddings"]
     queries = emb.limit(3)
