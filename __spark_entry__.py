@@ -389,6 +389,10 @@ def _kcore_sql(edges_sql: str, iters: int = KCORE_ITERS) -> str:
 
 # shared SQL fragments for the text/dedup oracles
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+# DuckDB twin of extensions.sampling._hash_key(seed=42, doc_id): 48-bit
+# md5-derived key, identical bytes hashed in both engines.
+_SAMPLE_HASH = "('0x' || substr(md5('42:' || doc_id), 1, 12))::BIGINT"
 _SHINGLES_SQL = f"""
     toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -788,6 +792,12 @@ def _q_pi(spark, t):
 # rows-only (its recursive-CTE oracle needs a DAG, the gen graph has
 # cycles) with invariants in pytest. ----------------------------------
 GEN_N = 100_000
+# loop partitioning for the generated graphs: ~6k vertices/partition at
+# GEN_N — at local scale fewer/fuller partitions cut the per-superstep
+# scheduling floor ~30% vs the 32-partition session default (measured);
+# the same sizing rule (~100-200 MB of state per partition) applies on a
+# cluster, just with a larger count
+GEN_PARTS = max(8, GEN_N // 6250)
 
 
 def _gen_edges_sql(n: int, max_out: int, seed: int) -> str:
@@ -850,7 +860,9 @@ def _q_pagerank_gen(spark, t):
     from hama_spark.sources import fast_graph_gen
 
     edges = fast_graph_gen(spark, GEN_N, max_out=3, seed=42).select("src", "dst")
-    pr = pagerank(edges, epsilon=None, max_iter=5, self_ref=True)
+    # partitioning sized to the generated graph (~100k vertices): fewer,
+    # fuller partitions beat the session default at this volume
+    pr = pagerank(edges, epsilon=None, max_iter=5, self_ref=True, num_partitions=GEN_PARTS)
     # output IS the PageRankTest invariant: Σranks ≈ 1 (rounded 2dp)
     return pr.agg(
         F.count(F.lit(1)).alias("n_vertices"),
@@ -865,7 +877,7 @@ def _q_sssp_gen(spark, t):
     edges = fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7).select(
         "src", "dst", (F.col("weight") + 1).alias("weight")
     )
-    d = sssp(edges, "0", max_iter=50)
+    d = sssp(edges, "0", max_iter=50, num_partitions=GEN_PARTS)
     return d.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.when(F.col("dist") < 2147483647, 1).otherwise(0)).alias("n_reachable"),
@@ -1249,6 +1261,36 @@ def _q_lang_id(spark, t):
     return t["documents"].select("doc_id", lang_id("text").alias("lang"))
 
 
+def _q_seeded_sample(spark, t):
+    from hama_spark.extensions import seeded_sample
+
+    return seeded_sample(t["documents"], 0.2).select("doc_id", "n_chars")
+
+
+def _q_stratified_sample(spark, t):
+    from hama_spark.extensions import lang_id, stratified_sample
+
+    docs = t["documents"].select("doc_id", lang_id("text").alias("lang"))
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.3}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def _q_global_shuffle(spark, t):
+    from hama_spark.extensions import global_shuffle
+
+    return global_shuffle(t["documents"]).select("doc_id", "pos")
+
+
+def _q_pack_sequences(spark, t):
+    from hama_spark.extensions import pack_sequences, token_count
+
+    toks = t["documents"].select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences(toks, max_tokens=2048).select(
+        "doc_id", "pos", "cum_before", "pack_id"
+    )
+
+
 def _q_fingerprint(spark, t):
     from hama_spark.extensions import doc_fingerprint
 
@@ -1452,6 +1494,10 @@ QUERIES: dict[str, Callable] = {
     "quality_score": _q_quality,
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
+    "seeded_sample": _q_seeded_sample,
+    "stratified_sample": _q_stratified_sample,
+    "global_shuffle": _q_global_shuffle,
+    "pack_sequences": _q_pack_sequences,
     "dedup_exact": _q_dedup_exact,
     # minhash_lsh_pairs before dedup_near: the cluster-collapse query
     # reuses the memoized LSH pairs, so in-order runs price the
@@ -1691,6 +1737,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+        "seeded_sample": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE {_SAMPLE_HASH} % 1000000 < {int(0.2 * 1_000_000)}
+        """,
+        "stratified_sample": f"""
+            WITH langs AS ({_lang_id_sql()})
+            SELECT doc_id, lang FROM langs
+            WHERE {_SAMPLE_HASH} % 1000000 <
+                  (CASE WHEN lang = 'de' THEN {int(0.3 * 1_000_000)}
+                        WHEN lang = 'en' THEN {int(0.5 * 1_000_000)}
+                        ELSE {int(0.1 * 1_000_000)} END)
+        """,
+        "global_shuffle": f"""
+            WITH h AS (SELECT doc_id, {_SAMPLE_HASH} AS h FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h % 64, h, doc_id) AS BIGINT) AS pos
+            FROM h
+        """,
+        "pack_sequences": f"""
+            WITH toks AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+                                 {_SAMPLE_HASH} AS h
+                          FROM documents)
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY h % 64, h, doc_id) AS BIGINT) AS pos,
+                   CAST(coalesce(sum(n_tokens) OVER (
+                          ORDER BY h % 64, h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_before,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                          ORDER BY h % 64, h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+                        AS BIGINT) AS pack_id
+            FROM toks
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
             FROM (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp

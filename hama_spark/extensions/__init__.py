@@ -12,6 +12,12 @@ from hama_spark.extensions.multimodal import (
     extract_image_features,
     sample_frames,
 )
+from hama_spark.extensions.sampling import (
+    global_shuffle,
+    pack_sequences,
+    seeded_sample,
+    stratified_sample,
+)
 from hama_spark.extensions.similarity import (
     cosine_topk,
     ivf_topk,
@@ -42,6 +48,10 @@ __all__ = [
     "extract_image_features",
     "extract_audio_features",
     "sample_frames",
+    "seeded_sample",
+    "stratified_sample",
+    "global_shuffle",
+    "pack_sequences",
     "tokenize",
     "token_count",
     "bpe_token_count",

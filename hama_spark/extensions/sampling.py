@@ -1,0 +1,158 @@
+"""Seeded sampling / ordering / packing for training-data pipelines
+(north star): the operations a 100 TB corpus pipeline runs after
+cleaning+dedup to assemble an actual training mix.
+
+- seeded_sample: deterministic Bernoulli sample — keep rows whose
+  md5(seed:id) bucket falls under the fraction. Partitioning- and
+  engine-independent (no rand()), so runs are reproducible and the
+  DuckDB oracle replays them exactly.
+- stratified_sample: per-stratum fractions (e.g. downsample by language
+  or quality band) with a default for unlisted strata. Pure filter —
+  no shuffle at all; predicate pushes to the scan.
+- global_shuffle: deterministic global permutation (training-order
+  shuffle). Scale design: a naive row_number() over a global ORDER BY
+  is a single-partition window — instead the hash is bucketed and
+  positions are computed two-phase (per-bucket window in parallel +
+  tiny bucket-offset broadcast), the distributed zipWithIndex pattern.
+- pack_sequences: concat-and-chunk packing — documents are laid out in
+  shuffle order and each doc's pack is the ``max_tokens`` chunk where
+  its first token lands (floor(exclusive-prefix-sum / max_tokens)).
+  Same two-phase prefix sum; no global window anywhere.
+
+Reference note: the reference engine (apache/hama) has no sampling or
+packing surface — these extend the engine per SURVEY §7's north-star
+plan, alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 12 hex chars = 48 bits: fits bigint in both engines, overflow-free.
+_HASH_HEX = 12
+_HASH_MOD = 1_000_000
+
+
+def _hash_key(seed: int, col: Column) -> Column:
+    """Deterministic 48-bit key from md5(seed:value) — the cross-engine
+    hash pattern used throughout (generators, minhash): DuckDB twin is
+    ('0x' || substr(md5(seed || ':' || v), 1, 12))::BIGINT."""
+    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, _HASH_HEX), 16, 10).cast("long")
+
+
+def seeded_sample(
+    df: DataFrame, fraction: float, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff md5(seed:id) % 1e6 < fraction*1e6 — a
+    deterministic Bernoulli sample that is stable across partitionings,
+    engines, and reruns (unlike df.sample, whose output depends on the
+    partitioning). Plain filter: no shuffle."""
+    return df.filter(_hash_key(seed, F.col(id_col)) % _HASH_MOD < int(fraction * _HASH_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: rows in stratum s survive
+    with fractions[s] (default_fraction for unlisted strata). The
+    training-mix primitive: downsample low-quality / overrepresented
+    strata, keep rare ones whole."""
+    # thresholds become driver-side INTEGER literals (int(f*1e6)) — a
+    # float-expression threshold would truncate differently across
+    # engines (Spark cast truncates, DuckDB rounds)
+    threshold = F.lit(int(default_fraction * _HASH_MOD))
+    for value, f in fractions.items():
+        threshold = F.when(F.col(strata_col) == value, F.lit(int(f * _HASH_MOD))).otherwise(
+            threshold
+        )
+    return df.filter(_hash_key(seed, F.col(id_col)) % _HASH_MOD < threshold)
+
+
+def _two_phase_positions(
+    df: DataFrame,
+    seed: int,
+    id_col: str,
+    weight: Column | None,
+    num_buckets: int,
+) -> DataFrame:
+    """Shared two-phase global ordering: every row gets its 1-based
+    ``pos`` (and, when ``weight`` is given, the exclusive prefix sum
+    ``cum_before``) in the deterministic order (bucket, h, id) where
+    h = md5(seed:id) and bucket = h % num_buckets.
+
+    Phase 1 runs an ordinary window PER BUCKET (parallel, bounded
+    partitions); phase 2 computes each bucket's global offset from a
+    ``num_buckets``-row aggregate and broadcasts it back. Equivalent to
+    a global window, without the single-partition sort."""
+    h = _hash_key(seed, F.col(id_col))
+    base = df.withColumn("_h", h).withColumn("_bkt", F.pmod(F.col("_h"), F.lit(num_buckets)))
+    w = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = base.withColumn("_pos_in", F.row_number().over(w))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if weight is not None:
+        base = base.withColumn("_w", weight)
+        base = base.withColumn("_cum_in", F.sum("_w").over(wsum))
+        aggs.append(F.sum("_w").alias("_wsum"))
+    totals = base.groupBy("_bkt").agg(*aggs)
+    # the offsets window runs over num_buckets rows TOTAL (not data) —
+    # the degenerate partition key (non-foldable, so Catalyst keeps it)
+    # makes that explicit and avoids Spark's single-partition-window
+    # warning for what is a ~64-row frame
+    woff = (
+        Window.partitionBy(F.pmod(F.col("_bkt"), F.lit(1)))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off_n"),
+        *(
+            [F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).alias("_off_w")]
+            if weight is not None
+            else []
+        ),
+    )
+    out = base.join(F.broadcast(offsets), "_bkt")
+    out = out.withColumn("pos", (F.col("_off_n") + F.col("_pos_in")).cast("long"))
+    if weight is not None:
+        out = out.withColumn(
+            "cum_before",
+            (F.col("_off_w") + F.col("_cum_in") - F.col("_w")).cast("long"),
+        )
+    return out.drop("_h", "_bkt", "_w", "_pos_in", "_cum_in", "_off_n", "_off_w")
+
+
+def global_shuffle(
+    df: DataFrame, seed: int = 42, id_col: str = "doc_id", num_buckets: int = 64
+) -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``pos`` (1-based
+    position in md5(seed:id) order). Reproducible across runs/engines;
+    two-phase positions — no single-partition global sort."""
+    return _two_phase_positions(df, seed, id_col, None, num_buckets)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    seed: int = 42,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    the seeded shuffle order, ``pack_id`` = which ``max_tokens`` chunk
+    the document STARTS in (floor(exclusive-prefix-tokens/max_tokens)).
+    Adds (pos, cum_before, pack_id). Deterministic and engine-replayable;
+    downstream writers group by pack_id to emit training sequences."""
+    out = _two_phase_positions(df, seed, id_col, F.col(token_col).cast("long"), num_buckets)
+    return out.withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(int(max_tokens))).cast("long")
+    )

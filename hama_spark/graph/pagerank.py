@@ -30,10 +30,12 @@ def pagerank(
     max_iter: int = 30,
     self_ref: bool = True,
     checkpoint_interval: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, rank). ``epsilon=None`` disables the
     convergence check and runs exactly ``max_iter`` supersteps (useful
-    for oracle comparison)."""
+    for oracle comparison). ``num_partitions`` sizes the pinned loop
+    partitioning to the graph (default: session shuffle partitions)."""
     spark = edges.sparkSession
 
     vertices_ids = (
@@ -104,5 +106,6 @@ def pagerank(
         max_iter=max_iter,
         checkpoint_interval=checkpoint_interval,
         detect_halt=not fixed,
+        num_partitions=num_partitions,
     )
     return result.select("id", "rank")

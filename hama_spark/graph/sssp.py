@@ -26,12 +26,15 @@ def sssp(
     start_vertex: str,
     max_iter: int = 100,
     checkpoint_interval: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """edges(src, dst, weight:int) + start id -> (id, dist:int).
 
     At 100 TB scale the frontier-only send is the critical property:
     iteration k shuffles only vertices improved at k-1, not the whole
-    graph.
+    graph. ``num_partitions`` sizes the pinned loop partitioning to the
+    graph (default: session shuffle partitions) — on a cluster target
+    ~100-200 MB of vertex state per partition.
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -80,5 +83,6 @@ def sssp(
         initial_message=initial_message,
         max_iter=max_iter,
         checkpoint_interval=checkpoint_interval,
+        num_partitions=num_partitions,
     )
     return result.select("id", "dist")

@@ -1,0 +1,71 @@
+"""Sampling / ordering / packing operators (extensions.sampling).
+
+These are pure-column-expression ops: determinism and structural
+invariants are the interesting properties (the driver hash-checks the
+exact values against DuckDB separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hama_spark.extensions import (
+    global_shuffle,
+    pack_sequences,
+    seeded_sample,
+    stratified_sample,
+    token_count,
+)
+
+
+def test_seeded_sample_deterministic_and_partitioning_independent(spark, tables):
+    docs = tables["documents"]
+    n = docs.count()
+    a = {r["doc_id"] for r in seeded_sample(docs, 0.2).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in seeded_sample(docs.repartition(7), 0.2).select("doc_id").collect()
+    }
+    assert a == b  # rerun under a different partitioning: same sample
+    assert 0.05 * n < len(a) < 0.5 * n  # plausibly ~20%
+    # different seed -> different sample
+    c = {r["doc_id"] for r in seeded_sample(docs, 0.2, seed=7).select("doc_id").collect()}
+    assert a != c
+
+
+def test_stratified_sample_respects_strata(spark, tables):
+    docs = tables["documents"].select(
+        "doc_id", (F.col("doc_id") % 2 == 0).cast("string").alias("parity")
+    )
+    out = stratified_sample(docs, "parity", {"true": 1.0}, default_fraction=0.0)
+    got = out.select("parity").distinct().collect()
+    assert [r["parity"] for r in got] == ["true"]  # frac-1.0 stratum whole, 0.0 dropped
+    n_true = docs.filter("parity = 'true'").count()
+    assert out.count() == n_true
+
+
+def test_global_shuffle_is_permutation(spark, tables):
+    docs = tables["documents"]
+    n = docs.count()
+    out = global_shuffle(docs).select("doc_id", "pos").collect()
+    positions = sorted(r["pos"] for r in out)
+    assert positions == list(range(1, n + 1))  # 1..n, no gaps or dups
+    # order is hash-driven, not id order
+    by_pos = [r["doc_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert by_pos != sorted(by_pos)
+
+
+def test_pack_sequences_prefix_sum_invariants(spark, tables):
+    docs = tables["documents"].select("doc_id", token_count("text").alias("n_tokens"))
+    max_tokens = 512
+    rows = pack_sequences(docs, max_tokens=max_tokens).collect()
+    rows.sort(key=lambda r: r["pos"])
+    toks = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    cum = 0
+    for r in rows:
+        assert r["cum_before"] == cum  # exclusive prefix sum in pos order
+        assert r["pack_id"] == cum // max_tokens
+        cum += toks[r["doc_id"]]
+    # packs are contiguous and start at 0
+    packs = sorted({r["pack_id"] for r in rows})
+    assert packs[0] == 0 and packs == list(range(packs[-1] + 1))
