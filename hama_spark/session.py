@@ -50,7 +50,9 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # SPARK_GRAFT_SHUFFLE overrides for bench experiments; default =
+        # core count (a real cluster sizes this via --conf at submit)
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
     builder = (
         SparkSession.builder.appName(app_name)

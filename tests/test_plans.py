@@ -128,3 +128,26 @@ def test_pregel_join_no_cartesian(spark):
     plan = _plan(out, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seeded_sample_is_shuffle_free(spark, tables):
+    # sampling is a pure filter over the scan: no Exchange anywhere
+    from hama_spark.extensions import seeded_sample
+
+    out = seeded_sample(tables["documents"], 0.2).select("doc_id")
+    plan = _plan(out, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_global_shuffle_has_no_global_window(spark, tables):
+    # positions come from per-bucket windows + a broadcast offset join —
+    # the full corpus must never hit a single-partition window/sort
+    from hama_spark.extensions import global_shuffle
+
+    out = global_shuffle(tables["documents"]).select("doc_id", "pos")
+    plan = _plan(out, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    # the only SinglePartition exchange allowed is the num_buckets-row
+    # offset aggregation side, which feeds the broadcast — the corpus
+    # side partitions by bucket
+    assert "hashpartitioning(_bkt" in plan, plan
