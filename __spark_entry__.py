@@ -1291,6 +1291,12 @@ def _q_pack_sequences(spark, t):
     )
 
 
+def _q_corpus_stats(spark, t):
+    from hama_spark.extensions import clean_corpus, corpus_stats
+
+    return corpus_stats(clean_corpus(t["documents"], min_quality=0.8))
+
+
 def _q_fingerprint(spark, t):
     from hama_spark.extensions import doc_fingerprint
 
@@ -1498,6 +1504,9 @@ QUERIES: dict[str, Callable] = {
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
     "pack_sequences": _q_pack_sequences,
+    # the end-to-end composition: quality filter -> lang id -> exact
+    # dedup -> per-language report, all one Catalyst plan
+    "corpus_stats": _q_corpus_stats,
     "dedup_exact": _q_dedup_exact,
     # minhash_lsh_pairs before dedup_near: the cluster-collapse query
     # reuses the memoized LSH pairs, so in-order runs price the
@@ -1770,6 +1779,32 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
                         AS BIGINT) AS pack_id
             FROM toks
+        """,
+        "corpus_stats": f"""
+            WITH l AS ({_lang_id_sql()}),
+            q AS (
+                SELECT doc_id,
+                       0.25 * (CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + 0.5 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text))
+                     + 0.25 * least({_stopword_count_sql()} * 5.0 / len({_TOKS_SQL}), 1.0) AS quality,
+                       len({_TOKS_SQL}) AS n_tokens,
+                       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents
+            ),
+            base AS (
+                SELECT q.doc_id, l.lang, q.quality, q.n_tokens, q.fp
+                FROM q JOIN l ON l.doc_id = q.doc_id
+                WHERE q.quality >= 0.8
+            ),
+            surv AS (
+                SELECT * FROM (
+                    SELECT base.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                    FROM base) WHERE rn = 1
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   round(avg(quality), 6) AS avg_quality
+            FROM surv GROUP BY lang
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

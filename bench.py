@@ -26,6 +26,16 @@ from hama_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Shuffle partitions sized to the bench DATA, not the core count: at
+# sf0.1 (~600k lineitem rows, 100k-vertex generated graphs) 16 fuller
+# partitions beat 32 slivers by ~11% wall-clock (measured A/B) — the
+# per-task scheduling floor dominates sliver-sized partitions,
+# especially inside iterative loops whose explicit repartition AQE does
+# not coalesce. A cluster submit overrides via --conf or
+# SPARK_GRAFT_SHUFFLE; the "2-3x total cores" rule applies when
+# partitions are data-bound, not overhead-bound.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
+
 # Quadratic all-pairs ops are capped out of the headline set at sf>=0.1:
 # they are correctness surface (checked at sf0.01), not throughput
 # surface. Everything else runs at full bench scale.

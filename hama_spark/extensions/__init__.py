@@ -12,6 +12,7 @@ from hama_spark.extensions.multimodal import (
     extract_image_features,
     sample_frames,
 )
+from hama_spark.extensions.pipeline import clean_corpus, corpus_stats
 from hama_spark.extensions.sampling import (
     global_shuffle,
     pack_sequences,
@@ -48,6 +49,8 @@ __all__ = [
     "extract_image_features",
     "extract_audio_features",
     "sample_frames",
+    "clean_corpus",
+    "corpus_stats",
     "seeded_sample",
     "stratified_sample",
     "global_shuffle",

@@ -181,21 +181,26 @@ def lsh_cosine_dup_pairs(
     when it collides in several tables."""
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
-    n = _normalized(df, id_col, vec_col)
-    nb = _with_buckets(n, "v", dim, planes, tables, seed)
-    a = nb.select("tbl", "bkt", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = nb.select("tbl", "bkt", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    n = _normalized(df, id_col, vec_col).localCheckpoint(eager=True)
+    nb = _with_buckets(n, "v", dim, planes, tables, seed).select("tbl", "bkt", "id")
+    # Candidate generation carries BARE IDS: the bucket self-join and the
+    # collision dedup shuffle 16-byte pairs, never dim-sized vectors.
+    # Vectors join back afterwards so each DISTINCT pair is scored
+    # exactly once (a pair colliding in k tables would otherwise pay k
+    # dot products, and dedup-with-vectors-in-tow would pay the shuffle).
     cand = (
-        a.join(b, ["tbl", "bkt"])
+        nb.alias("a")
+        .join(nb.alias("b"), ["tbl", "bkt"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        # same pair from several tables: keep one copy before the exact
-        # verify (vectors ride along; dedupe on the id pair only)
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
-            "id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 9).alias("cosine")
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(_dot(F.col("va"), F.col("vb")), 9).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

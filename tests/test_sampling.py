@@ -69,3 +69,21 @@ def test_pack_sequences_prefix_sum_invariants(spark, tables):
     # packs are contiguous and start at 0
     packs = sorted({r["pack_id"] for r in rows})
     assert packs[0] == 0 and packs == list(range(packs[-1] + 1))
+
+
+def test_clean_corpus_dedups_and_filters(spark, tables):
+    from hama_spark.extensions import clean_corpus, corpus_stats
+
+    docs = tables["documents"].select("doc_id", "text")
+    n = docs.count()
+    # inject exact duplicates under higher ids: survivors must be the originals
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = clean_corpus(docs.union(dup), min_quality=0.0)
+    assert out.count() == n
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    # raising the threshold only shrinks the corpus
+    strict = clean_corpus(docs, min_quality=0.9)
+    assert strict.count() < n
+    # stats add up
+    stats = corpus_stats(clean_corpus(docs, min_quality=0.0)).collect()
+    assert sum(r["n_docs"] for r in stats) == n
