@@ -1291,6 +1291,23 @@ def _q_pack_sequences(spark, t):
     )
 
 
+def _q_interleave_mix(spark, t):
+    from hama_spark.extensions import interleave_datasets, lang_id
+
+    # materialize the lang scoring once — both source branches read it
+    docs = (
+        t["documents"]
+        .select("doc_id", lang_id("text").alias("lang"))
+        .localCheckpoint(eager=True)
+    )
+    en = docs.filter("lang = 'en'").select("doc_id")
+    rest = docs.filter("lang <> 'en'").select("doc_id")
+    # upweight the rare non-en slice 3x in the merged training order
+    return interleave_datasets({"en": (en, 1.0), "rest": (rest, 3.0)}).select(
+        "source", "doc_id", "pos"
+    )
+
+
 def _q_corpus_stats(spark, t):
     from hama_spark.extensions import clean_corpus, corpus_stats
 
@@ -1507,6 +1524,7 @@ QUERIES: dict[str, Callable] = {
     # the end-to-end composition: quality filter -> lang id -> exact
     # dedup -> per-language report, all one Catalyst plan
     "corpus_stats": _q_corpus_stats,
+    "interleave_mix": _q_interleave_mix,
     "dedup_exact": _q_dedup_exact,
     # minhash_lsh_pairs before dedup_near: the cluster-collapse query
     # reuses the memoized LSH pairs, so in-order runs price the
@@ -1805,6 +1823,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
                    round(avg(quality), 6) AS avg_quality
             FROM surv GROUP BY lang
+        """,
+        "interleave_mix": f"""
+            WITH l AS ({_lang_id_sql()}),
+            pe AS (SELECT 'en' AS source, doc_id,
+                          (row_number() OVER (ORDER BY h % 64, h, doc_id) - 0.5) / 1.0 AS mkey
+                   FROM (SELECT doc_id, {_SAMPLE_HASH} AS h FROM l WHERE lang = 'en')),
+            pr AS (SELECT 'rest' AS source, doc_id,
+                          (row_number() OVER (ORDER BY h % 64, h, doc_id) - 0.5) / 3.0 AS mkey
+                   FROM (SELECT doc_id, {_SAMPLE_HASH} AS h FROM l WHERE lang <> 'en')),
+            u AS (SELECT * FROM pe UNION ALL SELECT * FROM pr)
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (ORDER BY mkey, source, doc_id) AS BIGINT) AS pos
+            FROM u
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

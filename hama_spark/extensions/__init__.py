@@ -15,7 +15,9 @@ from hama_spark.extensions.multimodal import (
 from hama_spark.extensions.pipeline import clean_corpus, corpus_stats
 from hama_spark.extensions.sampling import (
     global_shuffle,
+    interleave_datasets,
     pack_sequences,
+    ranked_by,
     seeded_sample,
     stratified_sample,
 )
@@ -54,6 +56,8 @@ __all__ = [
     "seeded_sample",
     "stratified_sample",
     "global_shuffle",
+    "ranked_by",
+    "interleave_datasets",
     "pack_sequences",
     "tokenize",
     "token_count",

@@ -130,6 +130,73 @@ def _two_phase_positions(
     return out.drop("_h", "_bkt", "_w", "_pos_in", "_cum_in", "_off_n", "_off_w")
 
 
+def ranked_by(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank by ``order_cols`` WITHOUT a single-partition
+    window: range-repartition on the key (so each partition holds a
+    contiguous key range), rank within partitions in parallel, then add
+    each partition's global offset from a partition-count broadcast.
+    Any boundary choice Spark's range sampler makes yields the same
+    ranks as long as ``order_cols`` is a total order — pass tie-break
+    columns to guarantee that."""
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    arranged = df.repartitionByRange(n_part, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    local = arranged.withColumn("_lrank", F.row_number().over(w))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select("_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrank")).cast("long"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+def interleave_datasets(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic weighted interleave of corpora — the training-mix
+    merge: source s's i-th row (in its seeded shuffle order) gets merge
+    key (i - 0.5) / weight_s, and the output is the union ranked by
+    (key, source, id). A weight-2 source appears twice as often as a
+    weight-1 source at every prefix of the stream, which is what
+    "epochs-per-dataset" mixing means. Returns
+    (source, id_col, pos) with pos the 1-based merged order.
+
+    Each source df must expose ``id_col``; all positions are computed
+    with the engine's two-phase rank — no global windows."""
+    parts = []
+    for name, (df, weight) in sorted(sources.items()):
+        shuffled = _two_phase_positions(df, seed, id_col, None, num_buckets)
+        parts.append(
+            shuffled.select(
+                F.lit(name).alias("source"),
+                F.col(id_col),
+                ((F.col("pos") - F.lit(0.5)) / F.lit(float(weight))).alias("_mkey"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return ranked_by(u, ["_mkey", "source", id_col], out_col="pos").drop("_mkey")
+
+
 def global_shuffle(
     df: DataFrame, seed: int = 42, id_col: str = "doc_id", num_buckets: int = 64
 ) -> DataFrame:

@@ -87,3 +87,33 @@ def test_clean_corpus_dedups_and_filters(spark, tables):
     # stats add up
     stats = corpus_stats(clean_corpus(docs, min_quality=0.0)).collect()
     assert sum(r["n_docs"] for r in stats) == n
+
+
+def test_ranked_by_matches_global_order(spark, tables):
+    from hama_spark.extensions import ranked_by
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in ranked_by(docs, ["n_chars", "doc_id"]).collect()
+    }
+    expected = sorted(docs.collect(), key=lambda r: (r["n_chars"], r["doc_id"]))
+    for i, r in enumerate(expected, start=1):
+        assert got[r["doc_id"]] == i
+
+
+def test_interleave_weights_shape_the_stream(spark, tables):
+    from hama_spark.extensions import interleave_datasets
+
+    docs = tables["documents"].select("doc_id")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    na, nb = a.count(), b.count()
+    out = interleave_datasets({"a": (a, 3.0), "b": (b, 1.0)}).collect()
+    # permutation of the union
+    assert sorted(r["pos"] for r in out) == list(range(1, na + nb + 1))
+    # while both sources still have items, every prefix holds ~3x more
+    # of the weight-3 source (check at the point source b is 1/4 in)
+    prefix = [r for r in sorted(out, key=lambda r: r["pos"])][: nb]
+    n_a_prefix = sum(1 for r in prefix if r["source"] == "a")
+    assert n_a_prefix >= len(prefix) * 0.6, n_a_prefix
