@@ -218,7 +218,7 @@ def ivf_topk(
     """IVF: coarse-quantize the corpus with k-means centroids, search
     only the ``nprobe`` cells nearest each query, exact re-rank.
     Centroids are O(n_cells·dim) driver state (broadcast literals)."""
-    from hama_spark.ml.kmeans import kmeans, _with_center_assignment
+    from hama_spark.ml.kmeans import kmeans, _assign_expr
     from hama_spark.functions.distance import MEASURES
 
     # normalized corpus is read three times (centroid seed, k-means
@@ -229,9 +229,12 @@ def ivf_topk(
     centers = km.centers
 
     measure = MEASURES["euclidean"]
-    cb = _with_center_assignment(c, centers, measure, feat="v").withColumnRenamed(
-        "center_id", "cell"
-    )
+    # final assignment embeds the trained centers as plan literals
+    # (_assign_expr): built once, so the per-iteration codegen-reuse
+    # trick of _with_center_assignment buys nothing here, and literals
+    # keep the scan→project→join pipeline in one codegen span with no
+    # nested-loop node against a 1-row centers relation.
+    cb = c.select("id", "v", _assign_expr(centers, measure, feat="v").alias("cell"))
 
     q = _normalized(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")

@@ -88,13 +88,22 @@ class CFModel:
     def most_preferred_items(self, users: DataFrame, count: int = 10) -> DataFrame:
         """users(user) -> top `count` items per user by estimated score.
 
-        Exact scorer: scores EVERY catalog item per user (users x items).
-        This is the oracle/small-catalog path — fine at MovieLens scale,
-        quadratic at a web-scale catalog. For large catalogs use
+        Exact scorer: scores EVERY catalog item per user — quadratic by
+        spec. Shaped like cosine_topk: the (small) users side is joined
+        to its factors and broadcast, so the item catalog is scanned
+        once map-side and never shuffles. Fine whenever users-per-batch
+        is bounded; for web-scale catalogs with many users use
         :meth:`most_preferred_items_ann`, which probes an IVF index
         instead of scanning the catalog per user."""
-        scored = self.estimate_preference(
-            users.crossJoin(self.item_factors.select("item"))
+        u = users.join(self.user_factors, "user").select("user", "uf")
+        scored = self.item_factors.crossJoin(F.broadcast(u)).select(
+            "user",
+            "item",
+            F.aggregate(
+                F.zip_with("uf", "vf", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
         )
         return self._rank_topk(scored, count)
 

@@ -1,0 +1,45 @@
+"""Whole-surface physical-plan audit: build EVERY query in the
+inventory at sf0.001 and scan its final plan for scale anti-patterns.
+
+- BatchEvalPython = a row-at-a-time Python UDF on the hot path. The
+  engine's rule is JVM expressions everywhere, Arrow-vectorized
+  mapInPandas (MapInPandas/ArrowEvalPython nodes) only for multimodal
+  decode — a BatchEvalPython anywhere is a regression.
+- CartesianProduct / BroadcastNestedLoopJoin = a join that lost its
+  equi-condition. Allowed only for the documented brute-force
+  ground-truth queries (quadratic by spec) and the broadcast
+  query-side top-k scorer.
+
+Iterative operators execute their fixpoint while the query builds; the
+audited plan is the final state's — interior supersteps are covered by
+test_plans.test_pregel_join_no_cartesian.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR_001
+from tests.test_plans import _plan
+
+# quadratic-by-spec (ground-truth baselines) or intentionally
+# broadcast-nested-loop (query side broadcast, corpus never shuffles)
+NESTED_LOOP_OK = {
+    "ngram_jaccard_pairs",
+    "embedding_cosine_pairs",
+    "cosine_topk",
+    # exact full-catalog scorer: users side broadcast, catalog scanned
+    # map-side once (ANN twin most_preferred_items_ann is the scale path)
+    "online_cf_topk",
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.QUERIES))
+def test_no_plan_antipatterns(spark, name):
+    df = entry.queries()[name](spark, SF_DIR_001)
+    plan = _plan(df, "simple")
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan}"
+    if name not in NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join\n{plan}"
