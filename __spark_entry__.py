@@ -1320,6 +1320,21 @@ def _q_fingerprint(spark, t):
     return t["documents"].select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
+def _q_winnow(spark, t):
+    # rolling-hash winnowing fingerprints, reduced to one summary row
+    # per document (count/min/max/sum over the selected hashes) so the
+    # oracle compare stays doc-sized while still covering every window
+    from hama_spark.extensions.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(t["documents"])
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("sum_fp"),
+    )
+
+
 def _q_dedup_exact(spark, t):
     from hama_spark.extensions import dedup_exact
 
@@ -1517,6 +1532,7 @@ QUERIES: dict[str, Callable] = {
     "quality_score": _q_quality,
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
+    "winnow_fingerprints": _q_winnow,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
@@ -1764,6 +1780,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+        # winnowing (k=5 char grams, w=4 windows): hash every k-gram,
+        # min per sliding window, distinct mins per doc, then the same
+        # count/min/max/sum summary the Spark query computes
+        "winnow_fingerprints": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CASE WHEN length(norm) >= 5 THEN
+                       list_transform(range(1, length(norm) - 5 + 2),
+                         i -> ('0x' || substr(md5(substr(norm, i::INT, 5)), 1, 8))::BIGINT)
+                     ELSE []::BIGINT[] END AS hs
+              FROM n
+            ), f AS (
+              SELECT doc_id,
+                     unnest(CASE
+                       WHEN len(hs) >= 4 THEN list_distinct(
+                         list_transform(range(1, len(hs) - 4 + 2),
+                           j -> list_min(hs[j::INT:(j + 3)::INT])))
+                       WHEN len(hs) >= 1 THEN [list_min(hs)]
+                       ELSE []::BIGINT[] END) AS fp
+              FROM h
+            )
+            SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
+                   max(fp) AS max_fp, sum(fp)::BIGINT AS sum_fp
+            FROM f GROUP BY doc_id
+        """,
         "seeded_sample": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE {_SAMPLE_HASH} % 1000000 < {int(0.2 * 1_000_000)}

@@ -34,6 +34,7 @@ from hama_spark.extensions.text import (
     text_stats,
     token_count,
     tokenize,
+    winnow_fingerprints,
 )
 
 __all__ = [
@@ -65,4 +66,5 @@ __all__ = [
     "text_stats",
     "lang_id",
     "doc_fingerprint",
+    "winnow_fingerprints",
 ]

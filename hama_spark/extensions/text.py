@@ -33,6 +33,20 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
 
 
+def _once_per_row(df, col: str):
+    """Force ``col`` to be computed exactly once per row.
+
+    ``explode(array(col))`` inserts a Generate node whose output is a
+    real attribute — unlike a Project alias, Catalyst's CollapseProject
+    can never inline it into downstream expressions (where a reference
+    inside a higher-order-function lambda would re-evaluate it per
+    array element). One-element explode, so row count and values are
+    unchanged; the Generate is pipelined, no shuffle, no caching.
+    """
+    others = [c for c in df.columns if c != col]
+    return df.select(*others, F.explode(F.array(col)).alias(col))
+
+
 def tokenize(text) -> Column:
     """Whitespace tokenizer: split trimmed text on runs of whitespace.
     SQL twin: regexp_split_to_array(trim(text), '\\s+')."""
@@ -125,6 +139,89 @@ def lang_id(text) -> Column:
     return F.when(
         F.substring(best, 1, 8) != F.lit("0" * 8), F.substring(best, 10, 2)
     ).otherwise(F.lit("und"))
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+):
+    """Local document fingerprints via winnowing (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03): hash every character ``k``-gram of the normalized
+    text, slide a window of ``w`` consecutive gram hashes, keep the
+    minimum of each window, emit the distinct selected hashes as
+    (id, fp) rows. Any shared substring of length >= w+k-1 between two
+    documents is guaranteed to share a fingerprint — the rolling-hash
+    complement to the whole-document :func:`doc_fingerprint`.
+
+    Map-only: all work happens in array expressions inside one row, no
+    shuffle at any scale. Two plan-shape defenses, both measured
+    necessary (minutes -> seconds on 300-char docs at sf0.01):
+
+    1. Each expensive intermediate (``_norm``, ``_h``) is materialized
+       through :func:`_once_per_row` — CollapseProject otherwise inlines
+       the md5-gram transform into EVERY downstream reference (27 copies
+       observed in the physical plan), and references inside
+       higher-order-function lambdas re-evaluate per element.
+    2. The sliding-window min uses sparse-table doubling (``zip_with``
+       of the array against a ``slice``-shifted copy, log2(w)+1 rounds)
+       rather than ``transform(indices, j -> array_min(slice(h, j, w)))``
+       — the naive form evaluates the hash array once per window
+       (O(m^2) hashes per document).
+
+    Docs shorter than w+k-1 chars still fingerprint (min over all gram
+    hashes); docs shorter than k chars emit nothing.
+    """
+    fid = F.col(id_col)
+    norm = F.lower(F.regexp_replace(F.trim(_c(text_col)), r"\s+", " "))
+    s1 = _once_per_row(df.select(fid.alias("id"), norm.alias("_norm")), "_norm")
+
+    m = F.length(F.col("_norm")) - k + 1
+
+    def gram_hash(i):
+        g = F.col("_norm").substr(i, F.lit(k))
+        return F.conv(F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10).cast("long")
+
+    s2 = _once_per_row(
+        s1.select(
+            "id",
+            F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram_hash))
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_h"),
+        ),
+        "_h",
+    )
+
+    def shift_min(arr, off, out_len):
+        """Elementwise min of ``arr`` and ``arr`` shifted left by ``off``:
+        out[i] = min(arr[i], arr[i+off]), truncated to ``out_len``.
+        ``arr`` is only an argument here — evaluated once per row."""
+        return F.zip_with(
+            F.slice(arr, 1, out_len),
+            F.slice(arr, 1 + off, out_len),
+            lambda a, b: F.least(a, b),
+        )
+
+    # wm_q[i] = min(h[i..i+q-1]); double q until 2q > w, then one final
+    # overlapping combine (valid because the final q satisfies 2q >= w).
+    nh = F.size(F.col("_h"))
+    cur, q = F.col("_h"), 1
+    while q * 2 <= w:
+        cur = shift_min(cur, q, nh - 2 * q + 1)
+        q *= 2
+    if q < w:
+        cur = shift_min(cur, w - q, nh - w + 1)
+
+    s3 = s2.select(
+        "id",
+        F.when(nh >= w, F.array_distinct(cur))
+        .when(nh >= 1, F.array(F.array_min(F.col("_h"))))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_fps"),
+    )
+    return s3.select(F.col("id").alias(id_col), F.explode("_fps").alias("fp"))
 
 
 def doc_fingerprint(text) -> Column:

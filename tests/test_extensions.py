@@ -236,3 +236,58 @@ def test_audio_features_plumbing(spark):
     assert feats[1]["duration_ms"] == 2000
     assert feats[2]["n_bytes"] == 0 and feats[2]["rms_byte"] == 0
     assert 3 not in feats  # image filtered out
+
+
+def _winnow_ref(text: str, k: int = 5, w: int = 4) -> set[int]:
+    """Pure-Python winnowing reference (same normalize/hash/window)."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip()).lower()
+    if len(norm) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    from hama_spark.extensions import winnow_fingerprints
+
+    docs = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "the  QUICK   brown fox jumps over the lazy dog "),  # normalizes to #0
+        (2, "tiny"),  # shorter than k -> no fingerprints
+        (3, "sixch"),  # exactly k chars -> one gram, min-of-all path
+        (4, "seven77"),  # m=3 < w -> min-of-all path
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    want = {(i, fp) for i, t in docs for fp in _winnow_ref(t)}
+    assert got == want
+    # normalization makes 0 and 1 identical -> identical fingerprint sets
+    assert {f for i, f in got if i == 0} == {f for i, f in got if i == 1}
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # winnowing guarantee: a shared substring of length >= w+k-1 (=8)
+    # yields at least one shared fingerprint
+    from hama_spark.extensions import winnow_fingerprints
+
+    shared = "common phrase here"
+    df = spark.createDataFrame(
+        [(0, "aaa " + shared + " xyz"), (1, "zzzz " + shared + " qqq")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df).collect()
+    a = {r["fp"] for r in rows if r["doc_id"] == 0}
+    b = {r["fp"] for r in rows if r["doc_id"] == 1}
+    assert a & b
