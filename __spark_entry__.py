@@ -1230,6 +1230,88 @@ def _q_sessionize(spark, t):
     return sessionize(t["events"], gap_minutes=30)
 
 
+# --- temporal joins ----------------------------------------------------
+def _q_asof_purchase_click(spark, t):
+    # for each purchase, the same user's latest click strictly before it
+    # (one shuffle: union + per-user window carry-forward; the plan a
+    # native sort-merge as-of join would produce)
+    from hama_spark.operators.temporal import asof_join
+
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        strict=True, suffix="", tiebreak="click_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("micros_since_click"),
+    )
+
+
+def _q_band_error_counts(spark, t):
+    # errors within ±5 min of each purchase — bucketed band join (pure
+    # equi-join on epoch//300 buckets, no theta-join), then a per-left
+    # rollup re-attached so rowless purchases keep count 0
+    from hama_spark.operators.temporal import band_join
+
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    pairs = band_join(purchases, errors, band_secs=300)
+    per = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_errors_5m"),
+        F.sum("err_id_r").alias("sum_err_id"),
+    )
+    return purchases.select("event_id").join(per, on="event_id", how="left").select(
+        "event_id",
+        F.coalesce("n_errors_5m", F.lit(0).cast("long")).alias("n_errors_5m"),
+        F.coalesce("sum_err_id", F.lit(0).cast("long")).alias("sum_err_id"),
+    )
+
+
+# --- embedding vector ops ----------------------------------------------
+def _q_embedding_normalize(spark, t):
+    from hama_spark.extensions.vectors import l2_normalize
+
+    out = l2_normalize(t["embeddings"])
+    return out.select(
+        "vec_id",
+        F.round("norm", 9).alias("norm"),
+        F.size("unit").cast("long").alias("n_dims"),
+    )
+
+
+def _q_embedding_quantize(spark, t):
+    # int8 codes are engine-exact integers; only the scale is float, and
+    # it is rounded for the compare like every other float output
+    from hama_spark.extensions.vectors import quantize_int8
+
+    q = quantize_int8(t["embeddings"])
+    acc = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(F.col("q"), acc, lambda a, x: a + x).alias("sum_q"),
+        F.aggregate(F.col("q"), acc, lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
+        F.array_max("q").cast("long").alias("max_q"),
+        F.array_min("q").cast("long").alias("min_q"),
+    )
+
+
 # --- extensions --------------------------------------------------------
 def _q_token_count(spark, t):
     from hama_spark.extensions import token_count
@@ -1525,6 +1607,9 @@ QUERIES: dict[str, Callable] = {
     "events_enriched": _q_events_enriched,
     "events_props": _q_events_props,
     "events_dedup_hourly": _q_events_dedup_hourly,
+    # temporal joins
+    "asof_purchase_click": _q_asof_purchase_click,
+    "band_error_counts": _q_band_error_counts,
     # extensions (north star)
     "token_count": _q_token_count,
     "bpe_token_count": _q_bpe_token_count,
@@ -1559,6 +1644,8 @@ QUERIES: dict[str, Callable] = {
     "lsh_cosine_pairs": _q_lsh_cosine_pairs,
     "dedup_embedding": _q_dedup_embedding,
     "ivf_topk": _q_ivf_topk,
+    "embedding_normalize": _q_embedding_normalize,
+    "embedding_quantize": _q_embedding_quantize,
     "image_features": _q_image_features,
     "audio_features": _q_audio_features,
     "video_frames": _q_video_frames,
@@ -1732,6 +1819,35 @@ def oracle_sql() -> dict[str, str]:
                          ) AS n_in_window
                   FROM events)
             WHERE rn = 1
+        """,
+        # as-of join: LATERAL top-1 subquery is the executable spec of
+        # "latest click strictly before the purchase" (DuckDB's ASOF
+        # JOIN has the same semantics; LATERAL pins the tie-break)
+        "asof_purchase_click": """
+            SELECT l.event_id, l.user_id, r.click_id, r.click_value,
+                   CASE WHEN r.click_ts IS NULL THEN NULL
+                        ELSE epoch_us(l.ts) - epoch_us(r.click_ts) END
+                     AS micros_since_click
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            LEFT JOIN LATERAL (
+              SELECT e.event_id AS click_id, e.ts AS click_ts,
+                     e.value AS click_value
+              FROM events e
+              WHERE e.user_id = l.user_id AND e.event_type = 'click'
+                AND e.ts < l.ts
+              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+            ) r ON true
+        """,
+        "band_error_counts": """
+            SELECT a.event_id,
+                   count(b.event_id) AS n_errors_5m,
+                   coalesce(sum(b.event_id), 0)::BIGINT AS sum_err_id
+            FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') a
+            LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') b
+              ON b.ts BETWEEN a.ts - INTERVAL 300 SECONDS
+                          AND a.ts + INTERVAL 300 SECONDS
+            GROUP BY a.event_id
         """,
         # sliding 2h/1h: an event belongs to the 2 hourly-aligned windows
         # starting at bucket(ts) and bucket(ts)-1h
@@ -1932,6 +2048,35 @@ def oracle_sql() -> dict[str, str]:
             FROM labeled GROUP BY comp
         """,
         "ivf_topk": _ivf_topk_sql(64),
+        "embedding_normalize": """
+            SELECT vec_id,
+                   round(sqrt(list_aggregate(
+                     list_transform(embedding::DOUBLE[], y -> y*y), 'sum')), 9)
+                     AS norm,
+                   len(embedding) AS n_dims
+            FROM embeddings
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                       / 127.0 AS scale
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale > 0 THEN
+                       list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+                     ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+              FROM s
+            )
+            SELECT vec_id, round(scale, 9) AS scale,
+                   CAST(list_sum(codes) AS BIGINT) AS sum_q,
+                   CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT)
+                     AS sum_abs_q,
+                   CAST(list_max(codes) AS BIGINT) AS max_q,
+                   CAST(list_min(codes) AS BIGINT) AS min_q
+            FROM q
+        """,
         "embedding_cosine_pairs": """
             WITH n AS (
               SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /

@@ -21,14 +21,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hama_spark.plans.fences import once_per_row
+
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    # the norm is fenced through once_per_row: referenced inside the
+    # division lambda, CollapseProject would otherwise inline the
+    # aggregate and re-evaluate it per element (O(d^2) per row)
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm).alias("v"),
+    s = once_per_row(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("_vec"), norm.alias("_n")
+        ),
+        "_n",
+    )
+    return s.select(
+        "id",
+        F.transform(F.col("_vec"), lambda x: x.cast("double") / F.col("_n")).alias("v"),
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from hama_spark.plans.fences import once_per_row as _once_per_row
+
 # small portable stopword sets; doubles as the language-marker table for
 # the n-gram/marker-word language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -31,20 +33,6 @@ EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "with", "as", "at", "by")
 
 def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
-
-
-def _once_per_row(df, col: str):
-    """Force ``col`` to be computed exactly once per row.
-
-    ``explode(array(col))`` inserts a Generate node whose output is a
-    real attribute — unlike a Project alias, Catalyst's CollapseProject
-    can never inline it into downstream expressions (where a reference
-    inside a higher-order-function lambda would re-evaluate it per
-    array element). One-element explode, so row count and values are
-    unchanged; the Generate is pipelined, no shuffle, no caching.
-    """
-    others = [c for c in df.columns if c != col]
-    return df.select(*others, F.explode(F.array(col)).alias(col))
 
 
 def tokenize(text) -> Column:

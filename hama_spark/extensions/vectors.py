@@ -1,0 +1,82 @@
+"""Embedding vector utilities (north star): L2 normalization and int8
+scalar quantization — the storage/compute halving every large-scale
+embedding pipeline applies before ANN indexing.
+
+Pure array-column expressions (JVM-side, no UDFs) with exact DuckDB SQL
+twins. All element math is done in double: float32 inputs widen
+exactly, and IEEE-754 double ops (+ correctly-rounded sqrt/division)
+are bit-identical across engines, so md5 value-hash comparison works.
+
+Map-only at any scale — one projection over the embeddings scan, no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hama_spark.plans.fences import once_per_row
+
+
+def l2_normalize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "unit",
+) -> DataFrame:
+    """Add ``out_col`` = vec / ||vec||2 (NULL-safe: zero vectors map to
+    all-zero, not NaN). Keeps ``id_col`` and a ``norm`` column.
+
+    The norm is fenced through :func:`once_per_row` — referenced inside
+    the division lambda it would otherwise be re-evaluated once per
+    element (O(d^2) per row after CollapseProject inlining).
+    """
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    s = once_per_row(
+        df.select(F.col(id_col), F.col(vec_col), norm.alias("norm")), "norm"
+    )
+    unit = F.when(
+        F.col("norm") > 0.0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("norm")),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0)))
+    return s.select(id_col, "norm", unit.alias(out_col))
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) in [-127, 127]. Returns
+    (id_col, scale double, q array<int>). Zero vectors get scale 0 and
+    all-zero codes.
+
+    round() is half-away-from-zero in BOTH Spark and DuckDB, and scale
+    is an exact IEEE double quotient, so codes are engine-identical.
+    The scale is fenced for the same O(d^2) reason as the norm above.
+    """
+    amax = F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double")))
+    )
+    s = once_per_row(
+        df.select(F.col(id_col), F.col(vec_col), (amax / F.lit(127.0)).alias("scale")),
+        "scale",
+    )
+    q = F.when(
+        F.col("scale") > 0.0,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0)))
+    return s.select(id_col, "scale", q.alias("q"))
+
+
+def dequantize(q_col: str = "q", scale_col: str = "scale"):
+    """Column expression inverting :func:`quantize_int8`:
+    q * scale as array<double>."""
+    return F.transform(F.col(q_col), lambda c: c.cast("double") * F.col(scale_col))

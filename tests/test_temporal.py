@@ -1,0 +1,153 @@
+"""as-of join + banded range join (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.operators.temporal import asof_join, band_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:00:05"), 101.0),
+            (1, _ts("2024-01-01T10:00:10"), 102.0),
+            (2, _ts("2024-01-01T10:00:03"), 50.0),
+        ],
+        "sym long, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:04"), 7),   # after 10:00:00 quote
+            (1, _ts("2024-01-01T10:00:05"), 8),   # exactly at a quote ts
+            (1, _ts("2024-01-01T09:59:59"), 9),   # before any quote
+            (2, _ts("2024-01-01T10:00:30"), 10),  # far after its only quote
+            (3, _ts("2024-01-01T10:00:01"), 11),  # key with no quotes at all
+        ],
+        "sym long, ts timestamp, qty long",
+    )
+    return quotes, trades
+
+
+def test_asof_inclusive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        (r["sym"], r["qty"]): r["px_r"]
+        for r in asof_join(trades, quotes, on="sym").collect()
+    }
+    assert out == {
+        (1, 7): 100.0,
+        (1, 8): 101.0,  # ts-equal quote matches when inclusive
+        (1, 9): None,
+        (2, 10): 50.0,
+        (3, 11): None,
+    }
+
+
+def test_asof_strict_and_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    strict = {
+        (r["sym"], r["qty"]): r["px_r"]
+        for r in asof_join(trades, quotes, on="sym", strict=True).collect()
+    }
+    assert strict[(1, 8)] == 100.0  # ts-equal quote excluded when strict
+
+    tol = {
+        (r["sym"], r["qty"]): r["px_r"]
+        for r in asof_join(trades, quotes, on="sym", tolerance_secs=10).collect()
+    }
+    assert tol[(2, 10)] is None  # 27s-old quote dropped by 10s horizon
+    assert tol[(1, 7)] == 100.0
+
+
+def test_asof_matches_lateral_oracle(spark, tables, duck):
+    """Purchases vs latest same-user click strictly before, on the real
+    events table — compared row-for-row against a DuckDB LATERAL
+    subquery (the executable spec of 'as of')."""
+    ev = tables["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts", "value"
+    )
+    got = sorted(
+        (r["event_id"], r["click_id_r"], r["value_r"])
+        for r in asof_join(purchases, clicks, on="user_id", strict=True).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT l.event_id, r.click_id, r.value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            LEFT JOIN LATERAL (
+              SELECT e.event_id AS click_id, e.value
+              FROM events e
+              WHERE e.user_id = l.user_id AND e.event_type = 'click'
+                AND e.ts < l.ts
+              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+            ) r ON true
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_band_join_matches_between_oracle(spark, tables, duck):
+    ev = tables["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    pairs = band_join(purchases, errors, band_secs=300)
+    got = sorted((r["event_id"], r["err_id_r"]) for r in pairs.collect())
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            SELECT a.event_id, b.event_id
+            FROM (SELECT * FROM events WHERE event_type='purchase') a
+            JOIN (SELECT * FROM events WHERE event_type='error') b
+              ON b.ts BETWEEN a.ts - INTERVAL 300 SECONDS
+                          AND a.ts + INTERVAL 300 SECONDS
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # each qualifying pair must be produced exactly once (no dedup pass)
+    assert len(got) == len(set(got))
+
+
+def test_band_join_no_cartesian_in_plan(spark, tables):
+    ev = tables["events"]
+    a = ev.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    plan = band_join(a, b, band_secs=300)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_band_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00")), (2, _ts("2024-06-01T00:00:00"))],
+        "id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01T00:02:00"))], "rid long, ts timestamp"
+    )
+    rows = {
+        (r["id"], r["rid_r"])
+        for r in band_join(left, right, band_secs=300, how="left").collect()
+    }
+    assert rows == {(1, 10), (2, None)}

@@ -1,0 +1,74 @@
+"""Embedding vector ops (extensions/vectors.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.vectors import dequantize, l2_normalize, quantize_int8
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [3.0, 4.0]),
+            (1, [0.0, 0.0]),          # zero vector: no NaN anywhere
+            (2, [-1.5, 2.5, -127.0]),
+            (3, [1e-4, -1e-4]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_l2_normalize(vecs):
+    rows = {r["vec_id"]: r for r in l2_normalize(vecs).collect()}
+    assert rows[0]["norm"] == pytest.approx(5.0)
+    assert rows[0]["unit"] == pytest.approx([0.6, 0.8])
+    assert rows[1]["norm"] == 0.0 and rows[1]["unit"] == [0.0, 0.0]
+    n2 = math.sqrt(sum(x * x for x in rows[2]["unit"]))
+    assert n2 == pytest.approx(1.0)
+
+
+def test_quantize_roundtrip(vecs):
+    q = quantize_int8(vecs)
+    rows = {r["vec_id"]: r for r in q.collect()}
+    assert rows[0]["scale"] == pytest.approx(4.0 / 127)
+    assert max(abs(c) for c in rows[2]["q"]) == 127
+    assert rows[1]["scale"] == 0.0 and rows[1]["q"] == [0, 0]
+    # all codes within int8 symmetric range
+    for r in rows.values():
+        assert all(-127 <= c <= 127 for c in r["q"])
+    # dequantized error bounded by scale/2 per component
+    deq = {
+        r["vec_id"]: r["d"]
+        for r in q.select("vec_id", "scale", dequantize().alias("d")).collect()
+    }
+    orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for vid, d in deq.items():
+        sc = rows[vid]["scale"]
+        for a, b in zip(orig[vid], d):
+            assert abs(a - b) <= sc / 2 + 1e-12
+
+
+def test_quantize_on_real_embeddings(tables):
+    emb = tables["embeddings"]
+    out = quantize_int8(emb)
+    row = out.filter(F.col("vec_id") == 0).collect()[0]
+    vec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    sc = max(abs(x) for x in vec) / 127.0
+    assert row["scale"] == pytest.approx(sc)
+
+    # exact engine-side check: every code equals python round-half-away
+    def pyround(x):
+        v = x / sc
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+    assert row["q"] == [pyround(float(x)) for x in vec]
+
+
+def test_plan_is_map_only(vecs):
+    for df in (l2_normalize(vecs), quantize_int8(vecs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle: pure projection chain
