@@ -79,9 +79,11 @@ def get_spark(
     return spark
 
 
-# columns stored as TIMESTAMP(NANOS) in the driver parquet; surfaced as
-# long by nanosAsLong and converted back to TimestampType here so query
-# results line up with the DuckDB oracle (which reads them as micros).
+# timestamp columns in the driver parquet. Two generations of testdata
+# exist: TIMESTAMP(NANOS) (surfaced as long by nanosAsLong) and plain
+# TIMESTAMP(MICROS) with no UTC flag (surfaced as timestamp_ntz). Both
+# are normalized to TimestampType (session TZ pinned to UTC) so query
+# code sees ONE type and results line up with the DuckDB oracle.
 NANO_TS_COLS = {
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -120,9 +122,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         for c in NANO_TS_COLS.get(t, ()):
-            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            dt = dict(df.dtypes).get(c)
+            if dt == "bigint":
                 # floor-div to microseconds == DuckDB's nanos->micros truncation
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            elif dt == "timestamp_ntz":
+                # micros parquet with no UTC flag; session TZ is UTC so the
+                # cast is a pure type change (same wall-clock instant)
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         out[t] = df
     return out
 
