@@ -1343,6 +1343,46 @@ def _q_lang_id(spark, t):
     return t["documents"].select("doc_id", lang_id("text").alias("lang"))
 
 
+def _q_tfidf_top_terms(spark, t):
+    from hama_spark.extensions import tfidf_top_terms
+
+    return tfidf_top_terms(t["documents"], k=3)
+
+
+def _q_repetition_stats(spark, t):
+    from hama_spark.extensions import repetition_stats
+
+    return repetition_stats(t["documents"])
+
+
+def _q_pii_scrub(spark, t):
+    """Synthetic PII is injected deterministically (doc_id % 5) so the
+    redaction path actually fires on the PII-free generated corpus; the
+    oracle applies the identical injection."""
+    from hama_spark.extensions import pii_scrub
+
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com 10.0.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" 555-123-4567"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return t["documents"].select("doc_id", *pii_scrub(injected))
+
+
+def _q_events_rollup(spark, t):
+    from hama_spark.streaming import rollup_event_counts
+
+    return rollup_event_counts(t["events"])
+
+
 def _q_seeded_sample(spark, t):
     from hama_spark.extensions import seeded_sample
 
@@ -1618,6 +1658,10 @@ QUERIES: dict[str, Callable] = {
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
     "winnow_fingerprints": _q_winnow,
+    "tfidf_top_terms": _q_tfidf_top_terms,
+    "repetition_stats": _q_repetition_stats,
+    "pii_scrub": _q_pii_scrub,
+    "events_rollup": _q_events_rollup,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
@@ -1924,6 +1968,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
                    max(fp) AS max_fp, sum(fp)::BIGINT AS sum_fp
             FROM f GROUP BY doc_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT id, tf.term, tf.tf,
+                     tf.tf * ln((n_docs + 1)::DOUBLE / (df + 1)) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY score DESC, term ASC) AS rn
+              FROM scored)
+            SELECT id AS doc_id, term, tf, round(score, 6) AS score
+            FROM ranked WHERE rn <= 3
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t WHERE len(toks) >= 2),
+            c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+                   round((sum(c) - count(*))::DOUBLE / sum(c), 6) AS dup_bigram_frac
+            FROM c GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com 10.0.0.'
+                            || CAST(doc_id % 250 AS VARCHAR) || ' 555-123-4567'
+                       ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_fp
+            FROM t
+        """,
+        "events_rollup": """
+            WITH e AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     event_type, value
+              FROM events)
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   CAST(grouping_id(day, event_type) AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM e GROUP BY ROLLUP (day, event_type)
         """,
         "seeded_sample": f"""
             SELECT doc_id, n_chars FROM documents

@@ -212,6 +212,121 @@ def winnow_fingerprints(
     return s3.select(F.col("id").alias(id_col), F.explode("_fps").alias("fp"))
 
 
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, score).
+
+    score = tf * ln((N+1)/(df+1)) with N = corpus size, df = number of
+    documents containing the term; ties break on term so the ranking is
+    deterministic and replayable in ANSI SQL.
+
+    Shape at scale: explode -> partial-aggregated groupBy(id, term)
+    (shuffle keyed by the pair), groupBy(term) for document frequency
+    (shuffle keyed by term, |vocab| rows out), a join back on term (AQE
+    broadcasts the df side when the vocabulary is small), and a per-doc
+    window for the top-k. N arrives via a broadcast single-row count —
+    no driver collect anywhere.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    fid = F.col(id_col)
+    terms = docs.select(
+        fid.alias("id"), F.explode(tokenize(F.lower(_c(text_col)))).alias("term")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def repetition_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-style repetition signals per document: bigram count, the
+    fraction of bigram slots taken by the single most frequent bigram,
+    and the fraction of bigram slots that repeat an earlier bigram
+    (1 - distinct/total). High values flag boilerplate / degenerate
+    text for pretraining filters.
+
+    Documents with fewer than two tokens emit nothing (no bigram
+    exists). Distributed shape: one explode, one partial-aggregated
+    groupBy(id, bigram), one groupBy(id) — everything keyed by doc so
+    skew is bounded by document length, not corpus size.
+    """
+    fid = F.col(id_col)
+    base = _once_per_row(
+        docs.select(fid.alias("id"), tokenize(F.lower(_c(text_col))).alias("_toks")),
+        "_toks",
+    )
+    n = F.size(F.col("_toks"))
+    bigrams = F.zip_with(
+        F.slice(F.col("_toks"), 1, n - 1),
+        F.slice(F.col("_toks"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = base.filter(n >= 2).select("id", F.explode(bigrams).alias("bg"))
+    counts = bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    return counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+        F.round((F.sum("c") - F.count("*")) / F.sum("c"), 6).alias("dup_bigram_frac"),
+    ).select(F.col("id").alias(id_col), "n_bigrams", "top_bigram_frac", "dup_bigram_frac")
+
+
+# PII patterns restricted to a dialect Java regex and RE2 share (\b, \d,
+# bounded repetition); applied longest-structure-first so the email rule
+# consumes its dots/digits before the looser numeric rules see them.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_scrub(text) -> list[Column]:
+    """Redaction columns for a text column: per-category match counts
+    (on the original text) plus the md5 fingerprint of the redacted
+    text (each category replaced by ``<CAT>`` in PII_PATTERNS order).
+    Map-only column expressions — no shuffle, no UDFs; the SQL twin
+    uses the identical RE2-compatible patterns.
+    """
+    t = _c(text)
+    cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    clean = t
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return cols + [F.md5(clean.cast("binary")).alias("clean_fp")]
+
+
 def doc_fingerprint(text) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. SQL twin:

@@ -2,6 +2,7 @@ from hama_spark.streaming.events import (
     dedup_events_within,
     enrich_events,
     parse_props,
+    rollup_event_counts,
     running_user_totals,
     sessionize,
     sessionize_stateful,
@@ -20,4 +21,5 @@ __all__ = [
     "parse_props",
     "dedup_events_within",
     "stream_dedup_within",
+    "rollup_event_counts",
 ]

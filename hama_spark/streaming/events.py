@@ -47,6 +47,34 @@ def windowed_event_stats(
     )
 
 
+def rollup_event_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Hierarchical (day, event_type) rollup in ONE pass: per-day-per-type,
+    per-day, and grand-total rows distinguished by ``gid`` (Spark
+    grouping_id bitmask == ANSI GROUPING_ID, so the DuckDB twin is
+    GROUP BY ROLLUP). The hypertable-continuous-aggregate shape: one
+    shuffle produces every resolution instead of one scan per level;
+    Spark expands the grouping sets map-side so partial aggregation
+    still applies at 100 TB.
+    """
+    day = F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd")
+    return (
+        events.select(day.alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sliding_event_stats(
     events: DataFrame,
     window: str = "2 hours",

@@ -291,3 +291,86 @@ def test_winnow_guarantee_shared_substring(spark):
     a = {r["fp"] for r in rows if r["doc_id"] == 0}
     b = {r["fp"] for r in rows if r["doc_id"] == 1}
     assert a & b
+
+
+def test_tfidf_top_terms_oracle(spark, tables, duck):
+    from hama_spark.extensions import tfidf_top_terms
+
+    got = tfidf_top_terms(tables["documents"], k=3)
+    assert_df_equals_oracle(
+        got,
+        duck,
+        r"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT id, tf.term, tf.tf,
+                 tf.tf * ln((n_docs + 1)::DOUBLE / (df + 1)) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY id
+                                       ORDER BY score DESC, term ASC) AS rn
+          FROM scored)
+        SELECT id AS doc_id, term, tf, round(score, 6) AS score
+        FROM ranked WHERE rn <= 3
+        """,
+    )
+
+
+def test_repetition_stats_oracle(spark, tables, duck):
+    from hama_spark.extensions import repetition_stats
+
+    got = repetition_stats(tables["documents"])
+    assert_df_equals_oracle(
+        got,
+        duck,
+        r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM t WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+               round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+               round((sum(c) - count(*))::DOUBLE / sum(c), 6) AS dup_bigram_frac
+        FROM c GROUP BY doc_id
+        """,
+    )
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    from hama_spark.extensions import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "all distinct words here"), (2, "one")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert 2 not in rows  # single token -> no bigrams
+    assert rows[0]["top_bigram_frac"] == 1.0 and rows[0]["dup_bigram_frac"] > 0.5
+    assert rows[1]["dup_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from hama_spark.extensions import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b@test.org and b@x.io ip 10.0.0.1 tel 555-123-4567"),
+            (1, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *pii_scrub("text")).collect()}
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (2, 1, 1)
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 0, 0)
+    assert rows[0]["clean_fp"] != rows[1]["clean_fp"]

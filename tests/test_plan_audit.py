@@ -32,6 +32,10 @@ NESTED_LOOP_OK = {
     # exact full-catalog scorer: users side broadcast, catalog scanned
     # map-side once (ANN twin most_preferred_items_ann is the scale path)
     "online_cf_topk",
+    # crossJoin(broadcast(<1-row count>)) to attach corpus size N for the
+    # idf term — a single-row broadcast is how scalar subqueries execute;
+    # per-partition cost is O(1) regardless of corpus size
+    "tfidf_top_terms",
 }
 
 

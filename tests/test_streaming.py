@@ -204,3 +204,26 @@ def test_windowed_stats_streaming_matches_batch(spark, tables, tmp_path):
     streamed = sorted(map(tuple, spark.sql("SELECT * FROM win_stats").collect()))
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_rollup_event_counts_oracle(spark, tables, duck):
+    from hama_spark.streaming import rollup_event_counts
+    from tests.conftest import assert_df_equals_oracle
+
+    got = rollup_event_counts(tables["events"])
+    assert_df_equals_oracle(
+        got,
+        duck,
+        """
+        WITH e AS (
+          SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                 event_type, value
+          FROM events)
+        SELECT coalesce(day, 'ALL') AS day,
+               coalesce(event_type, 'ALL') AS event_type,
+               CAST(grouping_id(day, event_type) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM e GROUP BY ROLLUP (day, event_type)
+        """,
+    )
