@@ -238,8 +238,19 @@ def tfidf_top_terms(
     terms = docs.select(
         fid.alias("id"), F.explode(tokenize(F.lower(_c(text_col)))).alias("term")
     )
+    # tf feeds BOTH sides of the tf x df join. A naive
+    # tf.groupBy(term).count() branch gets column-pruned to a keys-only
+    # aggregate, which makes its Exchange differ from the tf branch's —
+    # and the corpus is scanned twice. The throwaway sum(tf) keeps the
+    # tf column alive so both branches sit on the IDENTICAL
+    # Exchange(id, term) subtree and ReuseExchange scans the corpus once
+    # (verified: ReusedExchange in the physical plan; an explicit
+    # persist was measured 2x slower — it blocks the pipeline and drops
+    # whole-stage codegen for an exchange Spark can dedupe for free).
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("_tot")
+    ).drop("_tot")
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
