@@ -8,6 +8,7 @@ from hama_spark.streaming.events import (
     sessionize_stateful,
     sliding_event_stats,
     stream_dedup_within,
+    stream_interval_join,
     windowed_event_stats,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "parse_props",
     "dedup_events_within",
     "stream_dedup_within",
+    "stream_interval_join",
     "rollup_event_counts",
 ]

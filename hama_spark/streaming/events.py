@@ -47,6 +47,56 @@ def windowed_event_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time interval join (the stream-stream twin of
+    ``operators.temporal.band_join``): pair each left row with same-key
+    right rows whose timestamp lies in ``[left_ts - max_gap, left_ts]``.
+    Output: key, left_ts, right_ts, then the remaining columns prefixed
+    ``l_`` / ``r_``.
+
+    On streaming inputs BOTH sides carry watermarks and the predicate
+    bounds event time on both sides — exactly the two conditions
+    Structured Streaming needs to evict join state, so buffered state is
+    O(watermark + gap worth of events), never unbounded. Works
+    identically on batch DataFrames (watermarks skipped).
+    """
+    lrest = [c for c in left.columns if c not in (key, ts_col)]
+    rrest = [c for c in right.columns if c not in (key, ts_col)]
+    l = left.select(
+        F.col(key).alias("_lk"),
+        F.col(ts_col).alias("left_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in lrest],
+    )
+    r = right.select(
+        F.col(key).alias("_rk"),
+        F.col(ts_col).alias("right_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in rrest],
+    )
+    if l.isStreaming:
+        l = l.withWatermark("left_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("_lk") == F.col("_rk"))
+        & (F.col("right_ts") >= F.col("left_ts") - F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("right_ts") <= F.col("left_ts"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("_lk").alias(key),
+        "left_ts",
+        "right_ts",
+        *[f"l_{c}" for c in lrest],
+        *[f"r_{c}" for c in rrest],
+    )
+
+
 def rollup_event_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Hierarchical (day, event_type) rollup in ONE pass: per-day-per-type,
     per-day, and grand-total rows distinguished by ``gid`` (Spark

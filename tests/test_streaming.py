@@ -227,3 +227,43 @@ def test_rollup_event_counts_oracle(spark, tables, duck):
         FROM e GROUP BY ROLLUP (day, event_type)
         """,
     )
+
+
+def test_stream_interval_join_matches_batch(spark, tables, tmp_path):
+    # stream-stream join: both sides watermarked, event-time-bounded
+    # predicate -> bounded state; availableNow replay must equal batch
+    from hama_spark.streaming import stream_interval_join
+
+    ev = _events_subset(tables, 2000).select("event_id", "user_id", "event_type", "ts")
+    lsrc, rsrc = str(tmp_path / "iv_left"), str(tmp_path / "iv_right")
+    ev.filter(F.col("event_type") == "purchase").write.parquet(lsrc)
+    ev.filter(F.col("event_type") == "view").write.parquet(rsrc)
+
+    def key(r):
+        return (r["user_id"], r["left_ts"], r["right_ts"], r["l_event_id"], r["r_event_id"])
+
+    batch = sorted(
+        key(r)
+        for r in stream_interval_join(
+            spark.read.parquet(lsrc), spark.read.parquet(rsrc), max_gap="2 hours"
+        ).collect()
+    )
+    assert batch, "fixture produced no joinable pairs"
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    out = stream_interval_join(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        max_gap="2 hours",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_joined")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(key(r) for r in spark.sql("SELECT * FROM interval_joined").collect())
+    assert got == batch
