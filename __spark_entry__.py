@@ -578,6 +578,22 @@ def _lsh_pairs_sql(
     """
 
 
+def _projection_sql(out_dim: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of vectors.random_projection: the identical seeded ±1
+    literal matrix inlined into the SQL, same left-to-right double sum."""
+    from hama_spark.extensions.vectors import projection_signs
+
+    cols = []
+    for j in range(out_dim):
+        lits = ", ".join(str(c) for c in projection_signs(seed, j, dim))
+        cols.append(
+            f"round(list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> embedding[i]::DOUBLE * ([{lits}]::DOUBLE[])[i]), 'sum') "
+            f"/ sqrt({out_dim}), 9) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
 def _lang_id_sql() -> str:
     from hama_spark.extensions.text import LANG_MARKERS
 
@@ -1295,6 +1311,12 @@ def _q_embedding_normalize(spark, t):
     )
 
 
+def _q_embedding_project(spark, t):
+    from hama_spark.extensions.vectors import random_projection
+
+    return random_projection(t["embeddings"])
+
+
 def _q_embedding_quantize(spark, t):
     # int8 codes are engine-exact integers; only the scale is float, and
     # it is rounded for the compare like every other float output
@@ -1689,6 +1711,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_embedding": _q_dedup_embedding,
     "ivf_topk": _q_ivf_topk,
     "embedding_normalize": _q_embedding_normalize,
+    "embedding_project": _q_embedding_project,
     "embedding_quantize": _q_embedding_quantize,
     "image_features": _q_image_features,
     "audio_features": _q_audio_features,
@@ -2168,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
                    len(embedding) AS n_dims
             FROM embeddings
         """,
+        "embedding_project": _projection_sql(),
         "embedding_quantize": """
             WITH s AS (
               SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -80,3 +80,53 @@ def dequantize(q_col: str = "q", scale_col: str = "scale"):
     """Column expression inverting :func:`quantize_int8`:
     q * scale as array<double>."""
     return F.transform(F.col(q_col), lambda c: c.cast("double") * F.col(scale_col))
+
+
+def projection_signs(seed: int, row: int, dim: int) -> list[float]:
+    """Deterministic ±1 row of the random projection matrix, derived
+    driver-side from md5(seed:row:counter) bytes — same recipe as the
+    LSH hyperplanes (similarity._plane), exposed so the SQL oracle can
+    inline the identical literals."""
+    import hashlib
+
+    comps: list[float] = []
+    counter = 0
+    while len(comps) < dim:
+        h = hashlib.md5(f"proj:{seed}:{row}:{counter}".encode()).digest()
+        for byte in h:
+            if len(comps) >= dim:
+                break
+            comps.append(1.0 if byte & 1 else -1.0)
+        counter += 1
+    return comps
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with an Achlioptas
+    ±1 matrix: y_j = (Σ_i v_i · r_{j,i}) / sqrt(out_dim). The matrix is
+    out_dim × dim of seeded plan LITERALS (like the k-means centers and
+    LSH hyperplanes) — it travels with the plan, the data never
+    shuffles, and the whole operator is one map-only projection over the
+    embeddings scan at any scale. Output columns p0..p{out_dim-1}
+    (rounded doubles, engine-exact: ±1 products are sign flips and the
+    left-to-right double sum is bit-identical in DuckDB).
+    """
+    import math
+
+    outs = []
+    for j in range(out_dim):
+        r = F.array(*[F.lit(c) for c in projection_signs(seed, j, dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), r, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ) / math.sqrt(out_dim)
+        outs.append(F.round(proj, 9).alias(f"p{j}"))
+    return df.select(id_col, *outs)

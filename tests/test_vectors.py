@@ -72,3 +72,21 @@ def test_plan_is_map_only(vecs):
     for df in (l2_normalize(vecs), quantize_int8(vecs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: pure projection chain
+
+
+def test_random_projection_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from hama_spark.extensions.vectors import random_projection
+    from tests.conftest import assert_df_equals_oracle
+
+    got = random_projection(tables["embeddings"])
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["embedding_project"])
+
+
+def test_random_projection_preserves_distinctness(spark, tables):
+    # JL sanity: 4-dim projections of 64-dim unit-ish vectors should be
+    # (almost surely) distinct per vector with a fixed seeded matrix
+    from hama_spark.extensions.vectors import random_projection
+
+    out = random_projection(tables["embeddings"]).collect()
+    assert len({(r["p0"], r["p1"], r["p2"], r["p3"]) for r in out}) == len(out)
