@@ -1371,6 +1371,12 @@ def _q_tfidf_top_terms(spark, t):
     return tfidf_top_terms(t["documents"], k=3)
 
 
+def _q_top_ngrams(spark, t):
+    from hama_spark.extensions import top_ngrams
+
+    return top_ngrams(t["documents"], n=2, k=20)
+
+
 def _q_repetition_stats(spark, t):
     from hama_spark.extensions import repetition_stats
 
@@ -1681,6 +1687,7 @@ QUERIES: dict[str, Callable] = {
     "doc_fingerprint": _q_fingerprint,
     "winnow_fingerprints": _q_winnow,
     "tfidf_top_terms": _q_tfidf_top_terms,
+    "top_ngrams": _q_top_ngrams,
     "repetition_stats": _q_repetition_stats,
     "pii_scrub": _q_pii_scrub,
     "events_rollup": _q_events_rollup,
@@ -2010,6 +2017,17 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT id AS doc_id, term, tf, round(score, 6) AS score
             FROM ranked WHERE rn <= 3
+        """,
+        "top_ngrams": r"""
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            b AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+              FROM t WHERE len(toks) >= 2)
+            SELECT ngram, count(*) AS cnt FROM b
+            GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 20
         """,
         "repetition_stats": r"""
             WITH t AS (

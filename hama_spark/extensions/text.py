@@ -310,6 +310,41 @@ def repetition_stats(
     ).select(F.col("id").alias(id_col), "n_bigrams", "top_bigram_frac", "dup_bigram_frac")
 
 
+def top_ngrams(
+    docs,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+):
+    """Corpus-level n-gram heavy hitters: the ``k`` most frequent word
+    n-grams with counts — the language-model count-table shape.
+    Deterministic: ties break on the n-gram string.
+
+    Scale shape: explode -> groupBy(ngram) with map-side partial
+    aggregation (the combiner soaks up Zipf skew before the shuffle),
+    then a global top-k that physically plans as TakeOrderedAndProject —
+    each partition keeps only its local top-k and the driver merges k
+    rows per partition, never the full vocabulary.
+    """
+    toks = F.col("_toks")
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    base = _once_per_row(
+        docs.select(tokenize(F.lower(_c(text_col))).alias("_toks")), "_toks"
+    )
+    return (
+        base.filter(m >= 1)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
 # PII patterns restricted to a dialect Java regex and RE2 share (\b, \d,
 # bounded repetition); applied longest-structure-first so the email rule
 # consumes its dots/digits before the looser numeric rules see them.

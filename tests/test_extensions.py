@@ -374,3 +374,21 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (2, 1, 1)
     assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 0, 0)
     assert rows[0]["clean_fp"] != rows[1]["clean_fp"]
+
+
+def test_top_ngrams_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from hama_spark.extensions import top_ngrams
+
+    got = top_ngrams(tables["documents"], n=2, k=20)
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["top_ngrams"])
+
+
+def test_top_ngrams_trigram_counts(spark):
+    from hama_spark.extensions import top_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    rows = top_ngrams(df, n=3, k=2).collect()
+    assert (rows[0]["ngram"], rows[0]["cnt"]) == ("a b c", 3)
