@@ -6,6 +6,7 @@ from hama_spark.sources.io import (
     read_text,
     read_text_kv,
     write_null,
+    write_partitioned,
     write_sequence_file,
     write_text_kv,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "write_text_kv",
     "write_sequence_file",
     "write_null",
+    "write_partitioned",
     "pipe_lines",
     "observed",
 ]

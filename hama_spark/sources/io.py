@@ -108,6 +108,36 @@ def write_sequence_file(
     df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned lake sink: one directory level per
+    partition column, so readers prune whole partitions from WHERE
+    clauses (PartitionFilters in the scan, zero I/O for pruned values).
+
+    Scale shape: rows are repartitioned on the partition keys first so
+    each task writes into few directories — without this, every task
+    holds a writer per live partition value and the job emits
+    tasks x partitions small files. ``sort_by`` orders rows inside each
+    file (tighter parquet min/max row-group stats -> better data
+    skipping, and better compression). ``max_records_per_file`` caps
+    file size for downstream split planning.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_by, *sort_by)
+    writer = out.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(path)
+
+
 def pipe_lines(
     df: DataFrame,
     command: str,

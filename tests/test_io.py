@@ -95,3 +95,22 @@ def test_write_null_executes_plan(spark):
     write_null(df)  # noop sink must still run the plan -> metrics filled
     assert obs.get["n"] == 100
     assert obs.get["total"] == 9900
+
+
+def test_write_partitioned_prunes_and_round_trips(spark, tables, tmp_path):
+    from hama_spark.sources import write_partitioned
+
+    path = str(tmp_path / "events_lake")
+    ev = tables["events"].select("event_id", "user_id", "event_type", "value")
+    write_partitioned(ev, path, partition_by=["event_type"], sort_by=["event_id"])
+
+    back = spark.read.parquet(path)
+    # round trip: same rows (partition column moves to the directory level)
+    assert back.count() == ev.count()
+    want = sorted(r["event_id"] for r in ev.filter(F.col("event_type") == "purchase").collect())
+    got_df = back.filter(F.col("event_type") == "purchase")
+    got = sorted(r["event_id"] for r in got_df.collect())
+    assert got == want
+    # the filter must prune at the DIRECTORY level, not scan-and-filter
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
