@@ -682,6 +682,30 @@ def _q_kcore(spark, t):
     return kcore(_sp_edges(spark, t), fixed_iters=KCORE_ITERS)
 
 
+def _q_triangles(spark, t):
+    """Triangles + LCC over the part co-purchase projection (parts
+    appearing in the same order) — a non-bipartite graph with real
+    community structure, unlike the bipartite supplier-part edges."""
+    from hama_spark.graph import triangle_count
+
+    # deterministic 20% order decimation keeps the bench-scale wedge
+    # count sane (wedge work grows ~m^1.5) while leaving a graph with
+    # ~250k real triangles at sf0.1
+    li = t["lineitem"].filter(F.col("l_orderkey") % 5 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 MATCH_ROUNDS = 3  # sf0.01 converges in 1; extra unrolled rounds no-op
 
 
@@ -1650,6 +1674,7 @@ QUERIES: dict[str, Callable] = {
     "kcore": _q_kcore,
     "bipartite_matching": _q_bipartite_matching,
     "semi_clustering": _q_semi_clustering,
+    "triangle_count": _q_triangles,
     "pagerank_gen_100k": _q_pagerank_gen,
     "sssp_gen_100k": _q_sssp_gen,
     "randbench": _q_randbench,
@@ -1765,6 +1790,41 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(SP_EDGES_SQL),
         "bipartite_matching": _matching_sql(SP_EDGES_SQL, 42, MATCH_ROUNDS),
         "semi_clustering": _semi_clustering_sql(NATION_DAG_SQL),
+        "triangle_count": f"""
+            WITH e0 AS (
+              SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+                AND a.l_orderkey % 5 = 0),
+            base AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            sym AS (SELECT src, dst FROM base
+                    UNION SELECT dst AS src, src AS dst FROM base),
+            deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+            e AS (SELECT s.src, s.dst, dd.deg AS dd
+                  FROM sym s
+                  JOIN deg ds ON ds.id = s.src
+                  JOIN deg dd ON dd.id = s.dst
+                  WHERE ds.deg < dd.deg
+                     OR (ds.deg = dd.deg AND s.src < s.dst)),
+            tri AS (SELECT a.u, a.v, b.w
+                    FROM (SELECT src AS u, dst AS v, dd AS dv FROM e) a
+                    JOIN (SELECT src AS u, dst AS w, dd AS dw FROM e) b USING (u)
+                    JOIN (SELECT src AS v, dst AS w FROM e) c
+                      ON c.v = a.v AND c.w = b.w
+                    WHERE a.dv < b.dw OR (a.dv = b.dw AND a.v < b.w)),
+            pv AS (SELECT id, count(*) AS triangles FROM (
+                     SELECT u AS id FROM tri
+                     UNION ALL SELECT v FROM tri
+                     UNION ALL SELECT w FROM tri) x
+                   GROUP BY 1)
+            SELECT d.id, CAST(d.deg AS BIGINT) AS degree,
+                   CAST(coalesce(pv.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN round(2.0 * coalesce(pv.triangles, 0)
+                                   / (d.deg * (d.deg - 1)), 9)
+                        ELSE 0.0 END AS lcc
+            FROM deg d LEFT JOIN pv ON pv.id = d.id
+        """,
         "randbench": f"""
             SELECT (('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
                        CAST(i.i AS VARCHAR) || ':42'), 1, 8))::BIGINT

@@ -6,6 +6,7 @@ from hama_spark.graph.matching import bipartite_matching
 from hama_spark.graph.pagerank import pagerank
 from hama_spark.graph.semiclustering import semi_clustering
 from hama_spark.graph.sssp import sssp
+from hama_spark.graph.triangles import triangle_count
 
 __all__ = [
     "inlink_count",
@@ -16,4 +17,5 @@ __all__ = [
     "kcore",
     "bipartite_matching",
     "semi_clustering",
+    "triangle_count",
 ]

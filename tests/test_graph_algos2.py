@@ -152,3 +152,27 @@ def test_semi_clustering_two_triangles(spark):
         best = by_id[vid][0]
         assert set(best["members"]) == tri
         assert abs(best["score"] - 1.0) < 1e-9
+
+
+def test_triangle_count_known_graph(spark):
+    from hama_spark.graph import triangle_count
+
+    # K4 minus one edge (a-b, a-c, a-d, b-c, b-d): triangles abc, abd
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("b", "a")],
+        "src string, dst string",
+    )
+    rows = {r["id"]: r for r in triangle_count(edges).collect()}
+    assert {i: r["triangles"] for i, r in rows.items()} == {
+        "a": 2, "b": 2, "c": 1, "d": 1,
+    }
+    assert rows["c"]["degree"] == 2 and rows["c"]["lcc"] == 1.0
+    assert rows["a"]["degree"] == 3 and abs(rows["a"]["lcc"] - 2 / 3) < 1e-9
+
+
+def test_triangle_count_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from tests.conftest import assert_df_equals_oracle
+
+    got = entry.queries()["triangle_count"](spark, "/root/testdata/sf0.001")
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["triangle_count"])
