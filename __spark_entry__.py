@@ -1429,6 +1429,12 @@ def _q_pii_scrub(spark, t):
     return t["documents"].select("doc_id", *pii_scrub(injected))
 
 
+def _q_event_transitions(spark, t):
+    from hama_spark.streaming import event_transitions
+
+    return event_transitions(t["events"])
+
+
 def _q_events_rollup(spark, t):
     from hama_spark.streaming import rollup_event_counts
 
@@ -1716,6 +1722,7 @@ QUERIES: dict[str, Callable] = {
     "repetition_stats": _q_repetition_stats,
     "pii_scrub": _q_pii_scrub,
     "events_rollup": _q_events_rollup,
+    "event_transitions": _q_event_transitions,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
@@ -2125,6 +2132,21 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
                        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_fp
             FROM t
+        """,
+        "event_transitions": """
+            WITH p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER w AS to_type,
+                     date_diff('microsecond', ts, lead(ts) OVER w) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT from_type, to_type,
+                   count(*) AS n_transitions,
+                   round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 3)
+                     AS avg_gap_s
+            FROM p
+            WHERE to_type IS NOT NULL AND gap_us <= CAST(3600 AS BIGINT) * 1000000
+            GROUP BY 1, 2
         """,
         "events_rollup": """
             WITH e AS (

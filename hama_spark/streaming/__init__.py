@@ -1,6 +1,7 @@
 from hama_spark.streaming.events import (
     dedup_events_within,
     enrich_events,
+    event_transitions,
     parse_props,
     rollup_event_counts,
     running_user_totals,
@@ -24,4 +25,5 @@ __all__ = [
     "stream_dedup_within",
     "stream_interval_join",
     "rollup_event_counts",
+    "event_transitions",
 ]

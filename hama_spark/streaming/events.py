@@ -47,6 +47,52 @@ def windowed_event_stats(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_s: int = 3600,
+) -> DataFrame:
+    """User-journey transition matrix (funnel analytics): for each pair
+    of CONSECUTIVE events by the same user within ``max_gap_s`` seconds,
+    count the
+    (from_type -> to_type) transition and report the mean gap.
+    Output: (from_type, to_type, n_transitions, avg_gap_s).
+
+    One shuffle: the lead() window partitions by user (skew bounded by
+    per-user event count), then a partial-aggregated groupBy on the tiny
+    (from, to) key space. Ordering ties break on the event id, and the
+    mean is computed as exact-integer-sum / count — one double division
+    — so the result is engine-deterministic and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt_type = F.lead(type_col).over(w)
+    nxt_ts = F.lead(ts_col).over(w)
+    gap_us = F.unix_micros(nxt_ts) - F.unix_micros(F.col(ts_col))
+    pairs = (
+        events.select(user_col, type_col, ts_col, id_col)
+        .select(
+            F.col(type_col).alias("from_type"),
+            nxt_type.alias("to_type"),
+            gap_us.alias("gap_us"),
+        )
+        .filter(
+            F.col("to_type").isNotNull()
+            & (F.col("gap_us") <= F.lit(max_gap_s * 1_000_000))
+        )
+    )
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 3).alias(
+            "avg_gap_s"
+        ),
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

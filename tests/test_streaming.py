@@ -267,3 +267,31 @@ def test_stream_interval_join_matches_batch(spark, tables, tmp_path):
     q.awaitTermination(120)
     got = sorted(key(r) for r in spark.sql("SELECT * FROM interval_joined").collect())
     assert got == batch
+
+
+def test_event_transitions_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from hama_spark.streaming import event_transitions
+    from tests.conftest import assert_df_equals_oracle
+
+    got = event_transitions(tables["events"])
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["event_transitions"])
+
+
+def test_event_transitions_gap_filter(spark):
+    from datetime import datetime
+
+    from hama_spark.streaming import event_transitions
+
+    rows = [
+        (1, 7, "view", datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 7, "purchase", datetime(2024, 1, 1, 10, 30, 0)),   # within 1h -> counted
+        (3, 7, "view", datetime(2024, 1, 1, 15, 0, 0)),        # 4.5h gap -> dropped
+        (4, 7, "error", datetime(2024, 1, 1, 15, 10, 0)),      # within 1h -> counted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["avg_gap_s"])
+           for r in event_transitions(df).collect()}
+    assert got == {("view", "purchase"): (1, 1800.0), ("view", "error"): (1, 600.0)}
