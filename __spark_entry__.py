@@ -1435,6 +1435,12 @@ def _q_event_transitions(spark, t):
     return event_transitions(t["events"])
 
 
+def _q_retention_cohorts(spark, t):
+    from hama_spark.streaming import retention_cohorts
+
+    return retention_cohorts(t["events"])
+
+
 def _q_events_rollup(spark, t):
     from hama_spark.streaming import rollup_event_counts
 
@@ -1723,6 +1729,7 @@ QUERIES: dict[str, Callable] = {
     "pii_scrub": _q_pii_scrub,
     "events_rollup": _q_events_rollup,
     "event_transitions": _q_event_transitions,
+    "retention_cohorts": _q_retention_cohorts,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
@@ -2146,6 +2153,18 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_gap_s
             FROM p
             WHERE to_type IS NOT NULL AND gap_us <= CAST(3600 AS BIGINT) * 1000000
+            GROUP BY 1, 2
+        """,
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                  FROM events)
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+                     AS day_offset,
+                   count(*) AS n_active
+            FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
         """,
         "events_rollup": """

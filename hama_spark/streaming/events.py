@@ -93,6 +93,34 @@ def event_transitions(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the day of a user's FIRST
+    activity; for each (cohort_day, day-offset) cell, the number of
+    distinct cohort users active that day. Output:
+    (cohort_day string, day_offset, n_active).
+
+    Scale shape: per-user min (partial-aggregated, keyed by user), a
+    distinct over (user, day) — both shuffles share the user key, so
+    the join between them is co-partitioned — then a final
+    partial-aggregated count into the tiny (cohort, offset) key space.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(user_col, day.alias("day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -295,3 +295,23 @@ def test_event_transitions_gap_filter(spark):
     got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["avg_gap_s"])
            for r in event_transitions(df).collect()}
     assert got == {("view", "purchase"): (1, 1800.0), ("view", "error"): (1, 600.0)}
+
+
+def test_retention_cohorts_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from hama_spark.streaming import retention_cohorts
+    from tests.conftest import assert_df_equals_oracle
+
+    got = retention_cohorts(tables["events"])
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["retention_cohorts"])
+
+
+def test_retention_cohorts_day_zero_covers_all_users(spark, tables):
+    from hama_spark.streaming import retention_cohorts
+    from pyspark.sql import functions as F
+
+    got = retention_cohorts(tables["events"])
+    day0 = got.filter(F.col("day_offset") == 0).agg(F.sum("n_active")).collect()[0][0]
+    n_users = tables["events"].select("user_id").distinct().count()
+    # every user is active on their own cohort day, exactly once
+    assert day0 == n_users
