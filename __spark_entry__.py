@@ -1435,6 +1435,12 @@ def _q_event_transitions(spark, t):
     return event_transitions(t["events"])
 
 
+def _q_value_quantiles(spark, t):
+    from hama_spark.functions import exact_group_quantiles
+
+    return exact_group_quantiles(t["events"], "event_type", "value")
+
+
 def _q_retention_cohorts(spark, t):
     from hama_spark.streaming import retention_cohorts
 
@@ -1730,6 +1736,7 @@ QUERIES: dict[str, Callable] = {
     "events_rollup": _q_events_rollup,
     "event_transitions": _q_event_transitions,
     "retention_cohorts": _q_retention_cohorts,
+    "value_quantiles": _q_value_quantiles,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
     "global_shuffle": _q_global_shuffle,
@@ -2154,6 +2161,13 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE to_type IS NOT NULL AND gap_us <= CAST(3600 AS BIGINT) * 1000000
             GROUP BY 1, 2
+        """,
+        "value_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY 1
         """,
         "retention_cohorts": """
             WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort_day

@@ -3,6 +3,7 @@ from hama_spark.functions.sketches import (
     approx_distinct,
     approx_group_profile,
     approx_quantiles,
+    exact_group_quantiles,
 )
 from hama_spark.functions.linalg import (
     vec_abs,
@@ -39,4 +40,5 @@ __all__ = [
     "approx_distinct",
     "approx_quantiles",
     "approx_group_profile",
+    "exact_group_quantiles",
 ]

@@ -57,3 +57,26 @@ def approx_group_profile(
         approx_distinct(distinct_col or value_col, rsd=rsd).alias("approx_distinct"),
         approx_quantiles(value_col, list(probabilities)).alias("approx_quantiles"),
     )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    keys: str | list[str],
+    value_col: str,
+    probabilities: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group quantiles (sort-based, linear interpolation) —
+    the ground-truth twin of :func:`approx_group_profile`, the same
+    pairing the dedup layer uses (exact baseline / sketch scale path).
+    Exact percentile buffers each group's values, so at very large
+    group sizes prefer the sketch; as an oracle baseline the
+    interpolation formula (1-based rank 1 + (n-1)p) is identical to
+    ANSI quantile_cont, which is what makes it hash-checkable.
+    Output: keys..., n, p50/p90/p99-style columns (rounded doubles).
+    """
+    kl = [keys] if isinstance(keys, str) else list(keys)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probabilities:
+        name = f"p{str(p)[2:].ljust(2, '0')}" if p < 1 else "p100"
+        aggs.append(F.round(F.percentile(value_col, F.lit(p)), 6).alias(name))
+    return df.groupBy(*kl).agg(*aggs)

@@ -103,3 +103,31 @@ def test_approx_group_profile_error_bounds(spark, tables):
         # quantile sketch: p50 estimate within the observed value range
         p50_est = got[k]["approx_quantiles"][0]
         assert abs(p50_est - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"]))
+
+
+def test_exact_group_quantiles_oracle(spark, tables, duck):
+    import __spark_entry__ as entry
+    from hama_spark.functions import exact_group_quantiles
+    from tests.conftest import assert_df_equals_oracle
+
+    got = exact_group_quantiles(tables["events"], "event_type", "value")
+    assert_df_equals_oracle(got, duck, entry.oracle_sql()["value_quantiles"])
+
+
+def test_exact_vs_approx_quantiles_close(spark, tables):
+    # the sketch scale-path must track the exact baseline within its
+    # rank-error bound
+    from hama_spark.functions import approx_group_profile, exact_group_quantiles
+
+    exact = {
+        r["event_type"]: r["p50"]
+        for r in exact_group_quantiles(tables["events"], "event_type", "value").collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_quantiles"][0]
+        for r in approx_group_profile(
+            tables["events"], "event_type", "value", probabilities=(0.5,)
+        ).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(v, 1.0) < 0.05, (k, v, approx[k])
