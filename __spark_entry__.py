@@ -1683,6 +1683,43 @@ def _q_image_features(spark, t):
 
 
 QUERIES: dict[str, Callable] = {
+    # Ordering note: the round-2 driver truncated its correctness check at
+    # the first 50 dict entries, so the dedup/similarity/multimodal block
+    # (entries 51-71 then) never got driver rows despite passing the same
+    # oracle comparison locally. That block now leads the dict so a
+    # truncated run still covers it; the queries that already hold green
+    # r2 rows follow.
+    # extensions: dedup / similarity / multimodal (north star)
+    "global_shuffle": _q_global_shuffle,
+    "pack_sequences": _q_pack_sequences,
+    # the end-to-end composition: quality filter -> lang id -> exact
+    # dedup -> per-language report, all one Catalyst plan
+    "corpus_stats": _q_corpus_stats,
+    "interleave_mix": _q_interleave_mix,
+    "dedup_exact": _q_dedup_exact,
+    # minhash_lsh_pairs before dedup_near: the cluster-collapse query
+    # reuses the memoized LSH pairs, so in-order runs price the
+    # signature pipeline once (in the pairs query) and dedup_near shows
+    # the connected-components cost alone
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    "minhash_lsh_pairs": _q_minhash_lsh,
+    "dedup_near": _q_dedup_near,
+    "simhash_pairs": _q_simhash,
+    "embedding_cosine_pairs": _q_embedding_dups,
+    "cosine_topk": _q_cosine_topk,
+    "lsh_cosine_topk": _q_lsh_topk,
+    # lsh_cosine_pairs before dedup_embedding: same memo pattern as
+    # minhash_lsh_pairs/dedup_near — the collapse reuses the bucket-join
+    # pairs so in-order runs price the LSH once
+    "lsh_cosine_pairs": _q_lsh_cosine_pairs,
+    "dedup_embedding": _q_dedup_embedding,
+    "ivf_topk": _q_ivf_topk,
+    "embedding_normalize": _q_embedding_normalize,
+    "embedding_project": _q_embedding_project,
+    "embedding_quantize": _q_embedding_quantize,
+    "image_features": _q_image_features,
+    "audio_features": _q_audio_features,
+    "video_frames": _q_video_frames,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -1739,36 +1776,6 @@ QUERIES: dict[str, Callable] = {
     "value_quantiles": _q_value_quantiles,
     "seeded_sample": _q_seeded_sample,
     "stratified_sample": _q_stratified_sample,
-    "global_shuffle": _q_global_shuffle,
-    "pack_sequences": _q_pack_sequences,
-    # the end-to-end composition: quality filter -> lang id -> exact
-    # dedup -> per-language report, all one Catalyst plan
-    "corpus_stats": _q_corpus_stats,
-    "interleave_mix": _q_interleave_mix,
-    "dedup_exact": _q_dedup_exact,
-    # minhash_lsh_pairs before dedup_near: the cluster-collapse query
-    # reuses the memoized LSH pairs, so in-order runs price the
-    # signature pipeline once (in the pairs query) and dedup_near shows
-    # the connected-components cost alone
-    "ngram_jaccard_pairs": _q_ngram_jaccard,
-    "minhash_lsh_pairs": _q_minhash_lsh,
-    "dedup_near": _q_dedup_near,
-    "simhash_pairs": _q_simhash,
-    "embedding_cosine_pairs": _q_embedding_dups,
-    "cosine_topk": _q_cosine_topk,
-    "lsh_cosine_topk": _q_lsh_topk,
-    # lsh_cosine_pairs before dedup_embedding: same memo pattern as
-    # minhash_lsh_pairs/dedup_near — the collapse reuses the bucket-join
-    # pairs so in-order runs price the LSH once
-    "lsh_cosine_pairs": _q_lsh_cosine_pairs,
-    "dedup_embedding": _q_dedup_embedding,
-    "ivf_topk": _q_ivf_topk,
-    "embedding_normalize": _q_embedding_normalize,
-    "embedding_project": _q_embedding_project,
-    "embedding_quantize": _q_embedding_quantize,
-    "image_features": _q_image_features,
-    "audio_features": _q_audio_features,
-    "video_frames": _q_video_frames,
 }
 
 
@@ -2023,7 +2030,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sid AS (
               SELECT user_id, ts,
-                     sum(b) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+                     -- CAST: DuckDB widens this window sum to HUGEINT, which the
+                     -- driver's Arrow->pandas path renders as float64 and breaks
+                     -- the value hash against Spark's bigint (r2's only red row)
+                     CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+                       AS session_id
               FROM brk)
             SELECT user_id, session_id,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
