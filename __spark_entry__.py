@@ -764,6 +764,41 @@ def _q_spmv(spark, t):
     return out.select("row", F.round("value", 6).alias("value"))
 
 
+def _q_sparse_spmv(spark, t):
+    """M6 sparse half: per-supplier map<int,double> vectors through the
+    svec kernels (SparseDoubleVector.java semantics — get-default 0,
+    dot = multiply-then-sum over the key intersection). All values are
+    integer quantities and half-integer weights, so every double op is
+    exact and the oracle comparison is order-insensitive by construction.
+    """
+    from hama_spark.functions import svec_dot, svec_from_arrays, svec_nnz, svec_norm2, svec_sum
+
+    cells = (
+        t["lineitem"]
+        .groupBy(
+            F.col("l_suppkey").alias("row"),
+            (F.col("l_partkey") % 64).cast("int").alias("k"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("v"))
+    )
+    rows = cells.groupBy("row").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("k", "v")))).alias("sv")
+    )
+    # sparse weight vector: only even part-buckets, half-integer weights
+    xi = list(range(0, 64, 2))
+    x = svec_from_arrays(
+        F.array(*[F.lit(i) for i in xi]),
+        F.array(*[F.lit(((i % 7) + 1) / 2.0) for i in xi]),
+    )
+    return rows.select(
+        "row",
+        svec_nnz("sv").alias("nnz"),
+        F.round(svec_sum("sv"), 6).alias("sv_sum"),
+        F.round(svec_norm2("sv"), 6).alias("sv_norm2"),
+        F.round(svec_dot(F.col("sv"), x), 6).alias("y"),
+    )
+
+
 def _q_gd(spark, t):
     from hama_spark.ml import gradient_descent
 
@@ -1143,6 +1178,28 @@ def _q_inner_join(spark, t):
         on="k",
         how="inner",
     ).select("k", "c_name", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def _q_composite_join_3way(spark, t):
+    """J1 n-ary surface: a 3-source inner join written in the reference's
+    composite-join expression DSL (CompositeInputFormat.java:42-101) over
+    same-keyed sources — nation key joins nation dims to per-nation
+    customer and supplier rollups. Catalyst broadcasts the tiny sides."""
+    from hama_spark.operators.join_expr import parse_join_expr
+
+    tabs = {
+        "nat": t["nation"].select(F.col("n_nationkey").alias("k"), "n_name"),
+        "cust": t["customer"]
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("cust_bal"),
+        ),
+        "supp": t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp")),
+    }
+    return parse_join_expr("inner(tbl(nat), tbl(cust), tbl(supp))", tables=tabs, on="k")
 
 
 def _q_full_outer_join(spark, t):
@@ -1720,6 +1777,10 @@ QUERIES: dict[str, Callable] = {
     "image_features": _q_image_features,
     "audio_features": _q_audio_features,
     "video_frames": _q_video_frames,
+    # new in round 3 — kept inside the first 50 so a truncated driver
+    # run still checks them
+    "spmv_sparse": _q_sparse_spmv,
+    "composite_join_3way": _q_composite_join_3way,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -1882,6 +1943,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity * v.value), 6) AS value
             FROM lineitem JOIN v ON v.pos = l_partkey % 64
             GROUP BY l_suppkey
+        """,
+        # key-ascending list folds mirror the svec kernels' sorted-entry
+        # aggregation; all terms are exact binary doubles (integer sums,
+        # half-integer weights) so the hashes are order-stable
+        "spmv_sparse": """
+            WITH cells AS (
+              SELECT l_suppkey AS row,
+                     CAST(l_partkey % 64 AS INT) AS k,
+                     CAST(sum(l_quantity) AS DOUBLE) AS v
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT row,
+                   CAST(count(*) AS INT) AS nnz,
+                   round(list_aggregate(list(v ORDER BY k), 'sum'), 6) AS sv_sum,
+                   round(sqrt(list_aggregate(list(v * v ORDER BY k), 'sum')), 6)
+                     AS sv_norm2,
+                   round(coalesce(list_aggregate(
+                       list(v * ((k % 7) + 1) / 2.0 ORDER BY k)
+                         FILTER (WHERE k % 2 = 0),
+                       'sum'), 0.0), 6) AS y
+            FROM cells GROUP BY row
+        """,
+        "composite_join_3way": """
+            SELECT n.k, n.n_name, c.n_cust, c.cust_bal, s.n_supp
+            FROM (SELECT n_nationkey AS k, n_name FROM nation) n
+            JOIN (SELECT c_nationkey AS k,
+                         CAST(count(*) AS BIGINT) AS n_cust,
+                         round(sum(c_acctbal), 2) AS cust_bal
+                  FROM customer GROUP BY 1) c USING (k)
+            JOIN (SELECT s_nationkey AS k,
+                         CAST(count(*) AS BIGINT) AS n_supp
+                  FROM supplier GROUP BY 1) s USING (k)
         """,
         "gradient_descent_linear": _gd_linear_sql(),
         "gradient_descent_logistic": _gd_logistic_sql(),
