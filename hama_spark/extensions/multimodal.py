@@ -2,11 +2,16 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 Pandas functions via ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED behind ``HAMA_SPARK_FAKE_DECODE`` (deterministic fake) /
-``NotImplementedError`` — the Spark-side plumbing (schemas, batch
-iteration, partitioning) is real and tested. Swap ``_decode_image_py``
-for a PIL/libvips call on a real cluster; nothing else changes.
+Decode runs in one of two modes, chosen by ``HAMA_SPARK_FAKE_DECODE``:
+
+- ``"1"`` (default): deterministic fake — pixel/sample stats derived
+  from the payload bytes, so tests and the DuckDB oracle can assert
+  exact values with no codecs installed.
+- ``"0"``: real codecs — PIL for images, soundfile for audio, imported
+  lazily inside the decode kernel (executor-side). Missing libraries
+  raise ``NotImplementedError`` with the pip hint. Both modes emit the
+  SAME output schema, so flipping the env var is the only change needed
+  on a real cluster.
 
 Scale notes: mapInPandas streams Arrow batches — memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``, not partition size;
@@ -53,15 +58,40 @@ IMAGE_FEATURES_SCHEMA = StructType(
     ]
 )
 
-FAKE_DECODE = True  # no codecs in this container — see module docstring
+# "1" (default) = deterministic fake; "0" = real PIL/soundfile decode.
+# Read at call time so executors and tests can flip it per-process.
+def _fake_decode() -> bool:
+    import os
+
+    return os.environ.get("HAMA_SPARK_FAKE_DECODE", "1") != "0"
 
 
 def _decode_image_py(payload: bytes, width: int | None, height: int | None):
-    """STUB decode. Real impl: PIL.Image.open(io.BytesIO(payload)).
-    The deterministic fake derives pixel stats from the payload bytes so
-    tests can assert exact values."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("image codecs unavailable in this container")
+    """Image decode kernel. Fake mode derives pixel stats from the
+    payload bytes (exact-value testable, codec-free); real mode opens
+    the payload with PIL and computes the same stats over actual
+    pixels. Both return the IMAGE_FEATURES value columns."""
+    if not _fake_decode():
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env dependent
+            raise NotImplementedError(
+                "real image decode needs Pillow (pip install pillow) or "
+                "set HAMA_SPARK_FAKE_DECODE=1"
+            ) from e
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            gray = im.convert("L")
+            data = list(gray.getdata())
+        return {
+            "width": int(w),
+            "height": int(h),
+            "n_bytes": len(payload),
+            "md5": hashlib.md5(payload).hexdigest(),
+            "mean_byte": int(sum(data) / len(data)) if data else 0,
+        }
     return {
         "width": width or 0,
         "height": height or 0,
@@ -105,11 +135,31 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def _decode_audio_py(payload: bytes, duration_ms: int | None):
-    """STUB decode. Real impl: soundfile/librosa load + RMS over PCM
-    samples. The deterministic fake computes RMS over the payload bytes
-    so tests and the oracle can assert exact values."""
-    if not FAKE_DECODE:
-        raise NotImplementedError("audio codecs unavailable in this container")
+    """Audio decode kernel. Fake mode computes RMS over the payload
+    bytes (exact-value testable); real mode loads PCM via soundfile and
+    computes RMS over samples rescaled to the same 0-255 range. Both
+    return the AUDIO_FEATURES value columns."""
+    if not _fake_decode():
+        try:
+            import soundfile as sf
+        except ImportError as e:  # pragma: no cover - env dependent
+            raise NotImplementedError(
+                "real audio decode needs soundfile (pip install soundfile) "
+                "or set HAMA_SPARK_FAKE_DECODE=1"
+            ) from e
+        import io
+
+        samples, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        n_samples = len(samples)
+        if n_samples and getattr(samples[0], "__len__", None):  # downmix stereo
+            samples = [sum(ch) / len(ch) for ch in samples]
+        rms01 = (sum(s * s for s in samples) / n_samples) ** 0.5 if n_samples else 0.0
+        return {
+            "duration_ms": int(n_samples * 1000 / rate) if rate else 0,
+            "n_bytes": len(payload),
+            "md5": hashlib.md5(payload).hexdigest(),
+            "rms_byte": int(rms01 * 255),
+        }
     n = len(payload)
     rms = int((sum(b * b for b in payload) / n) ** 0.5) if n else 0
     return {
