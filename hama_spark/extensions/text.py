@@ -241,16 +241,20 @@ def tfidf_top_terms(
     # tf feeds BOTH sides of the tf x df join. A naive
     # tf.groupBy(term).count() branch gets column-pruned to a keys-only
     # aggregate, which makes its Exchange differ from the tf branch's —
-    # and the corpus is scanned twice. The throwaway sum(tf) keeps the
-    # tf column alive so both branches sit on the IDENTICAL
-    # Exchange(id, term) subtree and ReuseExchange scans the corpus once
-    # (verified: ReusedExchange in the physical plan; an explicit
-    # persist was measured 2x slower — it blocks the pipeline and drops
-    # whole-stage codegen for an exchange Spark can dedupe for free).
+    # and the corpus is scanned twice. df is therefore computed as
+    # count(when(tf > 0, 1)): the same value (tf >= 1 by construction),
+    # but the aggregate CONSUMES tf, so no pruning rule can rewrite the
+    # upstream (id, term) aggregate to keys-only and both branches sit
+    # on the IDENTICAL Exchange(id, term) subtree — ReuseExchange scans
+    # the corpus once (a prior throwaway-sum guard was prunable and
+    # silently regressed to a double scan; an explicit persist was
+    # measured 2x slower — it blocks the pipeline and drops whole-stage
+    # codegen for an exchange Spark can dedupe for free). Pinned by
+    # tests/test_plan_audit.py::test_tfidf_reuses_corpus_exchange.
     tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("_tot")
-    ).drop("_tot")
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")

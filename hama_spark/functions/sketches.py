@@ -77,6 +77,10 @@ def exact_group_quantiles(
     kl = [keys] if isinstance(keys, str) else list(keys)
     aggs = [F.count(F.lit(1)).alias("n")]
     for p in probabilities:
-        name = f"p{str(p)[2:].ljust(2, '0')}" if p < 1 else "p100"
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probability out of range: {p}")
+        # numeric naming: 0.5 -> p50, 0.99 -> p99, 0.125 -> p12_5,
+        # 1e-05 -> p0_001 (never scientific notation / sign characters)
+        name = "p" + f"{p * 100:.10g}".replace(".", "_")
         aggs.append(F.round(F.percentile(value_col, F.lit(p)), 6).alias(name))
     return df.groupBy(*kl).agg(*aggs)

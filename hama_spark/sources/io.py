@@ -116,6 +116,7 @@ def write_partitioned(
     max_records_per_file: int | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    salt_tasks: int | None = None,
 ) -> None:
     """Hive-style partitioned lake sink: one directory level per
     partition column, so readers prune whole partitions from WHERE
@@ -128,8 +129,28 @@ def write_partitioned(
     file (tighter parquet min/max row-group stats -> better data
     skipping, and better compression). ``max_records_per_file`` caps
     file size for downstream split planning.
+
+    ``salt_tasks``: by default each partition value lands in exactly one
+    write task, which serializes a hot partition (one huge date in a
+    date-partitioned corpus) through a single writer. Setting
+    ``salt_tasks=N`` spreads every partition value over up to N tasks
+    (partition keys + a bounded deterministic salt), trading ≤N files
+    per partition value for parallel writes of hot values.
     """
-    out = df.repartition(*[F.col(c) for c in partition_by])
+    part_cols = [F.col(c) for c in partition_by]
+    if salt_tasks and salt_tasks > 1:
+        # same retry-stable salt recipe as operators/skew._with_salt.
+        # Explicit numPartitions: an unsized repartition is AQE-
+        # coalescible, which would merge the salted splits right back
+        # into one writer task — the situation the salt exists to avoid.
+        salt = F.pmod(
+            F.xxhash64(*part_cols, F.monotonically_increasing_id()),
+            F.lit(salt_tasks),
+        )
+        n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = df.repartition(max(n_shuffle, salt_tasks), *part_cols, salt)
+    else:
+        out = df.repartition(*part_cols)
     if sort_by:
         out = out.sortWithinPartitions(*partition_by, *sort_by)
     writer = out.write.format(fmt).mode(mode).partitionBy(*partition_by)

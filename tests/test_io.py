@@ -114,3 +114,22 @@ def test_write_partitioned_prunes_and_round_trips(spark, tables, tmp_path):
     # the filter must prune at the DIRECTORY level, not scan-and-filter
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_write_partitioned_salted_hot_partition(spark, tables, tmp_path):
+    """salt_tasks spreads a hot partition value over several write tasks
+    (several files), with the same rows back on read."""
+    import glob
+
+    from hama_spark.sources import write_partitioned
+
+    path = str(tmp_path / "salted_lake")
+    ev = tables["events"].select("event_id", "event_type", "value")
+    write_partitioned(ev, path, partition_by=["event_type"], salt_tasks=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # the hot value's directory holds multiple data files, not one
+    one_part = glob.glob(f"{path}/event_type=*/")[0]
+    n_files = len(glob.glob(f"{one_part}/*.parquet"))
+    assert 1 < n_files <= 4, (one_part, n_files)

@@ -39,6 +39,21 @@ NESTED_LOOP_OK = {
 }
 
 
+def test_tfidf_reuses_corpus_exchange(spark):
+    """tfidf_top_terms computes df as count(when(tf > 0, 1)) — same
+    value as count(*), but consuming tf — so both groupBy branches sit
+    on the IDENTICAL Exchange(id, term) and the corpus term scan
+    executes once (ReusedExchange), not twice. An optimizer change that
+    re-enables pruning would silently revert to a double scan — pin the
+    intent here so it surfaces as a test failure instead
+    (extensions/text.py). Checked on the executed plan: under AQE the
+    reuse only shows once stages materialize."""
+    df = entry.queries()["tfidf_top_terms"](spark, SF_DIR_001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, f"tfidf corpus scan no longer shared:\n{plan}"
+
+
 @pytest.mark.parametrize("name", sorted(entry.QUERIES))
 def test_no_plan_antipatterns(spark, name):
     df = entry.queries()[name](spark, SF_DIR_001)
