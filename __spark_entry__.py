@@ -1590,6 +1590,26 @@ def _q_dedup_exact(spark, t):
     return dedup_exact(t["documents"])
 
 
+def _q_decontaminate(spark, t):
+    """Train/eval overlap check: docs with doc_id % 97 == 0 stand in for
+    the benchmark set; every other doc is scored by the fraction of its
+    word-3-gram shingles that leak from the benchmark."""
+    from hama_spark.extensions import contamination_report
+
+    docs = t["documents"]
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+    )
+    return rep.select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 _LSH_MEMO: dict = {}
 
 
@@ -1781,6 +1801,7 @@ QUERIES: dict[str, Callable] = {
     # run still checks them
     "spmv_sparse": _q_sparse_spmv,
     "composite_join_3way": _q_composite_join_3way,
+    "decontaminate": _q_decontaminate,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2377,6 +2398,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fp
         """,
         "ngram_jaccard_pairs": f"WITH {_SHINGLES_SQL} {_jaccard_tail_sql(0.5)}",
+        "decontaminate": f"""
+            WITH {_SHINGLES_SQL},
+            bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+            csh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles
+                      FROM csh GROUP BY doc_id),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM csh JOIN bsh USING (sh) GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(s.n_shingles AS BIGINT) AS n_shingles,
+                   round(coalesce(h.n_hits, 0) * 1.0 / s.n_shingles, 6)
+                     AS contamination
+            FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5, 16, 4)})

@@ -453,3 +453,49 @@ def embedding_cosine_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------- decontamination
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word-k-gram shingles also appear anywhere in ``benchmark``
+    (the standard train/eval overlap check run before training).
+
+    Returns one row per corpus doc: (id_col, n_hits, n_shingles,
+    contamination = n_hits / n_shingles) — filter on ``contamination``
+    (or ``n_hits > 0``) to drop leaked documents.
+
+    Scale shape: the benchmark side is an eval set — tiny next to a
+    100 TB corpus — so its distinct-shingle set is BROADCAST and the
+    corpus shingles stream map-side through the hash join; corpus text
+    never shuffles, only (id, shingle) pairs move into the per-doc
+    count, and the two counts share one shingle relation.
+    """
+    bench_text_col = bench_text_col or text_col
+    c = _shingle_rows(corpus, id_col, text_col, k)
+    b = (
+        benchmark.select(F.explode(word_shingles(bench_text_col, k)).alias("sh"))
+        .distinct()
+    )
+    hits = c.join(F.broadcast(b), "sh").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    sizes = c.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+        )
+    )
