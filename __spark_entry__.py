@@ -1590,6 +1590,21 @@ def _q_dedup_exact(spark, t):
     return dedup_exact(t["documents"])
 
 
+def _q_domain_mix(spark, t):
+    """Temperature-based resampling weights over the documents table's
+    source domains (alpha=0.5 — the standard tail-boosting mix)."""
+    from hama_spark.extensions import mix_weights
+
+    w = mix_weights(t["documents"], "source", alpha=0.5)
+    return w.select(
+        "source",
+        "n",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
 def _q_decontaminate(spark, t):
     """Train/eval overlap check: docs with doc_id % 97 == 0 stand in for
     the benchmark set; every other doc is scored by the fraction of its
@@ -1802,6 +1817,7 @@ QUERIES: dict[str, Callable] = {
     "spmv_sparse": _q_sparse_spmv,
     "composite_join_3way": _q_composite_join_3way,
     "decontaminate": _q_decontaminate,
+    "domain_mix": _q_domain_mix,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2398,6 +2414,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY fp
         """,
         "ngram_jaccard_pairs": f"WITH {_SHINGLES_SQL} {_jaccard_tail_sql(0.5)}",
+        "domain_mix": """
+            WITH g AS (SELECT source, CAST(count(*) AS DOUBLE) AS sz
+                       FROM documents GROUP BY source),
+            nrm AS (SELECT sum(sz) AS tot, sum(pow(sz, 0.5)) AS za FROM g)
+            SELECT g.source,
+                   CAST(sz AS BIGINT) AS n,
+                   round(sz / tot, 6) AS p,
+                   round(pow(sz, 0.5) / za, 6) AS q,
+                   round((pow(sz, 0.5) / za) / (sz / tot), 6) AS rate
+            FROM g, nrm
+        """,
         "decontaminate": f"""
             WITH {_SHINGLES_SQL},
             bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),

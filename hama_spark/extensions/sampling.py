@@ -223,3 +223,47 @@ def pack_sequences(
     return out.withColumn(
         "pack_id", F.floor(F.col("cum_before") / F.lit(int(max_tokens))).cast("long")
     )
+
+
+def mix_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain mixing weights (the multilingual /
+    multi-domain resampling recipe: target share q_g ∝ p_g^alpha, with
+    p_g each group's natural share of the corpus). alpha=1 keeps the
+    natural mix, alpha=0 is uniform over groups, alpha≈0.3-0.7 boosts
+    the tail without drowning the head.
+
+    Returns one row per group: (group_col, n, p, q, rate) where ``rate``
+    = q/p is the per-document sampling multiplier that realizes the
+    target mix (feed it to stratified/seeded sampling or
+    interleave_datasets weights).
+
+    Scale shape: one partial-aggregated groupBy (|groups| rows out,
+    checkpointed so the corpus is scanned exactly once), one single-row
+    broadcast carrying both normalizers — nothing per-document ever
+    shuffles. q is computed as sz^alpha / Σ sz^alpha (the tot^alpha
+    factors cancel), so no intermediate share division feeds the pow.
+    """
+    size = F.lit(1) if size_col is None else F.col(size_col).cast("double")
+    g = (
+        df.groupBy(group_col)
+        .agg(F.sum(size).cast("double").alias("_sz"))
+        .localCheckpoint(eager=True)
+    )
+    norm = g.agg(
+        F.sum("_sz").alias("_tot"),
+        F.sum(F.pow(F.col("_sz"), F.lit(alpha))).alias("_za"),
+    )
+    q = F.pow(F.col("_sz"), F.lit(alpha)) / F.col("_za")
+    p = F.col("_sz") / F.col("_tot")
+    return g.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        F.col("_sz").cast("long").alias("n"),
+        p.alias("p"),
+        q.alias("q"),
+        (q / p).alias("rate"),
+    )

@@ -117,3 +117,28 @@ def test_interleave_weights_shape_the_stream(spark, tables):
     prefix = [r for r in sorted(out, key=lambda r: r["pos"])][: nb]
     n_a_prefix = sum(1 for r in prefix if r["source"] == "a")
     assert n_a_prefix >= len(prefix) * 0.6, n_a_prefix
+
+
+def test_mix_weights_temperature(spark):
+    from hama_spark.extensions import mix_weights
+
+    rows = [("a",)] * 80 + [("b",)] * 16 + [("c",)] * 4
+    df = spark.createDataFrame(rows, "source string")
+    for alpha, check in (
+        (1.0, lambda w: abs(w["a"]["rate"] - 1.0) < 1e-12),  # natural mix
+        (0.0, lambda w: abs(w["a"]["q"] - 1 / 3) < 1e-12),  # uniform target
+        (0.5, lambda w: w["c"]["rate"] > 1.0 > w["a"]["rate"]),  # tail boost
+    ):
+        w = {r["source"]: r for r in mix_weights(df, "source", alpha=alpha).collect()}
+        assert check(w), (alpha, w)
+        assert abs(sum(r["q"] for r in w.values()) - 1.0) < 1e-9
+        assert w["a"]["n"] == 80 and w["c"]["n"] == 4
+    # size-weighted: groups weighted by a size column instead of doc count
+    df2 = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 60)], "source string, n_tok int"
+    )
+    w = {
+        r["source"]: r
+        for r in mix_weights(df2, "source", size_col="n_tok", alpha=1.0).collect()
+    }
+    assert w["a"]["n"] == 40 and abs(w["b"]["p"] - 0.6) < 1e-12
