@@ -623,6 +623,14 @@ def _stopword_count_sql() -> str:
     return f"len(list_filter({_TOKS_SQL}, tk -> lower(tk) IN ({inlist})))"
 
 
+def _quality_expr_sql() -> str:
+    """The quality_score formula as a bare SQL expression — shared by
+    the quality_score oracle and every oracle that ranks by quality."""
+    return f"""0.25 * (CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text))
+                 + 0.25 * least({_stopword_count_sql()} * 5.0 / len({_TOKS_SQL}), 1.0)"""
+
+
 # ----------------------------------------------------------------------
 # queries
 # ----------------------------------------------------------------------
@@ -1625,6 +1633,90 @@ def _q_decontaminate(spark, t):
     )
 
 
+_LINE_WORDS = 8  # words per derived "line" for the line-dedup fixture
+
+
+def _line_chunked_docs(t) -> DataFrame:
+    """Derived fixture: documents re-wrapped with a newline every
+    _LINE_WORDS tokens, so corpus-level duplicate-line removal has real
+    duplicates to find (the synthetic text has no newlines of its own
+    but repeats 8-word spans across documents)."""
+    from hama_spark.extensions.text import tokenize
+
+    toks = tokenize(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE_WORDS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+        ),
+    )
+    return (
+        t["documents"]
+        .filter(F.size(toks) > 0)
+        .select("doc_id", F.array_join(lines, "\n").alias("text"))
+    )
+
+
+def _q_line_dedup(spark, t):
+    """Falcon/RefinedWeb-style duplicate-line removal over the derived
+    newline-chunked corpus: every occurrence of a line seen >=2 times
+    corpus-wide is dropped and documents are rebuilt in order."""
+    from hama_spark.extensions.corpus import dedup_lines
+
+    return dedup_lines(_line_chunked_docs(t))
+
+
+def _q_chunk_docs(spark, t):
+    """Training-window chunking: 32-token windows every 24 tokens
+    (8-token overlap), final partial window kept."""
+    from hama_spark.extensions.corpus import chunk_tokens
+
+    return chunk_tokens(t["documents"], size=32, stride=24)
+
+
+def _q_dedup_incremental(spark, t):
+    """Incremental exact dedup of an incoming batch against the
+    already-ingested corpus: re-crawled copies (same text, new ids) are
+    dropped, genuinely new revisions survive."""
+    from hama_spark.extensions.corpus import dedup_against
+
+    docs = t["documents"]
+    recrawled = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    revised = docs.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    incoming = recrawled.unionByName(revised)
+    return dedup_against(incoming, docs).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+def _q_token_entropy(spark, t):
+    from hama_spark.extensions.corpus import token_entropy
+
+    return token_entropy(t["documents"])
+
+
+def _q_domain_cap(spark, t):
+    """Per-domain document cap: keep the 5 highest-quality docs per
+    source domain (quality desc, doc_id as the deterministic
+    tie-break)."""
+    from hama_spark.extensions.corpus import domain_cap
+    from hama_spark.extensions.text import quality_score
+
+    docs = t["documents"].select(
+        "doc_id", "source", quality_score("text").alias("q")
+    )
+    capped = domain_cap(
+        docs, "source", k=5, order_by=[F.col("q").desc(), F.col("doc_id")]
+    )
+    return capped.select("source", "doc_id", F.round("q", 6).alias("q"))
+
+
 _LSH_MEMO: dict = {}
 
 
@@ -1818,6 +1910,11 @@ QUERIES: dict[str, Callable] = {
     "composite_join_3way": _q_composite_join_3way,
     "decontaminate": _q_decontaminate,
     "domain_mix": _q_domain_mix,
+    "line_dedup": _q_line_dedup,
+    "chunk_docs": _q_chunk_docs,
+    "dedup_incremental": _q_dedup_incremental,
+    "token_entropy": _q_token_entropy,
+    "domain_cap": _q_domain_cap,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2184,10 +2281,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_score": f"""
-            SELECT doc_id,
-                   0.25 * (CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
-                 + 0.5 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text))
-                 + 0.25 * least({_stopword_count_sql()} * 5.0 / len({_TOKS_SQL}), 1.0) AS quality
+            SELECT doc_id, {_quality_expr_sql()} AS quality
             FROM documents
         """,
         "lang_id": _lang_id_sql(),
@@ -2439,6 +2533,90 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.n_hits, 0) * 1.0 / s.n_shingles, 6)
                      AS contamination
             FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+        # duplicate-line removal over the derived 8-word-line corpus:
+        # a line is dropped EVERYWHERE when it appears >=2 times
+        # corpus-wide; docs rebuilt from surviving lines in order
+        "line_dedup": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS ord,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents
+            ), l AS (
+              SELECT doc_id, CAST((ord - 1) // {_LINE_WORDS} AS INT) AS pos,
+                     string_agg(tok, ' ' ORDER BY ord) AS line
+              FROM w GROUP BY 1, 2
+            ), c AS (SELECT line, count(*) AS cnt FROM l GROUP BY 1),
+            f AS (
+              SELECT l.doc_id, l.pos, l.line, (c.cnt >= 2) AS dup
+              FROM l JOIN c ON c.line = l.line
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos)
+                     FILTER (WHERE NOT dup) AS text,
+                   CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped
+            FROM f GROUP BY doc_id
+            HAVING count(*) FILTER (WHERE NOT dup) > 0
+        """,
+        "chunk_docs": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 24)) AS start_tok
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(start_tok // 24 AS INT) AS chunk_id,
+                   CAST(start_tok AS INT) AS start_tok,
+                   CAST(least(32, len(toks) - start_tok) AS INT) AS chunk_len,
+                   toks[CAST(start_tok + 1 AS INT)] AS first_token
+            FROM s
+        """,
+        "dedup_incremental": """
+            WITH incoming AS (
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 20 = 0
+              UNION ALL
+              SELECT doc_id + 200000, text || ' v2'
+              FROM documents WHERE doc_id % 20 = 1
+            )
+            SELECT i.doc_id, length(i.text) AS n_chars
+            FROM incoming i
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents d WHERE md5(d.text) = md5(i.text)
+            )
+        """,
+        "token_entropy": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+                   round(log2(CAST(sum(c) AS DOUBLE))
+                         - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE), 6)
+                     AS entropy_bits
+            FROM c GROUP BY doc_id
+        """,
+        "domain_cap": f"""
+            WITH scored AS (
+              SELECT source, doc_id,
+                     {_quality_expr_sql()} AS q
+              FROM documents
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY q DESC, doc_id) AS rn
+              FROM scored
+            )
+            SELECT source, doc_id, round(q, 6) AS q
+            FROM ranked WHERE rn <= 5
         """,
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (

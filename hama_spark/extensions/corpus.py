@@ -1,0 +1,221 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: duplicate-
+line removal, token-window chunking, incremental (anti-corpus) dedup,
+unigram-entropy scoring, and per-domain caps.
+
+Beyond the reference surface (SURVEY §7 north star), same contract as
+the rest of ``extensions``: every operator is a DataFrame->DataFrame
+transform built from JVM expressions (no Python UDFs), with exact
+ANSI-SQL twins in __spark_entry__.oracle_sql so the DuckDB oracle can
+hash-check the results.
+
+Scale shapes (100 TB):
+- ``dedup_lines`` shuffles (doc_id, pos, line-hash) once for the count
+  and once for the doc rebuild; the duplicate-hash set it joins against
+  is tiny in real corpora, so AQE turns that join into a broadcast.
+  Full text never shuffles twice.
+- ``chunk_tokens`` is map-only (sequence + explode inside one
+  projection): chunk rows stream out of the scan with no shuffle.
+- ``dedup_against`` shuffles only 16-byte content hashes; the incoming
+  batch (left side) keeps its partitioning for the anti-join.
+- ``token_entropy`` is the TF-IDF shape: explode, partial-aggregated
+  groupBy(id, tok), groupBy(id) — skew bounded by document length.
+- ``domain_cap`` is a per-domain window; a genuinely hot domain should
+  be pre-pruned per-partition first (see docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.text import tokenize
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the RefinedWeb / Falcon
+    boilerplate filter): drop EVERY occurrence of any line that appears
+    at least ``min_count`` times across the whole corpus, then rebuild
+    each document from its surviving lines in order. Documents left
+    with zero lines are dropped entirely.
+
+    Returns (id_col, text, n_kept, n_dropped).
+
+    Lines are counted by md5 so the count shuffle moves 16-byte hashes,
+    not text; the rebuild sorts the surviving (pos, line) structs per
+    document — array_sort on a struct orders by the leading ``pos``
+    field, so reassembly is deterministic without a window.
+    """
+    lines = df.select(
+        _c(id_col).alias("id"),
+        F.posexplode(F.split(_c(text_col), sep)).alias("pos", "line"),
+    )
+    counts = (
+        lines.groupBy(F.md5(F.col("line").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    flagged = lines.join(
+        counts,
+        F.md5(F.col("line").cast("binary")) == F.col("h"),
+        "left",
+    ).select("id", "pos", "line", F.col("h").isNotNull().alias("dup"))
+    rebuilt = flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dup"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.sum(F.when(~F.col("dup"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    return rebuilt.filter(F.col("n_kept") > 0).select(
+        F.col("id").alias(id_col), "text", "n_kept", "n_dropped"
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split each document's token sequence into training windows of
+    ``size`` tokens starting every ``stride`` tokens (overlap =
+    size - stride). The final partial window is kept — packing/padding
+    is the trainer's concern (see ``sampling.pack_sequences``).
+
+    Returns (id_col, chunk_id, start_tok, chunk_len, first_token).
+
+    Map-only: the window starts are a per-row ``sequence`` exploded in
+    the same projection — chunk rows stream out of the parquet scan
+    with no shuffle, so this runs at scan speed at any corpus size.
+    """
+    toks = F.col("_toks")
+    n = F.size(toks)
+    base = (
+        df.filter(F.length(F.trim(_c(text_col))) > 0)  # split('') yields ['']
+        .select(_c(id_col).alias("id"), tokenize(_c(text_col)).alias("_toks"))
+    )
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = base.select(
+        "id",
+        toks,
+        F.posexplode(starts).alias("chunk_id", "start_tok"),
+    )
+    chunk_len = F.least(F.lit(size), F.size(toks) - F.col("start_tok"))
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        "start_tok",
+        chunk_len.alias("chunk_len"),
+        F.element_at(toks, F.col("start_tok") + 1).alias("first_token"),
+    )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Incremental exact dedup: keep only the rows of ``df`` (the
+    incoming batch) whose text content does NOT already appear in
+    ``reference`` (the ingested corpus). Matching is by md5 of the
+    raw text, so only 16-byte hashes shuffle — at 100 TB the reference
+    side is a hash-only projection of the corpus (or a pre-computed
+    hash manifest), never the text itself.
+    """
+    rh = reference.select(
+        F.md5(_c(ref_text_col or text_col).cast("binary")).alias("_rh")
+    ).distinct()
+    return df.join(
+        rh, F.md5(_c(text_col).cast("binary")) == F.col("_rh"), "left_anti"
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits) plus distinct-token
+    count and type-token ratio — a cheap perplexity proxy: degenerate /
+    boilerplate text scores low, diverse text scores high.
+
+    Returns (id_col, n_tokens, n_distinct, ttr, entropy_bits), floats
+    rounded to 6 dp for cross-engine stability.
+
+    Same distributed shape as TF-IDF: one explode, one partial-
+    aggregated groupBy(id, tok), one groupBy(id). Empty documents emit
+    nothing.
+    """
+    tok = df.select(
+        _c(id_col).alias("id"), F.explode(tokenize(F.lower(_c(text_col)))).alias("tok")
+    )
+    counts = tok.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # entropy via sum(c*log2 c) to stay in one aggregation pass:
+    # H = log2(N) - sum(c*log2(c))/N
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(
+                F.log2("n_tokens") - F.col("_clogc") / F.col("n_tokens"), 6
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    k: int = 10,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``k`` rows per domain,
+    best-first by ``order_by`` (must be a total order — pass a unique
+    id as the last key for determinism). The standard web-corpus
+    anti-spam measure: no single domain may dominate the mix.
+
+    One window partitioned by domain. With millions of balanced domains
+    this distributes perfectly; for a corpus dominated by ONE hot
+    domain, pre-prune per partition first (groupBy(domain, salt) top-k,
+    then the exact window over the ≤ salt*k survivors) — the helper
+    stays exact because per-partition top-k can never evict a global
+    top-k row.
+    """
+    if order_by is None:
+        order_by = [F.col(c) for c in df.columns[:1]]
+    w = Window.partitionBy(domain_col).orderBy(*order_by)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1,0 +1,111 @@
+"""Corpus-hygiene operators: duplicate-line removal, chunking,
+incremental dedup, entropy scoring, domain caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.corpus import (
+    chunk_tokens,
+    dedup_against,
+    dedup_lines,
+    domain_cap,
+    token_entropy,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_lines_removes_every_occurrence(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "unique one\nBOILER\nunique two"),
+            (2, "BOILER\nfresh line"),
+            (3, "all original\nhere"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "unique one\nunique two"
+    assert out[1]["n_kept"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "fresh line"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_dedup_lines_drops_fully_duplicate_docs(spark):
+    df = _docs(spark, [(1, "same"), (2, "same"), (3, "keep me")])
+    rows = dedup_lines(df).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_dedup_lines_min_count(spark):
+    df = _docs(spark, [(1, "a\nb"), (2, "a\nc")])
+    # min_count=3: nothing is duplicated enough to drop
+    rows = dedup_lines(df, min_count=3).collect()
+    assert all(r["n_dropped"] == 0 for r in rows)
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+    rows = sorted(
+        chunk_tokens(df, size=4, stride=3).collect(), key=lambda r: r["chunk_id"]
+    )
+    # starts at 0,3,6,9; lens 4,4,4,1
+    assert [r["start_tok"] for r in rows] == [0, 3, 6, 9]
+    assert [r["chunk_len"] for r in rows] == [4, 4, 4, 1]
+    assert rows[0]["first_token"] == "t0" and rows[3]["first_token"] == "t9"
+
+
+def test_chunk_tokens_empty_doc_emits_nothing(spark):
+    df = _docs(spark, [(1, "  ")])
+    assert chunk_tokens(df).count() == 0
+
+
+def test_dedup_against_anti_joins_on_content(spark):
+    ref = _docs(spark, [(1, "seen before"), (2, "also seen")])
+    inc = _docs(spark, [(10, "seen before"), (11, "brand new")])
+    kept = dedup_against(inc, ref).collect()
+    assert [r["doc_id"] for r in kept] == [11]
+
+
+def test_token_entropy_degenerate_vs_diverse(spark):
+    df = _docs(spark, [(1, "a a a a"), (2, "a b c d")])
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy_bits"] == 2.0 and out[2]["ttr"] == 1.0
+
+
+def test_domain_cap_keeps_best_k(spark):
+    df = spark.createDataFrame(
+        [(i, "d" + str(i % 2), float(i)) for i in range(10)],
+        ["id", "dom", "score"],
+    )
+    out = domain_cap(df, "dom", k=2, order_by=[F.col("score").desc(), F.col("id")])
+    got = {(r["dom"], r["id"]) for r in out.collect()}
+    assert got == {("d0", 8), ("d0", 6), ("d1", 9), ("d1", 7)}
+
+
+def test_token_entropy_matches_oracle_on_documents(tables, duck):
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_distinct"], r["ttr"], r["entropy_bits"])
+        for r in token_entropy(tables["documents"]).collect()
+    )
+    want = sorted(
+        duck.execute(
+            r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents),
+            c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+            SELECT doc_id, CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 6),
+                   round(log2(CAST(sum(c) AS DOUBLE))
+                         - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE), 6)
+            FROM c GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
