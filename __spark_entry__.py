@@ -1717,6 +1717,38 @@ def _q_domain_cap(spark, t):
     return capped.select("source", "doc_id", F.round("q", 6).alias("q"))
 
 
+def _q_rolling_user_stats(spark, t):
+    """Trailing-20-event rolling mean/std + anomaly z-score per user."""
+    from hama_spark.streaming import rolling_user_stats
+
+    return rolling_user_stats(t["events"], n_events=20)
+
+
+def _q_events_topk_hourly(spark, t):
+    """Hourly heavy hitters: top-3 event types per tumbling hour."""
+    from hama_spark.streaming import topk_per_window
+
+    return topk_per_window(t["events"], k=3, window="1 hour")
+
+
+def _q_degree_histogram(spark, t):
+    """Out-degree distribution of the supplier->part graph (the p-side
+    vertices appear with degree 0 — they never emit edges)."""
+    from hama_spark.graph import degree_histogram
+
+    return degree_histogram(_sp_edges(spark, t), direction="out")
+
+
+def _q_sample_balanced(spark, t):
+    """Fixed-size balanced sample: exactly 10 docs per source domain,
+    chosen by deterministic seeded hash rank."""
+    from hama_spark.extensions import sample_per_group
+
+    return sample_per_group(t["documents"], "source", n=10).select(
+        "source", "doc_id"
+    )
+
+
 _LSH_MEMO: dict = {}
 
 
@@ -1915,6 +1947,10 @@ QUERIES: dict[str, Callable] = {
     "dedup_incremental": _q_dedup_incremental,
     "token_entropy": _q_token_entropy,
     "domain_cap": _q_domain_cap,
+    "rolling_user_stats": _q_rolling_user_stats,
+    "events_topk_hourly": _q_events_topk_hourly,
+    "degree_histogram": _q_degree_histogram,
+    "sample_balanced": _q_sample_balanced,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2617,6 +2653,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, doc_id, round(q, 6) AS q
             FROM ranked WHERE rn <= 5
+        """,
+        "rolling_user_stats": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER w, 6) AS roll_mean,
+                   round(stddev_samp(value) OVER w, 6) AS roll_std,
+                   round(CASE WHEN stddev_samp(value) OVER w > 0
+                              THEN (value - avg(value) OVER w)
+                                   / stddev_samp(value) OVER w END, 6) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "events_topk_hourly": """
+            WITH c AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS wstart, event_type,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY wstart
+                        ORDER BY n_events DESC, event_type) AS rk
+              FROM c
+            )
+            SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 3
+        """,
+        "degree_histogram": f"""
+            WITH e AS ({SP_EDGES_SQL}),
+            deg AS (SELECT src AS id, count(*) AS degree FROM e GROUP BY 1),
+            zeros AS (
+              SELECT DISTINCT dst AS id FROM e
+              WHERE dst NOT IN (SELECT src FROM e)
+            ),
+            alldeg AS (SELECT degree FROM deg
+                       UNION ALL SELECT 0 FROM zeros)
+            SELECT CAST(degree AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_vertices
+            FROM alldeg GROUP BY 1
+        """,
+        "sample_balanced": f"""
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY {_SAMPLE_HASH}, doc_id) AS rk
+              FROM documents
+            )
+            SELECT source, doc_id FROM r WHERE rk <= 10
         """,
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (

@@ -75,6 +75,36 @@ def stratified_sample(
     return df.filter(_hash_key(seed, F.col(id_col)) % _HASH_MOD < threshold)
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: exactly min(n, |group|) rows per
+    group, chosen by md5(seed:id) rank — the balanced-per-class
+    counterpart to ``stratified_sample``'s per-stratum FRACTIONS
+    (class-balanced eval sets, per-language caps, per-source quotas).
+
+    One keyed window (shuffle on group_col); the hash gives a uniform,
+    rerun-stable order, with id as tie-break so the sample is a pure
+    function of (seed, data). For a group hot enough to bottleneck its
+    single window task, pre-prune per partition first — per-partition
+    hash-rank top-n can never evict a global top-n row, so exactness
+    is preserved.
+    """
+    from pyspark.sql import Window
+
+    key = _hash_key(seed, F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def _two_phase_positions(
     df: DataFrame,
     seed: int,

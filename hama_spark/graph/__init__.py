@@ -1,4 +1,5 @@
 from hama_spark.graph.components import mindist_search
+from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
 from hama_spark.graph.inlink import inlink_count
 from hama_spark.graph.kcore import kcore
@@ -18,4 +19,5 @@ __all__ = [
     "bipartite_matching",
     "semi_clustering",
     "triangle_count",
+    "degree_histogram",
 ]

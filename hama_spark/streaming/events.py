@@ -452,3 +452,84 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def rolling_user_stats(
+    events: DataFrame,
+    n_events: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-event rolling statistics over each user's trailing
+    ``n_events`` events (current included): rolling mean/stddev of
+    ``value`` plus the z-score of the current event against that
+    trailing window — the standard online anomaly-scoring shape.
+
+    Returns (event_id, user_id, roll_mean, roll_std, z), floats rounded
+    to 6 dp. Order within a user is (ts, event_id) — a total order, so
+    the result is deterministic and SQL-replayable.
+
+    One shuffle on user_id; the window is ROWS-bounded so state per
+    task is O(n_events), independent of history length — the batch twin
+    of a bounded-state streaming aggregation.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-(n_events - 1), Window.currentRow)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std)
+    return events.select(
+        id_col,
+        user_col,
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(std, 6).alias("roll_std"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+def topk_per_window(
+    events: DataFrame,
+    k: int = 3,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Windowed heavy hitters: the ``k`` most frequent event types per
+    tumbling window (count desc, type asc as the deterministic
+    tie-break). Returns (window_start string, event_type, n_events, rk).
+
+    Batch: one groupBy + a window over the (tiny) per-window count
+    table. Streaming: the same groupBy under a watermark, with the
+    top-k rank applied per finalized window downstream (rank over an
+    unbounded stream is not incrementally computable, so the streaming
+    path emits counts and ranks on sink/append).
+    """
+    from pyspark.sql import Window
+
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    counts = df.groupBy(F.window(ts_col, window).alias("w"), type_col).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n_events"), F.col(type_col).asc())
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            type_col,
+            "n_events",
+            "rk",
+        )
+    )
