@@ -1717,6 +1717,68 @@ def _q_domain_cap(spark, t):
     return capped.select("source", "doc_id", F.round("q", 6).alias("q"))
 
 
+def _labelprop_sql(edges_sql: str, iters: int = 4) -> str:
+    """Unrolled synchronous label propagation mirroring
+    hama_spark.graph.labelprop exactly: per round every vertex takes
+    the most frequent neighbor label (count desc, label asc ties) over
+    the PREVIOUS round's labels."""
+    parts = [
+        f"WITH base AS ({edges_sql}),",
+        """e AS (SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),""",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f""", m{t} AS (
+              SELECT e.dst AS id, l.label, count(*) AS c
+              FROM e JOIN l{t} l ON l.id = e.src GROUP BY 1, 2
+            ), p{t} AS (
+              SELECT id, label FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY c DESC, label) AS rn
+                FROM m{t}) WHERE rn = 1
+            ), l{t + 1} AS (
+              SELECT l.id, coalesce(p.label, l.label) AS label
+              FROM l{t} l LEFT JOIN p{t} p ON p.id = l.id
+            )"""
+        )
+    parts.append(f" SELECT id, label FROM l{iters}")
+    return "\n".join(parts)
+
+
+LP_EDGES_SQL = (
+    "SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src, "
+    "'p' || CAST(l_partkey AS VARCHAR) AS dst "
+    "FROM lineitem WHERE l_orderkey % 5 = 0"
+)
+
+
+def _q_label_communities(spark, t):
+    """4 synchronous label-propagation rounds over the supplier-part
+    graph (deterministic neighbor-majority schedule, SQL-replayed).
+    Same 20% order decimation as triangle_count: the per-round
+    (vertex, label) vote shuffle scales with edge multiplicity, and the
+    decimated graph keeps every vertex while bounding bench cost."""
+    from hama_spark.graph import label_propagation
+
+    li = t["lineitem"].filter(F.col("l_orderkey") % 5 == 0)
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(edges, iters=4)
+
+
+def _q_bigram_perplexity(spark, t):
+    """Corpus-self-trained add-k bigram LM perplexity per document —
+    the KenLM-style pretraining quality filter."""
+    from hama_spark.extensions import bigram_perplexity
+
+    return bigram_perplexity(t["documents"], k=0.5)
+
+
 def _q_rolling_user_stats(spark, t):
     """Trailing-20-event rolling mean/std + anomaly z-score per user."""
     from hama_spark.streaming import rolling_user_stats
@@ -1951,6 +2013,8 @@ QUERIES: dict[str, Callable] = {
     "events_topk_hourly": _q_events_topk_hourly,
     "degree_histogram": _q_degree_histogram,
     "sample_balanced": _q_sample_balanced,
+    "label_communities": _q_label_communities,
+    "bigram_perplexity": _q_bigram_perplexity,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2701,6 +2765,30 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT source, doc_id FROM r WHERE rk <= 10
+        """,
+        "label_communities": _labelprop_sql(LP_EDGES_SQL, 4),
+        "bigram_perplexity": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ), bgf AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                     unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+              FROM t WHERE len(toks) >= 2
+            ), big AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logp,
+                   round(exp(-avg(ln((c12 + 0.5) / (c1 + 0.5 * v)))), 6) AS ppl
+            FROM bgf JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+            GROUP BY doc_id
         """,
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (

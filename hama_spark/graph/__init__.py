@@ -3,6 +3,7 @@ from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
 from hama_spark.graph.inlink import inlink_count
 from hama_spark.graph.kcore import kcore
+from hama_spark.graph.labelprop import label_propagation
 from hama_spark.graph.matching import bipartite_matching
 from hama_spark.graph.pagerank import pagerank
 from hama_spark.graph.semiclustering import semi_clustering
@@ -20,4 +21,5 @@ __all__ = [
     "semi_clustering",
     "triangle_count",
     "degree_histogram",
+    "label_propagation",
 ]
