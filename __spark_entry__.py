@@ -662,13 +662,18 @@ def _q_inlink(spark, t):
 def _q_sssp(spark, t):
     from hama_spark.graph import sssp
 
-    return sssp(_nation_dag(spark, t), "0", max_iter=40)
+    # halt check every 4th superstep: the nation DAG is ~25 levels deep,
+    # so batching executes 4 supersteps per Spark job (see pregel
+    # halt_check_interval); extra post-fixpoint supersteps are no-ops.
+    return sssp(_nation_dag(spark, t), "0", max_iter=40, halt_check_interval=4)
 
 
 def _q_cc(spark, t):
     from hama_spark.graph import mindist_search
 
-    return mindist_search(_cc_edges(spark, t), undirected=True, max_iter=50)
+    return mindist_search(
+        _cc_edges(spark, t), undirected=True, max_iter=50, halt_check_interval=4
+    )
 
 
 def _q_pagerank(spark, t):
@@ -960,7 +965,9 @@ def _q_sssp_gen(spark, t):
     edges = fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7).select(
         "src", "dst", (F.col("weight") + 1).alias("weight")
     )
-    d = sssp(edges, "0", max_iter=50, num_partitions=GEN_PARTS)
+    d = sssp(
+        edges, "0", max_iter=50, num_partitions=GEN_PARTS, halt_check_interval=5
+    )
     return d.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.when(F.col("dist") < 2147483647, 1).otherwise(0)).alias("n_reachable"),

@@ -377,7 +377,9 @@ def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
-    comp = mindist_search(edges, undirected=True, max_iter=30)
+    # dup clusters are shallow (label converges in ~cluster-diameter
+    # rounds) but the halt check still batches 3 supersteps per job
+    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
 
     ids = df.select(F.col(id_col), pad(id_col).alias("_pid"))
     labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(

@@ -26,6 +26,7 @@ def mindist_search(
     undirected: bool = False,
     max_iter: int = 100,
     checkpoint_interval: int = 4,
+    halt_check_interval: int = 1,
 ) -> DataFrame:
     """edges(src:string, dst:string) -> (id, component) with component =
     lexicographic min id reachable by label flow."""
@@ -82,5 +83,9 @@ def mindist_search(
         initial_message=initial_message,
         max_iter=max_iter,
         checkpoint_interval=checkpoint_interval,
+        # frontier-style: empty inbox leaves labels unchanged and only
+        # improved vertices send, so post-fixpoint supersteps are no-ops
+        # and the halt check can be batched (see pregel docstring).
+        halt_check_interval=halt_check_interval,
     )
     return result.select("id", "component")

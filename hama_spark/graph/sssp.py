@@ -27,6 +27,7 @@ def sssp(
     max_iter: int = 100,
     checkpoint_interval: int = 4,
     num_partitions: int | None = None,
+    halt_check_interval: int = 1,
 ) -> DataFrame:
     """edges(src, dst, weight:int) + start id -> (id, dist:int).
 
@@ -84,5 +85,9 @@ def sssp(
         max_iter=max_iter,
         checkpoint_interval=checkpoint_interval,
         num_partitions=num_partitions,
+        # SSSP is frontier-style: an empty inbox improves nothing and
+        # un-updated vertices send nothing, so supersteps past the
+        # fixpoint are no-ops — batching the halt check is safe.
+        halt_check_interval=halt_check_interval,
     )
     return result.select("id", "dist")

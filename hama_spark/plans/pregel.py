@@ -87,6 +87,7 @@ def pregel(
     reliable_checkpoint: bool = False,
     num_partitions: int | None = None,
     detect_halt: bool = True,
+    halt_check_interval: int = 1,
     mutate: Callable[[DataFrame, "PregelContext"], tuple[DataFrame | None, DataFrame | None]]
     | None = None,
 ) -> DataFrame:
@@ -121,6 +122,17 @@ def pregel(
         for empty-inbox termination — one fewer job+cache per iteration.
         Use for fixed-iteration runs (the loop then ends on max_iter /
         ``halt`` only).
+    halt_check_interval : run the empty-inbox count only every k-th
+        superstep (default 1 = every superstep). Between checks the lazy
+        checkpoints chain and the NEXT count executes k supersteps'
+        worth of work in ONE Spark job — for deep frontier fixpoints
+        (SSSP on a weighted graph runs 30+ supersteps) the per-job
+        scheduling floor is the dominant cost at local/bench scale, and
+        on a cluster it removes k-1 driver round-trips per k supersteps.
+        ONLY safe when compute-with-empty-inbox is a no-op and send of
+        un-updated vertices is empty (true for frontier-style
+        algorithms: up to k-1 supersteps may run past the fixpoint and
+        must not change state). Ignored when ``detect_halt`` is False.
     mutate : dynamic graph mutation (G9, Vertex.addVertex/remove —
         graph/GraphJobRunner.java:626-702): called after each compute
         with (vertices, ctx), returns (additions, removal_ids) — either
@@ -219,11 +231,15 @@ def pregel(
             # Message count doubles as the halt signal (GraphJobRunner
             # halts when no peer saw messages, :398-414). The lazy
             # checkpoint means this single count() job materializes the
-            # messages AND the new vertex state they derive from.
+            # messages AND the new vertex state they derive from. With
+            # halt_check_interval > 1 the count runs every k-th
+            # superstep only; in between, supersteps chain lazily and
+            # the next count executes them all in one job.
             msgs = msgs.localCheckpoint(eager=False)
-            ctx.num_messages = msgs.count()
-            if ctx.num_messages == 0:
-                break
+            if ctx.superstep % halt_check_interval == halt_check_interval - 1:
+                ctx.num_messages = msgs.count()
+                if ctx.num_messages == 0:
+                    break
         inbox = msgs
         ctx.superstep += 1
 

@@ -39,6 +39,9 @@ NESTED_LOOP_OK = {
     # crossJoin(broadcast(<1-row normalizers>)) over the checkpointed
     # |domains|-row group relation — same single-row-broadcast pattern
     "domain_mix",
+    # crossJoin(broadcast(<1-row vocab size>)) to attach V for add-k
+    # smoothing — same single-row-broadcast pattern (extensions/lm.py)
+    "bigram_perplexity",
 }
 
 

@@ -69,3 +69,35 @@ def test_rand_bench_conservation(spark):
     assert sum(r["n_received"] for r in rows) == 3000
     assert sum(r["bytes_received"] for r in rows) == 30000
     assert len(rows) == 8  # every peer received something at this volume
+
+
+def test_halt_check_interval_matches_per_step(spark):
+    """Batched halt checks (halt_check_interval > 1) must be invisible:
+    for frontier-style algorithms the k-1 possible post-fixpoint
+    supersteps are no-ops, so sssp/mindist results are identical to the
+    every-superstep check. A path graph maximizes supersteps per vertex
+    (depth = n-1), the worst case for batching."""
+    from hama_spark.graph import mindist_search, sssp
+
+    path = spark.createDataFrame(
+        [(str(i), str(i + 1), 2) for i in range(12)],
+        "src string, dst string, weight int",
+    )
+    base = {r["id"]: r["dist"] for r in sssp(path, "0", max_iter=30).collect()}
+    batched = {
+        r["id"]: r["dist"]
+        for r in sssp(path, "0", max_iter=30, halt_check_interval=7).collect()
+    }
+    assert base == batched and base["12"] == 24
+
+    cc1 = {
+        r["id"]: r["component"]
+        for r in mindist_search(path, undirected=True, max_iter=30).collect()
+    }
+    cc7 = {
+        r["id"]: r["component"]
+        for r in mindist_search(
+            path, undirected=True, max_iter=30, halt_check_interval=7
+        ).collect()
+    }
+    assert cc1 == cc7 and set(cc1.values()) == {"0"}
