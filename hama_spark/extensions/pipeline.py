@@ -64,3 +64,71 @@ def corpus_stats(cleaned: DataFrame) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    alpha: float = 1e-5,
+    iterations: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label=None,
+) -> DataFrame:
+    """Train a tiny logistic-regression quality classifier ON the corpus
+    and score every document with it — the fasttext-style learned
+    filter (vs quality_score's hand-tuned heuristic), built entirely
+    from the engine's own pieces: text_stats features (§ extensions.
+    text) + the reference's gradient-descent trainer (M2,
+    ml/regression/GradientDescentBSP.java:40-249).
+
+    Features x = [1, stopword_ratio, digit_ratio]; ``label`` is any
+    boolean Column (default: lang == 'en', a stand-in for "looks like
+    target-distribution text" in the synthetic corpus). Training is the
+    reference's exact schedule — unnormalized gradient sums, fixed
+    ``iterations`` — so a SQL oracle replays θ bit-for-bit at 6 dp.
+    Returns (id_col, score, predicted) with score = σ(θ·x) rounded 6 dp.
+
+    Scale shape: features are one scan's worth of column expressions,
+    checkpointed once so training (#iterations one-row aggregates) and
+    scoring share them; θ is O(dim) driver state embedded as literals in
+    the scoring projection. At 100 TB train on a seeded sample
+    (extensions.sampling.seeded_sample) and score the full corpus — the
+    scoring pass is embarrassingly parallel either way.
+    """
+    from hama_spark.extensions.text import EN_STOPWORDS, tokenize
+    from hama_spark.ml.gradient_descent import gradient_descent
+
+    t = F.col(text_col)
+    toks = tokenize(t)
+    wl = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(wl, F.lower(x)))).cast("double")
+        / F.size(toks)
+    )
+    digit_ratio = (
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / F.length(t)
+    )
+    lbl = label if label is not None else (F.col("lang") == "en")
+    feats = docs.select(
+        F.col(id_col),
+        F.array(F.lit(1.0), stop_ratio, digit_ratio).alias("features"),
+        lbl.cast("double").alias("label"),
+    ).localCheckpoint(eager=True)
+
+    res = gradient_descent(
+        feats,
+        model="logistic",
+        alpha=alpha,
+        cost_threshold=0.0,
+        iterations_threshold=iterations,
+    )
+    theta = res.theta
+    dot = sum(
+        (F.col("features")[j] * F.lit(th) for j, th in enumerate(theta)), F.lit(0.0)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return feats.select(
+        F.col(id_col),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("predicted"),
+    )

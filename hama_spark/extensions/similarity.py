@@ -275,3 +275,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank")
     )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style candidate pairs: coarse-cluster the L2-normalized
+    embeddings with k-means (same deterministic Lloyd as ivf_topk —
+    seed centers = first ``n_cells`` rows by id), then compare cosine
+    similarity only WITHIN each cluster and keep pairs ≥ ``threshold``.
+    Returns (id_a, id_b, cosine, cell) with id_a < id_b and cosine
+    rounded to 9 dp (the threshold applies to the rounded value so a
+    SQL replay lands on identical boundary decisions).
+
+    Scale shape: the quadratic compare is fenced inside cells — cost is
+    Σ|cell|² not n², exactly the SemDeDup design (k grows with corpus
+    size to keep cells bounded; skewed cells can be re-split by running
+    k-means recursively on any cell above a size cap). Centroids are
+    O(n_cells·dim) driver state embedded as plan literals; the
+    assignment pass is one map-side projection, the pair join a plain
+    equi-join on cell.
+    """
+    from hama_spark.functions.distance import MEASURES
+    from hama_spark.ml.kmeans import _assign_expr, kmeans
+
+    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
+    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
+    cb = c.select(
+        "id", "v", _assign_expr(km.centers, MEASURES["euclidean"], feat="v").alias("cell")
+    )
+    a, b = cb.alias("a"), cb.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_dot(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
+            F.col("a.cell").cast("int").alias("cell"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup cluster collapse: ``semantic_dup_pairs`` -> connected
+    components (Pregel min-label) -> keep the lowest id per semantic
+    duplicate group. Returns (id_col, n_dups); n_dups = group size.
+    ``pairs`` accepts a precomputed pair set so a pipeline that already
+    materialized them pays only the collapse (mirrors dedup_near)."""
+    from hama_spark.extensions.dedup import _collapse_pairs
+
+    if pairs is None:
+        pairs = semantic_dup_pairs(
+            corpus, threshold, n_cells, kmeans_iter, id_col, vec_col
+        ).localCheckpoint(eager=True)
+    return _collapse_pairs(corpus, pairs, id_col)

@@ -42,6 +42,9 @@ NESTED_LOOP_OK = {
     # crossJoin(broadcast(<1-row vocab size>)) to attach V for add-k
     # smoothing — same single-row-broadcast pattern (extensions/lm.py)
     "bigram_perplexity",
+    # crossJoin(broadcast(<1-row totals>)) to attach T_raw/T_tgt to the
+    # <=B-row bucket model — same single-row-broadcast pattern
+    "importance_weights",
 }
 
 
