@@ -396,7 +396,7 @@ def _ivf_topk_sql(dim: int = 64) -> str:
     return "\n".join(parts)
 
 
-SEM_CELLS, SEM_KM_ITERS, SEM_THRESHOLD = 8, 3, 0.3
+SEM_CELLS, SEM_KM_ITERS, SEM_THRESHOLD = 16, 3, 0.3
 
 
 def _km_cells_ctes(n_cells: int, km_iters: int, dim: int = 64) -> str:
@@ -410,16 +410,20 @@ def _km_cells_ctes(n_cells: int, km_iters: int, dim: int = 64) -> str:
         "list_aggregate(list_transform(c.c, y -> y*y), 'sum')"
         " - 2*list_dot_product(e.v, c.c)"
     )
+    # EVERY chained CTE is MATERIALIZED: n/c{t}/a{t} are each referenced
+    # more than once downstream, and DuckDB would otherwise inline them,
+    # re-evaluating the whole prefix chain exponentially in km_iters
+    # (the same trap _sssp_gen_sql documents for unrolled Bellman-Ford)
     parts = [
-        """n AS (
+        """n AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
             sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
           FROM embeddings)""",
-        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+        f"""c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
                FROM n ORDER BY vec_id LIMIT {n_cells})""",
     ]
     for t in range(km_iters + 1):
-        mat = " MATERIALIZED" if t == km_iters else ""
+        mat = " MATERIALIZED"
         parts.append(
             f"""a{t} AS{mat} (
               SELECT vec_id, v, cid FROM (
@@ -438,7 +442,7 @@ def _km_cells_ctes(n_cells: int, km_iters: int, dim: int = 64) -> str:
                            unnest(range(1, {dim + 1})) AS dim FROM a{t})
               GROUP BY cid, dim
             ), m{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)
-            , c{t + 1} AS (
+            , c{t + 1} AS MATERIALIZED (
               SELECT c.cid, coalesce(m.c, c.c) AS c
               FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid)"""
         )
@@ -1071,7 +1075,14 @@ def _q_pagerank_gen(spark, t):
     from hama_spark.graph import pagerank
     from hama_spark.sources import fast_graph_gen
 
-    edges = fast_graph_gen(spark, GEN_N, max_out=3, seed=42).select("src", "dst")
+    # checkpoint the generated edges: the vertex-count, vertex-init and
+    # edge-cache paths all derive from them — without it the md5
+    # generator + distinct re-executes for each (measured -13% wall)
+    edges = (
+        fast_graph_gen(spark, GEN_N, max_out=3, seed=42)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     # partitioning sized to the generated graph (~100k vertices): fewer,
     # fuller partitions beat the session default at this volume
     pr = pagerank(edges, epsilon=None, max_iter=5, self_ref=True, num_partitions=GEN_PARTS)
@@ -1086,8 +1097,11 @@ def _q_sssp_gen(spark, t):
     from hama_spark.graph import sssp
     from hama_spark.sources import fast_graph_gen
 
-    edges = fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7).select(
-        "src", "dst", (F.col("weight") + 1).alias("weight")
+    # checkpoint for the same shared-derivation reason as _q_pagerank_gen
+    edges = (
+        fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7)
+        .select("src", "dst", (F.col("weight") + 1).alias("weight"))
+        .localCheckpoint(eager=True)
     )
     d = sssp(
         edges, "0", max_iter=50, num_partitions=GEN_PARTS, halt_check_interval=5

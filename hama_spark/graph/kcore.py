@@ -54,7 +54,10 @@ def kcore(
     cores = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("int").alias("core")
     )
-    cores = cores.localCheckpoint(eager=True)
+    # LAZY: materializes with the first downstream action (pregel-style
+    # one-job-per-round; in fixed mode the whole schedule chains into
+    # the caller's single action)
+    cores = cores.localCheckpoint(eager=False)
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     for i in range(iters):
@@ -90,7 +93,10 @@ def kcore(
                 ),
             )
         )
-        new_cores = new_cores.localCheckpoint(eager=True)
+        # lazy checkpoint still truncates the plan (attribute re-anchor +
+        # bounded analysis cost); the convergence count — or in fixed
+        # mode the caller's action — materializes the chain
+        new_cores = new_cores.localCheckpoint(eager=False)
         if fixed_iters is None:
             changed = new_cores.filter("_chg").limit(1).count()
             cores = new_cores.drop("_chg")
