@@ -2158,6 +2158,32 @@ def _q_semantic_dedup(spark, t):
     )
 
 
+def _q_split_dataset(spark, t):
+    """Deterministic hash-banded train/val/test split — per-split doc
+    and token totals (the report a data engineer checks first)."""
+    from hama_spark.extensions import split_dataset, token_count
+
+    s = split_dataset(t["documents"], seed=42)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def _q_heuristic_flags(spark, t):
+    """RedPajama/Gopher-style rule features per document."""
+    from hama_spark.extensions import heuristic_flags
+
+    return t["documents"].select("doc_id", *heuristic_flags(F.col("text")))
+
+
+def _q_pmi_top_pairs(spark, t):
+    """Top-40 collocations by PMI (min bigram count 5)."""
+    from hama_spark.extensions import pmi_top_pairs
+
+    return pmi_top_pairs(t["documents"], k=40, min_count=5)
+
+
 def _q_quality_classifier(spark, t):
     """Learned quality filter: logistic regression (M2 trainer) on text
     features, trained on and scoring the corpus."""
@@ -2228,6 +2254,9 @@ QUERIES: dict[str, Callable] = {
     "semantic_dup_pairs": _q_semantic_dup_pairs,
     "semantic_dedup": _q_semantic_dedup,
     "quality_classifier": _q_quality_classifier,
+    "split_dataset": _q_split_dataset,
+    "heuristic_flags": _q_heuristic_flags,
+    "pmi_top_pairs": _q_pmi_top_pairs,
     # sessionize's round-2 row was red on an oracle-side HUGEINT cast
     # (fixed) — keep it inside the first 50 so the fix lands a row
     "sessionize": _q_sessionize,
@@ -3069,6 +3098,56 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dup_pairs": _semantic_pairs_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "split_dataset": r"""
+            WITH s AS (
+              SELECT ('0x' || substr(md5('42:' || doc_id), 1, 12))::BIGINT
+                       % 1000000 AS key,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+              FROM documents
+            )
+            SELECT CASE WHEN key < 900000 THEN 'train'
+                        WHEN key < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM s GROUP BY 1
+        """,
+        "heuristic_flags": r"""
+            SELECT doc_id,
+                   round(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0
+                         / len(regexp_split_to_array(trim(text), '\s+')), 6) AS uniq_token_frac,
+                   round(len(list_filter(string_split(text, chr(10)),
+                             l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) * 1.0
+                         / len(string_split(text, chr(10))), 6) AS bullet_line_frac,
+                   round(length(text) * 1.0 / len(string_split(text, chr(10))), 6)
+                     AS mean_line_len,
+                   round(length(regexp_replace(text, '[^{}]', '', 'g')) * 1.0
+                         / length(text), 6) AS brace_char_frac,
+                   substr(text, length(text), 1) IN ('.', '!', '?', '"')
+                     AS ends_with_terminal
+            FROM documents
+        """,
+        "pmi_top_pairs": r"""
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+            ), bgf AS (
+              SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+                     unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+              FROM t WHERE len(toks) >= 2
+            ), big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM bgf GROUP BY 1, 2),
+            l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM big GROUP BY 1),
+            r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS c2 FROM big GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM big)
+            SELECT w1, w2, n, pmi,
+                   CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+            FROM (
+              SELECT w1, w2, n,
+                     round(ln(n * 1.0 * nn / (c1 * c2)), 6) AS pmi
+              FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+              WHERE n >= 5)
+            QUALIFY rank <= 40
+        """,
         "dedup_near": f"""
             WITH RECURSIVE pairs AS (
               SELECT id_a, id_b FROM ({_minhash_lsh_sql(0.5, 16, 4)})

@@ -16,7 +16,7 @@ bigram key to make it exchange-free across reuse).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hama_spark.extensions.text import tokenize
@@ -197,4 +197,53 @@ def importance_weights(
             F.round(F.sum("_lw"), 6).alias("logw"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "logw")
+    )
+
+
+def pmi_top_pairs(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus collocations: top-k adjacent token pairs by pointwise
+    mutual information, PMI = ln(C(w1,w2)·N / (C(w1·)·C(·w2))) over
+    bigram POSITIONS (N = total positions, C(w1·)/C(·w2) = marginal
+    first/second-slot counts), restricted to pairs seen >= min_count.
+    The multiword-expression miner for tokenizer/vocab design.
+
+    Returns (w1, w2, n, pmi, rank), pmi rounded 6 dp, ties broken
+    lexicographically. Scale shape: one explode -> three partial-agg'd
+    groupBys keyed by token/bigram, top-k via a single global sort of
+    the >=min_count survivors (tiny); no UDFs, no driver state.
+    """
+    bg = _bigram_rows(docs, id_col, text_col)
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    left = big.groupBy("w1").agg(F.sum("n").alias("c1"))
+    right = big.groupBy("w2").agg(F.sum("n").alias("c2"))
+    tot = big.agg(F.sum("n").alias("nn"))
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("nn")
+            / (F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    scored = (
+        big.filter(F.col("n") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n", pmi.alias("pmi"))
+    )
+    # top-k FIRST via orderBy+limit (TakeOrdered: distributed partial
+    # top-k, never a single-task global window over all survivors), then
+    # rank the k survivors — the empty-partition window is k rows only
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
     )

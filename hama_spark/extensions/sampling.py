@@ -297,3 +297,35 @@ def mix_weights(
         q.alias("q"),
         (q / p).alias("rate"),
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(seed:id) % 1e6
+    lands in cumulative weight bands, so every row gets exactly one
+    split label that is stable across engines, partitionings, reruns,
+    and INCREMENTAL growth (new rows hash into splits at the same
+    proportions without reshuffling old ones — the property random
+    splits lack). Adds a ``split`` column; no shuffle, no sort.
+
+    ``weights`` values must sum to 1.0 (default 90/5/5); band order is
+    dict order.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    key = _hash_key(seed, F.col(id_col)) % _HASH_MOD
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = key < int(cum * _HASH_MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

@@ -383,3 +383,36 @@ def doc_fingerprint(text) -> Column:
     md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))."""
     norm = F.lower(F.regexp_replace(F.trim(_c(text)), r"\s+", " "))
     return F.md5(norm.cast("binary"))
+
+
+def heuristic_flags(text) -> list[Column]:
+    """RedPajama/Gopher-style rule features for corpus filtering, as
+    pure column expressions (one scan, no UDFs):
+
+    - ``uniq_token_frac``: distinct / total tokens (low = repetitive)
+    - ``bullet_line_frac``: lines starting with '-' or '*' (layout junk)
+    - ``mean_line_len``: characters per line
+    - ``brace_char_frac``: '{' '}' chars / chars (code smell)
+    - ``ends_with_terminal``: last char in .!?" (truncation check)
+
+    Every expression has an exact SQL twin (list ops + regexps), so the
+    whole rule table is oracle-checkable; thresholding into keep/drop is
+    the caller's policy (compose with clean_corpus / split_dataset).
+    """
+    t = _c(text)
+    toks = tokenize(t)
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).startswith("-") | F.trim(ln).startswith("*"))
+    )
+    braces = F.length(F.regexp_replace(t, "[^{}]", ""))
+    return [
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias(
+            "uniq_token_frac"
+        ),
+        F.round(bullet.cast("double") / n_lines, 6).alias("bullet_line_frac"),
+        F.round(F.length(t).cast("double") / n_lines, 6).alias("mean_line_len"),
+        F.round(braces.cast("double") / F.length(t), 6).alias("brace_char_frac"),
+        F.substring(t, F.length(t), 1).isin(".", "!", "?", '"').alias("ends_with_terminal"),
+    ]

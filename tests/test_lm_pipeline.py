@@ -107,3 +107,63 @@ def test_quality_classifier_scores_shape(spark):
     again = quality_classifier_scores(docs)
     assert out.exceptAll(again).count() == 0
     out.unpersist()
+
+
+def test_split_dataset_deterministic_partition(spark):
+    from hama_spark.extensions import split_dataset
+
+    docs = _docs(spark)
+    s = split_dataset(docs, seed=42).cache()
+    # total partition: every row exactly one split
+    assert s.count() == docs.count()
+    counts = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    # ~90/5/5 within generous tolerance at 500 docs
+    n = sum(counts.values())
+    assert counts["train"] / n > 0.8
+    # stable across re-evaluation and independent of row order
+    s2 = split_dataset(docs.orderBy(F.desc("doc_id")), seed=42)
+    assert s.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0
+    # incremental property: a subset gets identical labels
+    sub = split_dataset(docs.filter("doc_id < 100"), seed=42)
+    joined = sub.select("doc_id", F.col("split").alias("s2")).join(
+        s.select("doc_id", "split"), "doc_id"
+    )
+    assert joined.filter("split != s2").count() == 0
+    s.unpersist()
+
+
+def test_split_dataset_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from hama_spark.extensions import split_dataset
+
+    with _pytest.raises(ValueError):
+        split_dataset(_docs(spark), weights={"a": 0.5, "b": 0.2})
+
+
+def test_heuristic_flags_ranges(spark):
+    from hama_spark.extensions import heuristic_flags
+
+    out = _docs(spark).select("doc_id", *heuristic_flags(F.col("text")))
+    r = out.agg(
+        F.min("uniq_token_frac").alias("u0"), F.max("uniq_token_frac").alias("u1"),
+        F.min("bullet_line_frac").alias("b0"), F.max("bullet_line_frac").alias("b1"),
+        F.min("brace_char_frac").alias("c0"), F.max("brace_char_frac").alias("c1"),
+        F.min("mean_line_len").alias("m0"),
+    ).first()
+    assert 0 < r["u0"] and r["u1"] <= 1.0
+    assert 0 <= r["b0"] and r["b1"] <= 1.0
+    assert 0 <= r["c0"] and r["c1"] <= 1.0
+    assert r["m0"] > 0
+
+
+def test_pmi_top_pairs_ordering(spark):
+    from hama_spark.extensions import pmi_top_pairs
+
+    rows = pmi_top_pairs(_docs(spark), k=20, min_count=3).collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["n"] >= 3 for r in rows)

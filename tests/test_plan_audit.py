@@ -45,6 +45,9 @@ NESTED_LOOP_OK = {
     # crossJoin(broadcast(<1-row totals>)) to attach T_raw/T_tgt to the
     # <=B-row bucket model — same single-row-broadcast pattern
     "importance_weights",
+    # crossJoin(broadcast(<1-row bigram-position total>)) for the PMI
+    # normalizer — same single-row-broadcast pattern (extensions/lm.py)
+    "pmi_top_pairs",
 }
 
 
