@@ -2158,6 +2158,29 @@ def _q_semantic_dedup(spark, t):
     )
 
 
+def _q_domain_divergence(spark, t):
+    """KL(P_source || P_corpus) over hashed-unigram buckets per source
+    — the mixture-design diagnostic."""
+    from hama_spark.extensions import domain_divergence
+
+    return domain_divergence(t["documents"], n_buckets=IW_BUCKETS)
+
+
+def _q_hybrid_search(spark, t):
+    """Filtered vector search (the production RAG pattern): restrict
+    the corpus by a metadata predicate (documents.lang = 'en', joined
+    on vec_id = doc_id) BEFORE the cosine top-k, so the ANN pass scans
+    only the qualifying slice — predicate + join prune ahead of the
+    similarity math, exactly what you want at 100 TB."""
+    from hama_spark.extensions import cosine_topk
+
+    en_ids = (
+        t["documents"].filter(F.col("lang") == "en").select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = t["embeddings"].join(en_ids, "vec_id")
+    return cosine_topk(corpus, t["embeddings"].filter("vec_id < 5"), k=10)
+
+
 def _q_split_dataset(spark, t):
     """Deterministic hash-banded train/val/test split — per-split doc
     and token totals (the report a data engineer checks first)."""
@@ -2257,6 +2280,8 @@ QUERIES: dict[str, Callable] = {
     "split_dataset": _q_split_dataset,
     "heuristic_flags": _q_heuristic_flags,
     "pmi_top_pairs": _q_pmi_top_pairs,
+    "hybrid_search": _q_hybrid_search,
+    "domain_divergence": _q_domain_divergence,
     # sessionize's round-2 row was red on an oracle-side HUGEINT cast
     # (fixed) — keep it inside the first 50 so the fix lands a row
     "sessionize": _q_sessionize,
@@ -3095,6 +3120,46 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(lw), 6) AS logw
             FROM tk JOIN w USING (h) GROUP BY doc_id
         """,
+        "domain_divergence": rf"""
+            WITH tk AS (
+              SELECT source AS domain,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % {IW_BUCKETS} AS h
+              FROM (
+                SELECT source,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+                FROM documents)
+            ), dom AS (
+              SELECT domain, h, CAST(count(*) AS BIGINT) AS c_d FROM tk GROUP BY 1, 2
+            ), corpus AS (
+              SELECT h, CAST(sum(c_d) AS BIGINT) AS c_all FROM dom GROUP BY 1
+            ), dt AS (
+              SELECT domain, CAST(sum(c_d) AS BIGINT) AS t_d FROM dom GROUP BY 1
+            ), at AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+                             CAST(count(*) AS BIGINT) AS n_obs FROM corpus),
+            j AS (
+              SELECT g.domain, g.t_d, g.c_all, at.t_all, at.n_obs,
+                     coalesce(d.c_d, 0) AS c_d
+              FROM (SELECT dt.domain, dt.t_d, c.h, c.c_all
+                    FROM dt CROSS JOIN corpus c) g
+              LEFT JOIN dom d ON d.domain = g.domain AND d.h = g.h
+              CROSS JOIN at
+            ),
+            agged AS (
+              SELECT domain, CAST(max(t_d) AS BIGINT) AS n_tokens,
+                     sum(((c_d + 1.0) / (t_d + 1.0 * {IW_BUCKETS}))
+                         * ln(((c_d + 1.0) / (t_d + 1.0 * {IW_BUCKETS}))
+                              / ((c_all + 1.0) / (t_all + 1.0 * {IW_BUCKETS}))))
+                       AS s_obs,
+                     max(t_all) AS t_all, max(n_obs) AS n_obs
+              FROM j GROUP BY domain
+            )
+            SELECT domain, n_tokens,
+                   round(s_obs + ({IW_BUCKETS} - n_obs)
+                         * (1.0 / (n_tokens + 1.0 * {IW_BUCKETS}))
+                         * ln((1.0 / (n_tokens + 1.0 * {IW_BUCKETS}))
+                              / (1.0 / (t_all + 1.0 * {IW_BUCKETS}))), 6) AS kl
+            FROM agged
+        """,
         "semantic_dup_pairs": _semantic_pairs_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "quality_classifier": _quality_classifier_sql(),
@@ -3243,6 +3308,22 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY round(list_dot_product(c.v, q.v), 9) DESC,
                                                  c.vec_id) AS rank
               FROM n c, n q WHERE q.vec_id < 5)
+            WHERE rank <= 10
+        """,
+        "hybrid_search": """
+            WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            n AS (
+              SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+                sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+              FROM embeddings),
+            c AS (SELECT n.* FROM n JOIN en ON en.doc_id = n.vec_id)
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round(list_dot_product(c.v, q.v), 9) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY round(list_dot_product(c.v, q.v), 9) DESC,
+                                                 c.vec_id) AS rank
+              FROM c, n q WHERE q.vec_id < 5)
             WHERE rank <= 10
         """,
         # documents.text is ASCII-only in the driver data (verified per

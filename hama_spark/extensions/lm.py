@@ -247,3 +247,78 @@ def pmi_top_pairs(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def domain_divergence(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    k: float = 1.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain distribution shift: KL(P_domain || P_corpus) over
+    add-k-smoothed hashed-unigram buckets — the mixture-design
+    diagnostic ("which sources look least like the blend?"). Returns
+    (domain, n_tokens, kl) with kl rounded 6 dp, one row per domain.
+
+    Same md5-mod-B bucket hash as importance_weights, so the SQL twin
+    replays exactly. The sum runs explicitly over buckets observed
+    anywhere in the corpus; the (B - observed) never-seen buckets all
+    share one smoothed term per domain (c_d = c_all = 0), added in
+    closed form — a TRUE KL over all B buckets (nonnegative) at
+    observed-bucket cost.
+
+    Scale shape: one explode -> one conditional aggregation keyed by
+    (domain, bucket) -> |domains|·B-row model joined to its B-row
+    corpus marginal (broadcast), then one |domains|-row output. No
+    driver state, no UDFs.
+    """
+    toks = docs.select(
+        _c(domain_col).alias("domain"),
+        F.explode(tokenize(F.lower(_c(text_col)))).alias("tok"),
+    ).select(
+        "domain",
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("h"),
+    )
+    dom = toks.groupBy("domain", "h").agg(F.count(F.lit(1)).alias("c_d"))
+    corpus = dom.groupBy("h").agg(F.sum("c_d").alias("c_all"))
+    dom_tot = dom.groupBy("domain").agg(F.sum("c_d").alias("t_d"))
+    all_tot = corpus.agg(
+        F.sum("c_all").alias("t_all"), F.count(F.lit(1)).alias("n_obs")
+    )
+
+    # every (domain, observed bucket) pair, smoothed — including buckets
+    # the domain itself never emits (c_d -> 0 via the left join)
+    grid = dom_tot.crossJoin(F.broadcast(corpus.select("h", "c_all")))
+    joined = (
+        grid.join(dom, ["domain", "h"], "left")
+        .withColumn("c_d", F.coalesce(F.col("c_d"), F.lit(0)))
+        .crossJoin(F.broadcast(all_tot))
+    )
+    p_d = (F.col("c_d") + F.lit(k)) / (F.col("t_d") + F.lit(k) * n_buckets)
+    p_all = (F.col("c_all") + F.lit(k)) / (F.col("t_all") + F.lit(k) * n_buckets)
+    agged = joined.groupBy("domain").agg(
+        F.max("t_d").cast("long").alias("n_tokens"),
+        F.sum(p_d * F.log(p_d / p_all)).alias("_s_obs"),
+        F.max("t_all").alias("_t_all"),
+        F.max("n_obs").alias("_n_obs"),
+    )
+    # closed-form term for the (B - n_obs) buckets nothing emits: both
+    # counts are 0 there, so each contributes the same smoothed
+    # p0_d * ln(p0_d / p0_all) — adding it makes this the TRUE KL over
+    # all B buckets (nonnegative), at observed-bucket cost
+    p0_d = F.lit(k) / (F.col("n_tokens") + F.lit(k) * n_buckets)
+    p0_all = F.lit(k) / (F.col("_t_all") + F.lit(k) * n_buckets)
+    return agged.select(
+        "domain",
+        "n_tokens",
+        F.round(
+            F.col("_s_obs")
+            + (F.lit(n_buckets) - F.col("_n_obs")) * p0_d * F.log(p0_d / p0_all),
+            6,
+        ).alias("kl"),
+    )

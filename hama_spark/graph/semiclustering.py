@@ -165,7 +165,10 @@ def semi_clustering(
                 ).alias("_cs")
             )
             .select("id", F.transform("_cs", lambda s: s["c"]).alias("clusters"))
-            .localCheckpoint(eager=True)
+            # LAZY: the fixed-iteration loop has no mid-loop action, so
+            # all rounds chain into the caller's single job while each
+            # checkpoint still truncates the plan (kcore-style)
+            .localCheckpoint(eager=False)
         )
 
     sym.unpersist()

