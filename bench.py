@@ -47,10 +47,21 @@ def main() -> int:
     spark = get_spark(app_name="hama_spark_bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footer cache with one cheap action so q1
-    # doesn't absorb one-time costs
-    warm = qs.get("inlink_count") or next(iter(qs.values()))
-    warm(spark, SF_DIR).limit(1).count()
+    # Warm the JVM before timing anything: JIT/codegen compilation,
+    # parquet footer caches, shuffle machinery and the interpreted
+    # higher-order-function path all cost seconds on first touch, and
+    # whichever queries run first would otherwise absorb them (the
+    # inventory is ordered for the driver's correctness window, not for
+    # warmup fairness — reordering shifted ~2x "regressions" onto the
+    # block that moved to the front). Three cheap untimed queries cover
+    # the scan+lambda (vectors), scan+regex (text), and shuffle+window
+    # (events) paths.
+    for wname in ("embedding_normalize", "token_count", "events_window", "inlink_count"):
+        if wname in qs:
+            try:
+                qs[wname](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -75,6 +86,16 @@ def main() -> int:
             continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Drop the query's dead references NOW so the ContextCleaner can
+        # free its localCheckpoint/cache blocks before the next query
+        # runs. Python's lazy GC otherwise lets checkpoint RDD blocks
+        # from all prior queries pile up in the block manager — measured
+        # as a uniform ~20-30% slowdown on late-running queries once the
+        # inventory passed ~90 queries per JVM.
+        import gc
+
+        del df, obs
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
