@@ -2158,6 +2158,26 @@ def _q_semantic_dedup(spark, t):
     )
 
 
+def _q_data_quality(spark, t):
+    """One-pass Deequ-style expectation suite over lineitem."""
+    from hama_spark.extensions import check_expectations
+
+    return check_expectations(
+        t["lineitem"],
+        [
+            ("not_null", "l_orderkey"),
+            ("not_null", "l_linestatus"),
+            ("min", "l_quantity", 1.0),
+            ("max", "l_discount", 0.1),
+            ("in_set", "l_returnflag", ["A", "N", "R"]),
+            # l_orderkey repeats across line numbers — this rule FAILS
+            # by design, demonstrating violation detection
+            ("unique", "l_orderkey"),
+            ("nonempty",),
+        ],
+    )
+
+
 def _q_domain_divergence(spark, t):
     """KL(P_source || P_corpus) over hashed-unigram buckets per source
     — the mixture-design diagnostic."""
@@ -2282,6 +2302,7 @@ QUERIES: dict[str, Callable] = {
     "pmi_top_pairs": _q_pmi_top_pairs,
     "hybrid_search": _q_hybrid_search,
     "domain_divergence": _q_domain_divergence,
+    "data_quality": _q_data_quality,
     # sessionize's round-2 row was red on an oracle-side HUGEINT cast
     # (fixed) — keep it inside the first 50 so the fix lands a row
     "sessionize": _q_sessionize,
@@ -3119,6 +3140,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    round(sum(lw), 6) AS logw
             FROM tk JOIN w USING (h) GROUP BY doc_id
+        """,
+        "data_quality": """
+            WITH m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     count(l_orderkey) * 1.0 / count(*) AS nn_ok,
+                     count(l_linestatus) * 1.0 / count(*) AS nn_ls,
+                     CAST(min(l_quantity) AS DOUBLE) AS mn_q,
+                     CAST(max(l_discount) AS DOUBLE) AS mx_d,
+                     sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+                       * 1.0 / count(*) AS inset,
+                     CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS uq
+              FROM lineitem
+            )
+            SELECT 'in_set' AS rule, 'l_returnflag' AS "column",
+                   round(inset, 6) AS metric, inset = 1.0 AS passed FROM m
+            UNION ALL SELECT 'max', 'l_discount', round(mx_d, 6), mx_d <= 0.1 FROM m
+            UNION ALL SELECT 'min', 'l_quantity', round(mn_q, 6), mn_q >= 1.0 FROM m
+            UNION ALL SELECT 'nonempty', '*', round(n, 6), n > 0 FROM m
+            UNION ALL SELECT 'not_null', 'l_linestatus', round(nn_ls, 6), nn_ls = 1.0 FROM m
+            UNION ALL SELECT 'not_null', 'l_orderkey', round(nn_ok, 6), nn_ok = 1.0 FROM m
+            UNION ALL SELECT 'unique', 'l_orderkey', round(uq, 6), uq = n FROM m
         """,
         "domain_divergence": rf"""
             WITH tk AS (

@@ -392,3 +392,43 @@ def test_top_ngrams_trigram_counts(spark):
     )
     rows = top_ngrams(df, n=3, k=2).collect()
     assert (rows[0]["ngram"], rows[0]["cnt"]) == ("a b c", 3)
+
+
+def test_check_expectations_detects_violations(spark):
+    from hama_spark.extensions import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.5), (2, None, 12.0)],
+        "id long, name string, score double",
+    )
+    out = {
+        (r["rule"], r["column"]): (r["metric"], r["passed"])
+        for r in check_expectations(
+            df,
+            [
+                ("not_null", "id"),
+                ("not_null", "name"),
+                ("unique", "id"),
+                ("min", "score", 0.0),
+                ("max", "score", 10.0),
+                ("in_set", "name", ["a", "b"]),
+                ("nonempty",),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "id")] == (1.0, True)
+    assert out[("not_null", "name")][1] is False  # one null
+    assert out[("unique", "id")] == (2.0, False)  # 2 distinct of 3 rows
+    assert out[("min", "score")] == (5.0, True)
+    assert out[("max", "score")] == (12.0, False)  # 12 > 10
+    assert out[("nonempty", "*")] == (3.0, True)
+
+
+def test_check_expectations_rejects_unknown_rule(spark):
+    import pytest as _pytest
+
+    from hama_spark.extensions import check_expectations
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        check_expectations(df, [("bogus", "id")])
