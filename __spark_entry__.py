@@ -1968,6 +1968,9 @@ def _lsh_pairs_cached(spark, docs):
 
     key = (spark.sparkContext.applicationId, docs.semanticHash())
     if key not in _LSH_MEMO:
+        # single-entry memo: a new (session, corpus) key evicts the
+        # old one so stale eager-checkpoint blocks can be GC'd
+        _LSH_MEMO.clear()
         _LSH_MEMO[key] = minhash_lsh_dup_pairs(
             docs, threshold=0.5, num_hashes=16, bands=4
         ).localCheckpoint(eager=True)
@@ -2030,6 +2033,9 @@ def _emb_pairs_cached(spark, emb):
 
     key = (spark.sparkContext.applicationId, emb.semanticHash())
     if key not in _EMB_PAIRS_MEMO:
+        # single-entry memo: a new (session, corpus) key evicts the
+        # old one so stale eager-checkpoint blocks can be GC'd
+        _EMB_PAIRS_MEMO.clear()
         _EMB_PAIRS_MEMO[key] = lsh_cosine_dup_pairs(
             emb, threshold=0.45, planes=4, tables=8, dim=64
         ).localCheckpoint(eager=True)
@@ -2137,6 +2143,9 @@ def _sem_pairs_cached(spark, emb):
 
     key = (spark.sparkContext.applicationId, emb.semanticHash())
     if key not in _SEM_PAIRS_MEMO:
+        # single-entry memo: a new (session, corpus) key evicts the
+        # old one so stale eager-checkpoint blocks can be GC'd
+        _SEM_PAIRS_MEMO.clear()
         _SEM_PAIRS_MEMO[key] = semantic_dup_pairs(
             emb, threshold=SEM_THRESHOLD, n_cells=SEM_CELLS, kmeans_iter=SEM_KM_ITERS
         ).localCheckpoint(eager=True)

@@ -20,8 +20,17 @@ Rule forms (tuples):
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _round6(v: float) -> float:
+    """Half-away-from-zero at 6 dp — what SQL round()/F.round do.
+    Python's built-in round() is banker's rounding and would disagree
+    with the DuckDB oracle on exact .5 boundaries."""
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def check_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
@@ -72,7 +81,7 @@ def check_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
         (
             kind,
             col,
-            round(float(row[alias]), 6) if row[alias] is not None else None,
+            _round6(float(row[alias])) if row[alias] is not None else None,
             bool(ok(row[alias], n)),
         )
         for kind, col, alias, ok in specs

@@ -175,10 +175,13 @@ def importance_weights(
             % n_buckets
         ).alias("h"),
     )
+    # eager checkpoint: totals and the scoring join both consume the
+    # model — without it the corpus tokenize+md5 scan behind it would
+    # re-execute per consumer (the model is <=B rows, so this is cheap)
     model = toks.groupBy("h").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),
-    )
+    ).localCheckpoint(eager=True)
     totals = model.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
     )
@@ -284,7 +287,14 @@ def domain_divergence(
             % n_buckets
         ).alias("h"),
     )
-    dom = toks.groupBy("domain", "h").agg(F.count(F.lit(1)).alias("c_d"))
+    # eager checkpoint: corpus marginal, domain totals, grid and the
+    # final left join all derive from dom — one corpus scan, not four
+    # (|domains| x B rows at most)
+    dom = (
+        toks.groupBy("domain", "h")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+        .localCheckpoint(eager=True)
+    )
     corpus = dom.groupBy("h").agg(F.sum("c_d").alias("c_all"))
     dom_tot = dom.groupBy("domain").agg(F.sum("c_d").alias("t_d"))
     all_tot = corpus.agg(

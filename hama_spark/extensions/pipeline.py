@@ -95,16 +95,15 @@ def quality_classifier_scores(
     (extensions.sampling.seeded_sample) and score the full corpus — the
     scoring pass is embarrassingly parallel either way.
     """
-    from hama_spark.extensions.text import EN_STOPWORDS, tokenize
+    from hama_spark.extensions.text import EN_STOPWORDS, _count_matches, tokenize
     from hama_spark.ml.gradient_descent import gradient_descent
 
+    # the same expressions text_stats uses (single source of truth — if
+    # text.py's tokenization changes, the classifier and its SQL oracle
+    # must move together)
     t = F.col(text_col)
     toks = tokenize(t)
-    wl = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: F.array_contains(wl, F.lower(x)))).cast("double")
-        / F.size(toks)
-    )
+    stop_ratio = _count_matches(toks, EN_STOPWORDS).cast("double") / F.size(toks)
     digit_ratio = (
         F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / F.length(t)
     )

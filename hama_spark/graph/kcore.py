@@ -105,5 +105,11 @@ def kcore(
         else:
             cores = new_cores.drop("_chg")
 
+    if fixed_iters is not None:
+        # fixed mode has no mid-loop action: materialize the chained
+        # rounds NOW, while sym's cache is still alive — otherwise
+        # unpersist drops it before the caller's first action and every
+        # round recomputes the symmetrized-distinct edge set
+        cores = cores.localCheckpoint(eager=True)
     sym.unpersist()
     return cores

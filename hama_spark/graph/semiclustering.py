@@ -171,5 +171,8 @@ def semi_clustering(
             .localCheckpoint(eager=False)
         )
 
+    # materialize the chained rounds before dropping sym's cache (the
+    # lazy loop has no mid-loop action; see kcore for the same pattern)
+    clusters = clusters.localCheckpoint(eager=True)
     sym.unpersist()
     return clusters

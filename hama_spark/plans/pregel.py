@@ -140,6 +140,8 @@ def pregel(
         anti-joined out by ``id_col``; ``ctx.num_vertices`` is updated
         like the master's count adjustment (:664-675).
     """
+    if halt_check_interval < 1:
+        raise ValueError(f"halt_check_interval must be >= 1, got {halt_check_interval}")
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 

@@ -101,3 +101,13 @@ def test_halt_check_interval_matches_per_step(spark):
         ).collect()
     }
     assert cc1 == cc7 and set(cc1.values()) == {"0"}
+
+
+def test_halt_check_interval_validation(spark):
+    import pytest as _pytest
+
+    from hama_spark.graph import sssp
+
+    e = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight int")
+    with _pytest.raises(ValueError, match="halt_check_interval"):
+        sssp(e, "a", halt_check_interval=0)
