@@ -152,6 +152,30 @@ def _pagerank_sql(edges_sql: str, n: int, iters: int, damping: float = 0.85) -> 
     return "\n".join(parts)
 
 
+def _ppr_sql(edges_sql: str, source: str, iters: int, damping: float = 0.85) -> str:
+    """Personalized-PageRank replay: same schedule as _pagerank_sql but
+    the teleport mass (1-d) lands entirely on ``source`` and rank_0 is
+    the indicator vector of the source."""
+    parts = [
+        f"WITH base AS ({edges_sql}),",
+        "v AS (SELECT DISTINCT src AS id FROM base UNION SELECT DISTINCT dst FROM base),",
+        "e AS (SELECT src, dst FROM base UNION SELECT id, id FROM v),",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),",
+        f"r0 AS (SELECT id, CASE WHEN id = '{source}' THEN 1.0 ELSE 0.0 END AS rank FROM v)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", r{i + 1} AS (
+            SELECT e.dst AS id,
+                   (CASE WHEN e.dst = '{source}' THEN {1.0 - damping!r} ELSE 0.0 END)
+                   + {damping} * sum(r.rank / od.outdeg) AS rank
+            FROM r{i} r JOIN e ON e.src = r.id JOIN od ON od.src = e.src
+            GROUP BY e.dst)"""
+        )
+    parts.append(f" SELECT id, round(rank, 9) AS rank FROM r{iters}")
+    return "\n".join(parts)
+
+
 def _gd_logistic_sql(iters: int = GD_ITERS, alpha: float = GD_ALPHA) -> str:
     parts = [
         "WITH d AS (SELECT 1.0 AS x0, l_quantity/10.0 AS x1,",
@@ -2167,6 +2191,17 @@ def _q_semantic_dedup(spark, t):
     )
 
 
+def _q_personalized_pagerank(spark, t):
+    """Random-walk-with-restart proximity to vertex '0' — the
+    recommendation / related-items flavor of PageRank."""
+    from hama_spark.graph import pagerank
+
+    pr = pagerank(
+        _pr_edges(spark, t), epsilon=None, max_iter=10, self_ref=True, personalize="0"
+    )
+    return pr.select("id", F.round("rank", 9).alias("rank"))
+
+
 def _q_data_quality(spark, t):
     """One-pass Deequ-style expectation suite over lineitem."""
     from hama_spark.extensions import check_expectations
@@ -2312,6 +2347,7 @@ QUERIES: dict[str, Callable] = {
     "hybrid_search": _q_hybrid_search,
     "domain_divergence": _q_domain_divergence,
     "data_quality": _q_data_quality,
+    "personalized_pagerank": _q_personalized_pagerank,
     # sessionize's round-2 row was red on an oracle-side HUGEINT cast
     # (fixed) — keep it inside the first 50 so the fix lands a row
     "sessionize": _q_sessionize,
@@ -2403,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || CAST(k AS VARCHAR), comp FROM m
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
+        "personalized_pagerank": _ppr_sql(PR_EDGES_SQL, "0", 10),
         "pagerank_gen_100k": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_vertices,
                    round(sum(rank), 2) AS sum_rank

@@ -31,11 +31,18 @@ def pagerank(
     self_ref: bool = True,
     checkpoint_interval: int = 4,
     num_partitions: int | None = None,
+    personalize: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, rank). ``epsilon=None`` disables the
     convergence check and runs exactly ``max_iter`` supersteps (useful
     for oracle comparison). ``num_partitions`` sizes the pinned loop
-    partitioning to the graph (default: session shuffle partitions)."""
+    partitioning to the graph (default: session shuffle partitions).
+
+    ``personalize``: a vertex id switches to personalized PageRank —
+    the (1-d) teleport mass lands entirely on that vertex instead of
+    uniformly (rank_0 = 1 at the source, 0 elsewhere), so rank becomes
+    proximity to the source (random-walk-with-restart). Same loop,
+    same cost — only the teleport expression changes."""
     spark = edges.sparkSession
 
     vertices_ids = (
@@ -55,11 +62,16 @@ def pagerank(
     edges = edges.join(outdeg, "src")
 
     n = vertices_ids.count()
-    init = 1.0 / n
-    alpha = (1.0 - damping) / n
+    if personalize is None:
+        init_expr = F.lit(1.0 / n)
+        alpha_expr = F.lit((1.0 - damping) / n)
+    else:
+        is_src = F.col("id") == personalize
+        init_expr = F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0))
+        alpha_expr = F.when(is_src, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
 
     vertices = vertices_ids.select(
-        "id", F.lit(init).alias("rank"), F.lit(0.0).alias("delta")
+        "id", init_expr.alias("rank"), F.lit(0.0).alias("delta")
     )
 
     def initial_message(verts: DataFrame, ctx: PregelContext) -> DataFrame:
@@ -69,7 +81,7 @@ def pagerank(
         )
 
     def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
-        new_rank = F.lit(alpha) + F.coalesce(F.col(MSG), F.lit(0.0)) * F.lit(damping)
+        new_rank = alpha_expr + F.coalesce(F.col(MSG), F.lit(0.0)) * F.lit(damping)
         return with_inbox.select(
             "id",
             new_rank.alias("rank"),

@@ -81,7 +81,7 @@ def test_never_driver_checked_queries_lead_the_dict():
         "bigram_perplexity", "perplexity_buckets", "importance_weights",
         "semantic_dup_pairs", "semantic_dedup", "quality_classifier",
         "split_dataset", "heuristic_flags", "pmi_top_pairs", "hybrid_search",
-        "domain_divergence", "data_quality",
+        "domain_divergence", "data_quality", "personalized_pagerank",
         # red row in round 2, oracle fixed since
         "sessionize",
     }

@@ -176,3 +176,27 @@ def test_triangle_count_oracle(spark, tables, duck):
 
     got = entry.queries()["triangle_count"](spark, "/root/testdata/sf0.001")
     assert_df_equals_oracle(got, duck, entry.oracle_sql()["triangle_count"])
+
+
+def test_personalized_pagerank_concentrates_on_source(spark):
+    """PPR invariants on a small path+cycle graph: ranks sum to ~1,
+    the source holds the largest rank, and a vertex unreachable from
+    the source gets only pass-through damping mass (near zero)."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")],
+        "src string, dst string",
+    )
+    pr = pagerank(edges, epsilon=None, max_iter=20, self_ref=True, personalize="a")
+    rows = {r["id"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
+    assert rows["a"] == max(rows.values())
+    # x has no in-edges from the walk (teleport returns to 'a' only)
+    assert rows["x"] < 1e-6
+    # uniform pagerank still behaves: same graph, no personalization
+    pu = {r["id"]: r["rank"] for r in pagerank(edges, epsilon=None, max_iter=20).collect()}
+    assert abs(sum(pu.values()) - 1.0) < 1e-6
+    assert pu["x"] > 1e-3  # uniform teleport gives x mass
