@@ -152,6 +152,32 @@ def _pagerank_sql(edges_sql: str, n: int, iters: int, damping: float = 0.85) -> 
     return "\n".join(parts)
 
 
+def _walks_sql(edges_sql: str, walk_len: int, seed: int) -> str:
+    """random_walks replay: sorted neighbor lists + per-step md5 draw
+    keyed by (seed, walk_src, step). Dead ends stay in place."""
+    parts = [
+        f"""WITH base AS ({edges_sql}),
+        nb AS MATERIALIZED (
+          SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM base GROUP BY src),
+        v AS (SELECT DISTINCT src AS id FROM base UNION SELECT DISTINCT dst FROM base),
+        s0 AS (SELECT id AS walk_src, id AS cur, id AS path FROM v)""",
+    ]
+    for k in range(walk_len):
+        draw = f"('0x' || substr(md5('{seed}:' || walk_src || ':{k}'), 1, 8))::BIGINT"
+        nxt = (
+            f"CASE WHEN nb.nbrs IS NULL THEN s.cur "
+            f"ELSE nb.nbrs[CAST({draw} % len(nb.nbrs) AS INT) + 1] END"
+        )
+        parts.append(
+            f""", s{k + 1} AS MATERIALIZED (
+            SELECT s.walk_src, {nxt} AS cur,
+                   s.path || '->' || {nxt} AS path
+            FROM s{k} s LEFT JOIN nb ON nb.src = s.cur)"""
+        )
+    parts.append(f" SELECT walk_src, path AS walk FROM s{walk_len}")
+    return "\n".join(parts)
+
+
 def _ppr_sql(edges_sql: str, source: str, iters: int, damping: float = 0.85) -> str:
     """Personalized-PageRank replay: same schedule as _pagerank_sql but
     the teleport mass (1-d) lands entirely on ``source`` and rank_0 is
@@ -2202,6 +2228,14 @@ def _q_personalized_pagerank(spark, t):
     return pr.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _q_random_walks(spark, t):
+    """Seeded 8-step walks from every vertex of the nation graph —
+    DeepWalk/node2vec corpus generation, reproducible by construction."""
+    from hama_spark.graph import random_walks
+
+    return random_walks(_pr_edges(spark, t), walk_len=8, seed=42)
+
+
 def _q_data_quality(spark, t):
     """One-pass Deequ-style expectation suite over lineitem."""
     from hama_spark.extensions import check_expectations
@@ -2348,6 +2382,7 @@ QUERIES: dict[str, Callable] = {
     "domain_divergence": _q_domain_divergence,
     "data_quality": _q_data_quality,
     "personalized_pagerank": _q_personalized_pagerank,
+    "random_walks": _q_random_walks,
     # sessionize's round-2 row was red on an oracle-side HUGEINT cast
     # (fixed) — keep it inside the first 50 so the fix lands a row
     "sessionize": _q_sessionize,
@@ -2440,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
         "personalized_pagerank": _ppr_sql(PR_EDGES_SQL, "0", 10),
+        "random_walks": _walks_sql(PR_EDGES_SQL, 8, 42),
         "pagerank_gen_100k": f"""
             SELECT CAST(count(*) AS BIGINT) AS n_vertices,
                    round(sum(rank), 2) AS sum_rank

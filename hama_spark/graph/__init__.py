@@ -9,6 +9,7 @@ from hama_spark.graph.pagerank import pagerank
 from hama_spark.graph.semiclustering import semi_clustering
 from hama_spark.graph.sssp import sssp
 from hama_spark.graph.triangles import triangle_count
+from hama_spark.graph.walks import random_walks
 
 __all__ = [
     "inlink_count",
@@ -22,4 +23,5 @@ __all__ = [
     "triangle_count",
     "degree_histogram",
     "label_propagation",
+    "random_walks",
 ]

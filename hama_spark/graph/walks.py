@@ -1,0 +1,78 @@
+"""Seeded random walks — the graph-embedding data-prep step (DeepWalk/
+node2vec corpus generation): from every vertex, take a fixed-length
+walk whose every step is a deterministic md5 draw, so the "random"
+corpus is reproducible across engines, partitionings and retries (the
+same discipline as the engine's generators — sources/generators.py).
+
+Scale shape: neighbor lists are built once (groupBy + sorted collect —
+out-degree-bounded arrays), and each step is one equi-join of the walk
+frontier against them; walk state is (source, current, path-so-far), so
+the shuffle per step carries O(walk so far) strings. Lazy checkpoints
+chain the fixed-length loop into the caller's single job (kcore-style).
+Dead ends (no out-edges) stay in place, keeping walk length uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """edges(src, dst) -> (walk_src, walk) with one walk per vertex:
+    ``walk`` is the '->'-joined vertex sequence of ``walk_len`` steps.
+    Step k from vertex v picks sorted-neighbor index
+    md5(seed:walk_src:k) % out-degree — deterministic, engine-portable.
+    """
+    nbrs = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = verts.select(
+        F.col("id").alias("walk_src"),
+        F.col("id").alias("cur"),
+        F.col("id").alias("path"),
+    )
+    for k in range(walk_len):
+        draw = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(str(seed)), F.col("walk_src"), F.lit(str(k)))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = F.when(
+            F.col("nbrs").isNotNull(),
+            F.element_at("nbrs", (draw % F.size("nbrs")).cast("int") + 1),
+        ).otherwise(F.col("cur"))
+        state = (
+            state.join(nbrs, state["cur"] == nbrs["src"], "left")
+            .select(
+                "walk_src",
+                nxt.alias("cur"),
+                F.concat(F.col("path"), F.lit("->"), nxt).alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # materialize the chained steps in one job; the checkpointed nbrs
+    # blocks are released by the ContextCleaner once out of scope
+    return state.select("walk_src", F.col("path").alias("walk")).localCheckpoint(
+        eager=True
+    )

@@ -82,6 +82,7 @@ def test_never_driver_checked_queries_lead_the_dict():
         "semantic_dup_pairs", "semantic_dedup", "quality_classifier",
         "split_dataset", "heuristic_flags", "pmi_top_pairs", "hybrid_search",
         "domain_divergence", "data_quality", "personalized_pagerank",
+        "random_walks",
         # red row in round 2, oracle fixed since
         "sessionize",
     }

@@ -200,3 +200,26 @@ def test_personalized_pagerank_concentrates_on_source(spark):
     pu = {r["id"]: r["rank"] for r in pagerank(edges, epsilon=None, max_iter=20).collect()}
     assert abs(sum(pu.values()) - 1.0) < 1e-6
     assert pu["x"] > 1e-3  # uniform teleport gives x mass
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from hama_spark.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "d")],
+        "src string, dst string",
+    )
+    out = {r["walk_src"]: r["walk"] for r in random_walks(edges, walk_len=6, seed=7).collect()}
+    adj = {"a": {"b", "c"}, "b": {"c"}, "c": {"a"}, "d": {"d"}}
+    assert set(out) == {"a", "b", "c", "d"}
+    for src, walk in out.items():
+        steps = walk.split("->")
+        assert steps[0] == src and len(steps) == 7
+        for u, v in zip(steps, steps[1:]):
+            assert v in adj[u], (walk, u, v)
+    again = {r["walk_src"]: r["walk"] for r in random_walks(edges, walk_len=6, seed=7).collect()}
+    assert out == again
+    other = {r["walk_src"]: r["walk"] for r in random_walks(edges, walk_len=6, seed=8).collect()}
+    assert other != out  # a different seed changes at least one walk
