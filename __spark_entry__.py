@@ -387,41 +387,8 @@ def _ivf_topk_sql(dim: int = 64) -> str:
     position), corpus assigned to final cells, each query probes its
     IVF_PROBE nearest cells, exact cosine re-rank inside. Mirrors
     extensions.similarity.ivf_topk + ml.kmeans exactly."""
-    d2 = (
-        "list_aggregate(list_transform(c.c, y -> y*y), 'sum')"
-        " - 2*list_dot_product(e.v, c.c)"
-    )
-    parts = [
-        """WITH n AS (
-          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
-            sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
-          FROM embeddings),""",
-        f"""c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
-               FROM n ORDER BY vec_id LIMIT {IVF_CELLS})""",
-    ]
-    for t in range(IVF_KM_ITERS + 1):
-        parts.append(
-            f""", a{t} AS (
-              SELECT vec_id, v, cid FROM (
-                SELECT e.vec_id, e.v, c.cid,
-                       row_number() OVER (PARTITION BY e.vec_id
-                                          ORDER BY {d2}, c.cid) AS rn
-                FROM n e CROSS JOIN c{t} c)
-              WHERE rn = 1)"""
-        )
-        if t == IVF_KM_ITERS:
-            break
-        parts.append(
-            f""", u{t} AS (
-              SELECT cid, dim, avg(val) AS m
-              FROM (SELECT cid, unnest(v) AS val,
-                           unnest(range(1, {dim + 1})) AS dim FROM a{t})
-              GROUP BY cid, dim
-            ), m{t} AS (SELECT cid, list(m ORDER BY dim) AS c FROM u{t} GROUP BY cid)
-            , c{t + 1} AS (
-              SELECT c.cid, coalesce(m.c, c.c) AS c
-              FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid)"""
-        )
+    # k-means chain shared with the semantic-dedup oracles
+    parts = [f"WITH {_km_cells_ctes(IVF_CELLS, IVF_KM_ITERS, dim)}"]
     parts.append(
         f""", q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id < 5),
         qcells AS (

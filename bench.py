@@ -14,6 +14,7 @@ the scan); row counts come from an attached Observation for free.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -92,8 +93,6 @@ def main() -> int:
         # from all prior queries pile up in the block manager — measured
         # as a uniform ~20-30% slowdown on late-running queries once the
         # inventory passed ~90 queries per JVM.
-        import gc
-
         del df, obs
         gc.collect()
 

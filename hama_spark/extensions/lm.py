@@ -26,6 +26,16 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.col(x)
 
 
+def _bucket(tok: Column, n_buckets: int) -> Column:
+    """md5-hash mod B — the engine's deterministic cross-engine bucket
+    idiom (sources/generators.py); DuckDB twin:
+    ('0x' || substr(md5(tok), 1, 8))::BIGINT % B."""
+    return (
+        F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
 def _bigram_rows(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -166,15 +176,7 @@ def importance_weights(
         _c(id_col).alias("id"),
         F.explode(tokenize(F.lower(_c(text_col)))).alias("tok"),
         target.alias("_tgt"),
-    ).select(
-        "id",
-        "_tgt",
-        (
-            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
-            .cast("long")
-            % n_buckets
-        ).alias("h"),
-    )
+    ).select("id", "_tgt", _bucket(F.col("tok"), n_buckets).alias("h"))
     # eager checkpoint: totals and the scoring join both consume the
     # model — without it the corpus tokenize+md5 scan behind it would
     # re-execute per consumer (the model is <=B rows, so this is cheap)
@@ -279,14 +281,7 @@ def domain_divergence(
     toks = docs.select(
         _c(domain_col).alias("domain"),
         F.explode(tokenize(F.lower(_c(text_col)))).alias("tok"),
-    ).select(
-        "domain",
-        (
-            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
-            .cast("long")
-            % n_buckets
-        ).alias("h"),
-    )
+    ).select("domain", _bucket(F.col("tok"), n_buckets).alias("h"))
     # eager checkpoint: corpus marginal, domain totals, grid and the
     # final left join all derive from dom — one corpus scan, not four
     # (|domains| x B rows at most)

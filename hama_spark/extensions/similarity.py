@@ -216,6 +216,27 @@ def lsh_cosine_dup_pairs(
     )
 
 
+def _kmeans_cells(
+    corpus: DataFrame, n_cells: int, kmeans_iter: int, id_col: str, vec_col: str
+):
+    """Shared IVF/SemDeDup preamble: L2-normalize (checkpointed once —
+    centroid seed, training and assignment all read it), seed centers =
+    first n_cells rows by id, deterministic Lloyd, assign cells with the
+    trained centers embedded as plan literals (one codegen span, no
+    nested-loop node against a 1-row centers relation). Returns
+    (assigned(id, v, cell), centers)."""
+    from hama_spark.functions.distance import MEASURES
+    from hama_spark.ml.kmeans import _assign_expr, kmeans
+
+    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
+    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
+    cb = c.select(
+        "id", "v", _assign_expr(km.centers, MEASURES["euclidean"], feat="v").alias("cell")
+    )
+    return cb, km.centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,23 +250,10 @@ def ivf_topk(
     """IVF: coarse-quantize the corpus with k-means centroids, search
     only the ``nprobe`` cells nearest each query, exact re-rank.
     Centroids are O(n_cells·dim) driver state (broadcast literals)."""
-    from hama_spark.ml.kmeans import kmeans, _assign_expr
     from hama_spark.functions.distance import MEASURES
 
-    # normalized corpus is read three times (centroid seed, k-means
-    # training, cell assignment) — materialize it once
-    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
-    init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
-    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
-    centers = km.centers
-
+    cb, centers = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
     measure = MEASURES["euclidean"]
-    # final assignment embeds the trained centers as plan literals
-    # (_assign_expr): built once, so the per-iteration codegen-reuse
-    # trick of _with_center_assignment buys nothing here, and literals
-    # keep the scan→project→join pipeline in one codegen span with no
-    # nested-loop node against a 1-row centers relation.
-    cb = c.select("id", "v", _assign_expr(centers, measure, feat="v").alias("cell"))
 
     q = _normalized(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
@@ -301,15 +309,7 @@ def semantic_dup_pairs(
     assignment pass is one map-side projection, the pair join a plain
     equi-join on cell.
     """
-    from hama_spark.functions.distance import MEASURES
-    from hama_spark.ml.kmeans import _assign_expr, kmeans
-
-    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
-    init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
-    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
-    cb = c.select(
-        "id", "v", _assign_expr(km.centers, MEASURES["euclidean"], feat="v").alias("cell")
-    )
+    cb, _ = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
     a, b = cb.alias("a"), cb.alias("b")
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
