@@ -61,8 +61,11 @@ def main() -> int:
         if wname in qs:
             try:
                 qs[wname](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as e:
+                # a silently-skipped warmup shifts first-touch JIT/scan
+                # cost onto whichever timed query runs the path first —
+                # make the coverage loss visible instead of hiding it
+                print(f"# bench WARMUP-FAIL {wname}: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -98,17 +101,26 @@ def main() -> int:
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    # Compact separators: the round-3 artifact lost 19 of 99 per-query
+    # timings to a tail-truncation of this line — keep it as short as
+    # possible, and ALSO write it to bench_out.json so a truncated
+    # console capture never loses the full result.
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"# bench WARN could not write bench_out.json: {e}", file=sys.stderr)
+    print(line)
     return 0
 
 

@@ -177,9 +177,16 @@ def importance_weights(
         F.explode(tokenize(F.lower(_c(text_col)))).alias("tok"),
         target.alias("_tgt"),
     ).select("id", "_tgt", _bucket(F.col("tok"), n_buckets).alias("h"))
+    # lazy checkpoint: the model aggregation below is the first action
+    # and persists the (id, _tgt, h) token relation as a side effect, so
+    # the scoring join reuses those blocks instead of re-running
+    # tokenize+md5 over the corpus — the relation is 3 narrow columns,
+    # smaller than the text it came from, so one scan beats two
+    toks = toks.localCheckpoint(eager=False)
     # eager checkpoint: totals and the scoring join both consume the
-    # model — without it the corpus tokenize+md5 scan behind it would
-    # re-execute per consumer (the model is <=B rows, so this is cheap)
+    # model — without it the ≤B-row aggregation would re-execute per
+    # consumer (and its count() doubles as the action that materializes
+    # the lazy toks checkpoint above)
     model = toks.groupBy("h").agg(
         F.count(F.lit(1)).alias("c_raw"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_tgt"),

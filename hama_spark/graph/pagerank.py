@@ -66,6 +66,13 @@ def pagerank(
         init_expr = F.lit(1.0 / n)
         alpha_expr = F.lit((1.0 - damping) / n)
     else:
+        # an absent/mistyped source would silently zero the teleport
+        # mass and return all-zero ranks — fail loudly instead (one
+        # cheap pre-loop filter job)
+        if not vertices_ids.where(F.col("id") == personalize).head(1):
+            raise ValueError(
+                f"personalize={personalize!r} is not a vertex id in the graph"
+            )
         is_src = F.col("id") == personalize
         init_expr = F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0))
         alpha_expr = F.when(is_src, F.lit(1.0 - damping)).otherwise(F.lit(0.0))

@@ -203,14 +203,17 @@ def pregel(
             and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
         ):
             new_vertices = new_vertices.checkpoint(eager=True)
+            materialized = True
         else:
             new_vertices = new_vertices.localCheckpoint(eager=False)
+            materialized = False
 
         vertices = new_vertices
         if mutated:
             # like the master's vertex-count adjustment; doubles as the
             # action that materializes this superstep's checkpoint
             ctx.num_vertices = vertices.count()
+            materialized = True
 
         # --- aggregators: ONE collect of one row per superstep ----------
         ctx.prev_aggregates = ctx.aggregates
@@ -219,6 +222,7 @@ def pregel(
                 *[fn(vertices).alias(name) for name, fn in aggregators.items()]
             ).collect()[0]
             ctx.aggregates = row.asDict()
+            materialized = True
 
         if ctx.superstep + 1 >= max_iter:
             break
@@ -240,11 +244,21 @@ def pregel(
             msgs = msgs.localCheckpoint(eager=False)
             if ctx.superstep % halt_check_interval == halt_check_interval - 1:
                 ctx.num_messages = msgs.count()
+                # the count computes msgs from the current vertex
+                # checkpoint, persisting its blocks as a side effect
+                materialized = True
                 if ctx.num_messages == 0:
                     break
         inbox = msgs
         ctx.superstep += 1
 
     if edges is not None:
+        if not materialized:
+            # Fixed-iteration exits (detect_halt=False / max_iter mid
+            # halt-check interval) leave the final lazily-chained
+            # supersteps unexecuted; materialize them WHILE the edge
+            # cache is still alive, or the caller's first action replays
+            # the whole loop against uncached edges.
+            vertices.count()
         edges.unpersist()
     return vertices

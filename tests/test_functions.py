@@ -114,6 +114,26 @@ def test_exact_group_quantiles_oracle(spark, tables, duck):
     assert_df_equals_oracle(got, duck, entry.oracle_sql()["value_quantiles"])
 
 
+def test_exact_group_quantiles_alias_derivation(spark, tables):
+    # off-happy-path probabilities must yield unambiguous, valid column
+    # names (0.125 and 0.0125 used to collide as 'p125'; 1e-05 used to
+    # render scientific notation into the alias)
+    import pytest
+
+    from hama_spark.functions import exact_group_quantiles
+
+    got = exact_group_quantiles(
+        tables["events"], "event_type", "value",
+        probabilities=(0.125, 0.0125, 0.999, 1e-05),
+    )
+    assert got.columns == [
+        "event_type", "n", "p12_5", "p1_25", "p99_9", "p0_001",
+    ]
+    with pytest.raises(ValueError):
+        exact_group_quantiles(tables["events"], "event_type", "value",
+                              probabilities=(1.5,))
+
+
 def test_exact_vs_approx_quantiles_close(spark, tables):
     # the sketch scale-path must track the exact baseline within its
     # rank-error bound

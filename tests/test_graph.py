@@ -104,6 +104,16 @@ def test_pagerank_fixed_iter_two_nodes(spark):
     assert abs(pr["a"] - 0.5) < 1e-9 and abs(pr["b"] - 0.5) < 1e-9
 
 
+def test_pagerank_personalize_unknown_vertex_raises(spark):
+    # a typo'd / type-mismatched source used to silently zero the
+    # teleport mass and return all-zero ranks
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    with pytest.raises(ValueError, match="not a vertex"):
+        pagerank(edges, max_iter=3, epsilon=None, personalize="zzz")
+
+
 def test_dynamic_sum(spark):
     # DynamicGraph input example "1 2 3 4" -> sum 10 (+4 input vertices = 14)
     values = spark.createDataFrame([(1,), (2,), (3,), (4,)], "value int")
