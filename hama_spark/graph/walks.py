@@ -14,27 +14,53 @@ Dead ends (no out-edges) stay in place, keeping walk length uniform.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _capped_neighbors(edges: DataFrame, seed: int, max_degree: int) -> DataFrame:
+    """(src, nbrs) with |nbrs| <= max_degree: vertices above the cap
+    keep the ``max_degree`` neighbors ranked first by md5(seed:src:dst)
+    (seeded uniform sample, deterministic across partitionings and
+    retries); vertices at/below it keep every neighbor. The rank is a
+    KEYED window, so no task ever holds more than one vertex's edges,
+    and the collected array is cap-bounded — a super-node cannot blow a
+    row."""
+    rank_w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("src"), F.col("dst")).cast("binary")),
+        "dst",
+    )
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") <= max_degree)
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+    )
 
 
 def random_walks(
     edges: DataFrame,
     walk_len: int = 8,
     seed: int = 42,
+    max_degree: int = 4096,
 ) -> DataFrame:
     """edges(src, dst) -> (walk_src, walk) with one walk per vertex:
     ``walk`` is the '->'-joined vertex sequence of ``walk_len`` steps.
     Step k from vertex v picks sorted-neighbor index
     md5(seed:walk_src:k) % out-degree — deterministic, engine-portable.
+
+    ``max_degree`` caps the materialized neighbor list: a web-scale
+    super-node (10^7+ out-edges) would otherwise blow a single row. A
+    vertex above the cap keeps the ``max_degree`` neighbors ranked
+    first by md5(seed:src:dst) — a seeded uniform sample that is
+    deterministic across partitionings/retries and leaves any vertex at
+    or below the cap (and therefore the SQL oracle on the fixture
+    graphs) untouched. The rank is a KEYED window (partitioned by src),
+    so no single task ever sees more than one vertex's edges.
     """
-    nbrs = (
-        edges.select("src", "dst")
-        .distinct()
-        .groupBy("src")
-        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
-        .localCheckpoint(eager=True)
-    )
+    nbrs = _capped_neighbors(edges, seed, max_degree).localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))

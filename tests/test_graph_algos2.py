@@ -223,3 +223,53 @@ def test_random_walks_follow_edges_and_are_deterministic(spark):
     assert out == again
     other = {r["walk_src"]: r["walk"] for r in random_walks(edges, walk_len=6, seed=8).collect()}
     assert other != out  # a different seed changes at least one walk
+
+
+def test_random_walks_super_node_cap(spark):
+    from pyspark.sql import functions as F
+
+    from hama_spark.graph import random_walks
+
+    # hub vertex with 1000 out-edges, plus a small tail component
+    hub = spark.range(1000).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("n"), F.col("id")).alias("dst")
+    )
+    tail = spark.createDataFrame([("x", "y"), ("y", "x")], "src string, dst string")
+    edges = hub.union(tail)
+
+    capped = {
+        r["walk_src"]: r["walk"]
+        for r in random_walks(edges, walk_len=4, seed=3, max_degree=16).collect()
+    }
+    # every walk still follows real edges and keeps uniform length
+    hub_targets = {f"n{i}" for i in range(1000)}
+    for src, walk in capped.items():
+        steps = walk.split("->")
+        assert len(steps) == 5 and steps[0] == src
+        if steps[0] == "hub":
+            assert steps[1] in hub_targets
+    # determinism across runs with the hub present
+    again = {
+        r["walk_src"]: r["walk"]
+        for r in random_walks(edges, walk_len=4, seed=3, max_degree=16).collect()
+    }
+    assert capped == again
+    # the materialized neighbor list is cap-bounded for the hub and
+    # untouched elsewhere, and the sampled subset is deterministic
+    from hama_spark.graph.walks import _capped_neighbors
+
+    nb = {r["src"]: r["nbrs"] for r in _capped_neighbors(edges, 3, 16).collect()}
+    assert len(nb["hub"]) == 16 and set(nb["hub"]) <= hub_targets
+    assert nb["x"] == ["y"] and nb["y"] == ["x"]
+    nb2 = {r["src"]: r["nbrs"] for r in _capped_neighbors(edges, 3, 16).collect()}
+    assert nb == nb2
+    # a graph entirely at/below the cap is bit-identical to uncapped
+    small = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert {
+        r["walk_src"]: r["walk"] for r in random_walks(small, walk_len=5, seed=7).collect()
+    } == {
+        r["walk_src"]: r["walk"]
+        for r in random_walks(small, walk_len=5, seed=7, max_degree=2).collect()
+    }
