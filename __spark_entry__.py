@@ -602,6 +602,128 @@ def _bpe_token_count_sql() -> str:
     )
 
 
+_COSINE_TOPK_SQL = """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+        sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
+      FROM embeddings)
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_dot_product(c.v, q.v), 9) AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round(list_dot_product(c.v, q.v), 9) DESC,
+                                         c.vec_id) AS rank
+      FROM n c, n q WHERE q.vec_id < 5)
+    WHERE rank <= 10
+"""
+
+
+def _ann_recall_sql() -> str:
+    """Recall@k of the LSH and IVF searchers vs the brute-force twin:
+    replay all three SQL programs, overlap-join each approximate result
+    with the exact one. (hybrid_search is exact within its metadata
+    filter — recall vs its own ground truth is 1.0 by construction, so
+    it is not in the report.)"""
+    return f"""
+        WITH brute AS MATERIALIZED (
+          SELECT query_id, vec_id FROM ({_COSINE_TOPK_SQL})
+        ),
+        lshr AS MATERIALIZED (
+          SELECT query_id, vec_id FROM ({_lsh_topk_sql(10, 4, 8, 64)})
+        ),
+        ivfr AS MATERIALIZED (
+          SELECT query_id, vec_id FROM ({_ivf_topk_sql(64)})
+        )
+        SELECT method, n_exact, hits, round(hits * 1.0 / n_exact, 6) AS recall
+        FROM (
+          SELECT 'ivf_topk' AS method, CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(count(a.query_id) AS BIGINT) AS hits
+          FROM brute b LEFT JOIN ivfr a
+            ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+          UNION ALL
+          SELECT 'lsh_cosine_topk', CAST(count(*) AS BIGINT),
+                 CAST(count(a.query_id) AS BIGINT)
+          FROM brute b LEFT JOIN lshr a
+            ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+        )
+    """
+
+
+_BPE_NUM_MERGES = 24
+
+
+def _bpe_train_ctes(num_merges: int) -> str:
+    """The BPE training schedule as chained CTEs: w0 = segmented
+    pre-token vocabulary, then per round r: pair counts p{r} over the
+    symbol arrays, argmax t{r} (count DESC, lhs, rhs), merged vocab
+    w{r} via the same two-pass boundary-separator replace the engine
+    applies (extensions/bpe.py). MATERIALIZED throughout — DuckDB
+    inlines multiply-referenced CTEs otherwise and the chain goes
+    exponential."""
+    from hama_spark.extensions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+          SELECT word, n, chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g') AS seg
+          FROM (
+            SELECT word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS word FROM documents)
+            WHERE length(word) > 0 AND NOT contains(word, chr(31))
+            GROUP BY word)
+        )"""
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+          SELECT z[1] AS lhs, z[2] AS rhs, sum(n) AS cnt FROM (
+            SELECT n, unnest(list_zip(i[1:len(i)-1], i[2:len(i)])) AS z FROM (
+              SELECT n, s[2:len(s)-1] AS i FROM (
+                SELECT n, string_split(seg, chr(31)) AS s FROM w{r - 1})
+              ) WHERE len(i) >= 2
+          ) GROUP BY 1, 2
+        ), t{r} AS MATERIALIZED (
+          SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        ), w{r} AS MATERIALIZED (
+          SELECT word, n,
+            replace(replace(seg,
+              chr(31)||lhs||chr(31)||rhs||chr(31), chr(31)||lhs||rhs||chr(31)),
+              chr(31)||lhs||chr(31)||rhs||chr(31), chr(31)||lhs||rhs||chr(31)) AS seg
+          FROM w{r - 1}, t{r}
+        )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(num_merges: int = _BPE_NUM_MERGES) -> str:
+    tops = " UNION ALL ".join(
+        f"SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM t{r}"
+        for r in range(1, num_merges + 1)
+    )
+    return f"{_bpe_train_ctes(num_merges)} SELECT * FROM ({tops}) ORDER BY rank"
+
+
+def _bpe_vocab_count_sql(num_merges: int = _BPE_NUM_MERGES) -> str:
+    from hama_spark.extensions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""{_bpe_train_ctes(num_merges)},
+        fin AS MATERIALIZED (
+          SELECT word, len(string_split(seg, chr(31))) - 2 AS n_sub FROM w{num_merges}
+        ),
+        dw AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS word FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, sum(n_sub) AS n FROM dw JOIN fin USING (word)
+          WHERE length(word) > 0 AND NOT contains(word, chr(31))
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """60-bit SimHash pairs, mirroring extensions.dedup exactly: md5-
     derived token hashes, per-bit sign votes, 4x15-bit chunk banding,
@@ -2280,37 +2402,156 @@ def _q_quality_classifier(spark, t):
     return quality_classifier_scores(t["documents"], alpha=QC_ALPHA, iterations=QC_ITERS)
 
 
+_BPE_MEMO: dict = {}
+
+
+def _bpe_merges_cached(spark, docs):
+    """Trained BPE merge table, memoized per (session, corpus plan):
+    bench/driver processes run both bpe_train_merges and
+    bpe_vocab_token_count, and the counting query would otherwise
+    re-run the full num_merges-round training loop."""
+    from hama_spark.extensions.bpe import train_bpe_merges
+
+    key = (spark.sparkContext.applicationId, docs.semanticHash())
+    if key not in _BPE_MEMO:
+        _BPE_MEMO.clear()
+        _BPE_MEMO[key] = train_bpe_merges(docs, num_merges=_BPE_NUM_MERGES)
+    return _BPE_MEMO[key]
+
+
+def _q_bpe_train_merges(spark, t):
+    """Real-vocabulary BPE training (Sennrich 2016): the learned merge
+    table itself — oracle replays the full deterministic training
+    schedule in SQL and must land the identical 24 rules."""
+    from hama_spark.extensions.bpe import merges_df
+
+    return merges_df(spark, _bpe_merges_cached(spark, t["documents"]))
+
+
+def _q_ann_recall(spark, t):
+    """Recall@k report: lsh_cosine_topk and ivf_topk vs the exact
+    cosine_topk twin on the shared query set — the measurement that
+    justifies trusting approximate search parameters at scale."""
+    from hama_spark.extensions import ann_recall_report
+
+    return ann_recall_report(
+        _q_cosine_topk(spark, t),
+        {"lsh_cosine_topk": _q_lsh_topk(spark, t), "ivf_topk": _q_ivf_topk(spark, t)},
+    )
+
+
+def _q_bpe_vocab_token_count(spark, t):
+    """Per-document token counts under the trained merge vocabulary —
+    the production sizing metric the pre-tokenizer regex count
+    (bpe_token_count) approximates."""
+    from hama_spark.extensions.bpe import bpe_token_counts
+
+    docs = t["documents"]
+    return bpe_token_counts(docs, _bpe_merges_cached(spark, docs))
+
+
 QUERIES: dict[str, Callable] = {
-    # Ordering note: the round-2 driver truncated its correctness check at
-    # the first 50 dict entries, so the dedup/similarity/multimodal block
-    # (entries 51-71 then) never got driver rows despite passing the same
-    # oracle comparison locally. That block now leads the dict so a
-    # truncated run still covers it; the queries that already hold green
-    # r2 rows follow.
-    # extensions: dedup / similarity / multimodal (north star)
-    "global_shuffle": _q_global_shuffle,
-    "pack_sequences": _q_pack_sequences,
-    # the end-to-end composition: quality filter -> lang id -> exact
-    # dedup -> per-language report, all one Catalyst plan
-    "corpus_stats": _q_corpus_stats,
-    "interleave_mix": _q_interleave_mix,
-    "dedup_exact": _q_dedup_exact,
+    # Ordering note (round 4): the driver truncates its correctness
+    # check at the first 50 dict entries, so the window holds (a) the
+    # round-4-new queries, (b) every query whose implementation changed
+    # since its last green driver row — the r3-modified core graph/ML
+    # block (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
+    # consolidation 51dfc92) whose rows date from r2, plus everything
+    # the round-4 edits touch (pregel exit materialization, walks cap,
+    # importance_weights checkpoint, quantile aliasing) — and (c)
+    # refresh slots for r2-era rows on unmodified code. Queries outside
+    # the window all hold green rows (r2 or r3) on code unchanged since.
+    #
+    # new in round 4 (bpe_train_merges before bpe_vocab_token_count:
+    # the counting query reuses the memoized merge table; ann_recall
+    # re-derives the three searchers it compares)
+    "bpe_train_merges": _q_bpe_train_merges,
+    "bpe_vocab_token_count": _q_bpe_vocab_token_count,
+    "ann_recall": _q_ann_recall,
+    # r3-modified core graph block (fresh rows owed — VERDICT r3 §next.1)
+    "inlink_count": _q_inlink,
+    "sssp": _q_sssp,
+    "connected_components": _q_cc,
+    "pagerank": _q_pagerank,
+    "dynamic_sum": _q_dynamic_sum,
+    "kcore": _q_kcore,
+    "bipartite_matching": _q_bipartite_matching,
+    "semi_clustering": _q_semi_clustering,
+    "pagerank_gen_100k": _q_pagerank_gen,
+    "sssp_gen_100k": _q_sssp_gen,
+    # pregel-family queries touched by round-4 edits (exit
+    # materialization; walks neighbor cap; personalize validation)
+    "personalized_pagerank": _q_personalized_pagerank,
+    "random_walks": _q_random_walks,
+    "label_communities": _q_label_communities,
     # minhash_lsh_pairs before dedup_near: the cluster-collapse query
     # reuses the memoized LSH pairs, so in-order runs price the
     # signature pipeline once (in the pairs query) and dedup_near shows
-    # the connected-components cost alone
-    "ngram_jaccard_pairs": _q_ngram_jaccard,
+    # the connected-components cost alone; same memo pattern for
+    # lsh_cosine_pairs/dedup_embedding and semantic pairs/dedup. The
+    # three collapse queries run distributed CC on the round-4 pregel.
     "minhash_lsh_pairs": _q_minhash_lsh,
     "dedup_near": _q_dedup_near,
+    "lsh_cosine_pairs": _q_lsh_cosine_pairs,
+    "dedup_embedding": _q_dedup_embedding,
+    "semantic_dup_pairs": _q_semantic_dup_pairs,
+    "semantic_dedup": _q_semantic_dedup,
+    # r3-modified ML block (fresh rows owed) + round-4-touched lm/sketch
+    "online_cf_topk": _q_online_cf,
+    "gradient_descent_linear": _q_gd,
+    "gradient_descent_logistic": _q_gd_logistic,
+    "kmeans_sizes": _q_kmeans,
+    "importance_weights": _q_importance_weights,
+    "value_quantiles": _q_value_quantiles,
+    # refresh slots: r2-era rows on since-unmodified code, oldest hard
+    # signal first
+    "triangle_count": _q_triangles,
+    "randbench": _q_randbench,
+    "spmv": _q_spmv,
+    "matmul": _q_matmul,
+    "pi_estimate": _q_pi,
+    "inner_join": _q_inner_join,
+    "full_outer_join": _q_full_outer_join,
+    "override_join": _q_override_join,
+    "agg_lineitem": _q_agg_lineitem,
+    "revenue_by_nation": _q_revenue_by_nation,
+    "top_customers": _q_top_customers,
+    "events_window": _q_events_window,
+    "events_sliding": _q_events_sliding,
+    "events_enriched": _q_events_enriched,
+    "events_props": _q_events_props,
+    "events_dedup_hourly": _q_events_dedup_hourly,
+    "asof_purchase_click": _q_asof_purchase_click,
+    "band_error_counts": _q_band_error_counts,
+    "token_count": _q_token_count,
+    "bpe_token_count": _q_bpe_token_count,
+    "text_stats": _q_text_stats,
+    "quality_score": _q_quality,
+    # ---- driver window boundary (entry 50 above this line) ----------
+    # everything below holds a green r2/r3 row on unchanged code
+    "lang_id": _q_lang_id,
+    "doc_fingerprint": _q_fingerprint,
+    "winnow_fingerprints": _q_winnow,
+    "tfidf_top_terms": _q_tfidf_top_terms,
+    "top_ngrams": _q_top_ngrams,
+    "repetition_stats": _q_repetition_stats,
+    "pii_scrub": _q_pii_scrub,
+    "events_rollup": _q_events_rollup,
+    "event_transitions": _q_event_transitions,
+    "retention_cohorts": _q_retention_cohorts,
+    "seeded_sample": _q_seeded_sample,
+    "stratified_sample": _q_stratified_sample,
+    "sessionize": _q_sessionize,
+    "global_shuffle": _q_global_shuffle,
+    "pack_sequences": _q_pack_sequences,
+    "corpus_stats": _q_corpus_stats,
+    "interleave_mix": _q_interleave_mix,
+    "dedup_exact": _q_dedup_exact,
+    "ngram_jaccard_pairs": _q_ngram_jaccard,
     "simhash_pairs": _q_simhash,
     "embedding_cosine_pairs": _q_embedding_dups,
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
-    # lsh_cosine_pairs before dedup_embedding: same memo pattern as
-    # minhash_lsh_pairs/dedup_near — the collapse reuses the bucket-join
-    # pairs so in-order runs price the LSH once
-    "lsh_cosine_pairs": _q_lsh_cosine_pairs,
-    "dedup_embedding": _q_dedup_embedding,
     "ivf_topk": _q_ivf_topk,
     "embedding_normalize": _q_embedding_normalize,
     "embedding_project": _q_embedding_project,
@@ -2318,8 +2559,6 @@ QUERIES: dict[str, Callable] = {
     "image_features": _q_image_features,
     "audio_features": _q_audio_features,
     "video_frames": _q_video_frames,
-    # new in round 3 — kept inside the first 50 so a truncated driver
-    # run still checks them
     "spmv_sparse": _q_sparse_spmv,
     "composite_join_3way": _q_composite_join_3way,
     "decontaminate": _q_decontaminate,
@@ -2333,14 +2572,8 @@ QUERIES: dict[str, Callable] = {
     "events_topk_hourly": _q_events_topk_hourly,
     "degree_histogram": _q_degree_histogram,
     "sample_balanced": _q_sample_balanced,
-    "label_communities": _q_label_communities,
     "bigram_perplexity": _q_bigram_perplexity,
     "perplexity_buckets": _q_perplexity_buckets,
-    "importance_weights": _q_importance_weights,
-    # semantic_dup_pairs before semantic_dedup: the collapse reuses the
-    # memoized within-cell pairs (same pattern as minhash/dedup_near)
-    "semantic_dup_pairs": _q_semantic_dup_pairs,
-    "semantic_dedup": _q_semantic_dedup,
     "quality_classifier": _q_quality_classifier,
     "split_dataset": _q_split_dataset,
     "heuristic_flags": _q_heuristic_flags,
@@ -2348,66 +2581,6 @@ QUERIES: dict[str, Callable] = {
     "hybrid_search": _q_hybrid_search,
     "domain_divergence": _q_domain_divergence,
     "data_quality": _q_data_quality,
-    "personalized_pagerank": _q_personalized_pagerank,
-    "random_walks": _q_random_walks,
-    # sessionize's round-2 row was red on an oracle-side HUGEINT cast
-    # (fixed) — keep it inside the first 50 so the fix lands a row
-    "sessionize": _q_sessionize,
-    # graph (SURVEY §2.2-2.3)
-    "inlink_count": _q_inlink,
-    "sssp": _q_sssp,
-    "connected_components": _q_cc,
-    "pagerank": _q_pagerank,
-    "dynamic_sum": _q_dynamic_sum,
-    "kcore": _q_kcore,
-    "bipartite_matching": _q_bipartite_matching,
-    "semi_clustering": _q_semi_clustering,
-    "triangle_count": _q_triangles,
-    "pagerank_gen_100k": _q_pagerank_gen,
-    "sssp_gen_100k": _q_sssp_gen,
-    "randbench": _q_randbench,
-    # ml (§2.4)
-    "spmv": _q_spmv,
-    "gradient_descent_linear": _q_gd,
-    "gradient_descent_logistic": _q_gd_logistic,
-    "kmeans_sizes": _q_kmeans,
-    "pi_estimate": _q_pi,
-    "matmul": _q_matmul,
-    "online_cf_topk": _q_online_cf,
-    # relational (§2.5 + Spark-free extras)
-    "inner_join": _q_inner_join,
-    "full_outer_join": _q_full_outer_join,
-    "override_join": _q_override_join,
-    "agg_lineitem": _q_agg_lineitem,
-    "revenue_by_nation": _q_revenue_by_nation,
-    "top_customers": _q_top_customers,
-    # streaming-shaped
-    "events_window": _q_events_window,
-    "events_sliding": _q_events_sliding,
-    "events_enriched": _q_events_enriched,
-    "events_props": _q_events_props,
-    "events_dedup_hourly": _q_events_dedup_hourly,
-    # temporal joins
-    "asof_purchase_click": _q_asof_purchase_click,
-    "band_error_counts": _q_band_error_counts,
-    # extensions (north star)
-    "token_count": _q_token_count,
-    "bpe_token_count": _q_bpe_token_count,
-    "text_stats": _q_text_stats,
-    "quality_score": _q_quality,
-    "lang_id": _q_lang_id,
-    "doc_fingerprint": _q_fingerprint,
-    "winnow_fingerprints": _q_winnow,
-    "tfidf_top_terms": _q_tfidf_top_terms,
-    "top_ngrams": _q_top_ngrams,
-    "repetition_stats": _q_repetition_stats,
-    "pii_scrub": _q_pii_scrub,
-    "events_rollup": _q_events_rollup,
-    "event_transitions": _q_event_transitions,
-    "retention_cohorts": _q_retention_cohorts,
-    "value_quantiles": _q_value_quantiles,
-    "seeded_sample": _q_seeded_sample,
-    "stratified_sample": _q_stratified_sample,
 }
 
 
@@ -2709,6 +2882,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents",
         "bpe_token_count": _bpe_token_count_sql(),
+        "bpe_train_merges": _bpe_merges_sql(),
+        "bpe_vocab_token_count": _bpe_vocab_count_sql(),
         "text_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -3347,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
             FROM labeled GROUP BY comp
         """,
         "ivf_topk": _ivf_topk_sql(64),
+        "ann_recall": _ann_recall_sql(),
         "embedding_normalize": """
             SELECT vec_id,
                    round(sqrt(list_aggregate(
@@ -3387,20 +3563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v), 9) >= 0.5
         """,
-        "cosine_topk": """
-            WITH n AS (
-              SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
-                sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y), 'sum'))) AS v
-              FROM embeddings)
-            SELECT query_id, vec_id, cosine, rank FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     round(list_dot_product(c.v, q.v), 9) AS cosine,
-                     row_number() OVER (PARTITION BY q.vec_id
-                                        ORDER BY round(list_dot_product(c.v, q.v), 9) DESC,
-                                                 c.vec_id) AS rank
-              FROM n c, n q WHERE q.vec_id < 5)
-            WHERE rank <= 10
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
         "hybrid_search": """
             WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
             n AS (

@@ -344,3 +344,46 @@ def semantic_dedup(
             corpus, threshold, n_cells, kmeans_iter, id_col, vec_col
         ).localCheckpoint(eager=True)
     return _collapse_pairs(corpus, pairs, id_col)
+
+
+def ann_recall_report(
+    exact: DataFrame,
+    approx: dict[str, DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of approximate searchers against their brute-force twin
+    — the number a user needs before trusting ``lsh_cosine_topk`` /
+    ``ivf_topk`` parameters at scale (the ANN analogue of the
+    reference's multiply-back verification, SpMVTest.java:131-141).
+
+    ``exact`` is the ground-truth top-k (``cosine_topk``); ``approx``
+    maps method name -> that method's top-k over the SAME queries.
+    Returns one row per method: (method, n_exact, hits, recall) where
+    recall = |approx ∩ exact| / |exact|. Each method costs one
+    broadcast-sized join of two (n_queries·k)-row relations — the
+    report is metadata-scale regardless of corpus size."""
+    from functools import reduce
+
+    gt = exact.select(query_col, id_col)
+    outs = []
+    for method in sorted(approx):
+        hit = (
+            approx[method]
+            .select(query_col, id_col)
+            .withColumn("_hit", F.lit(1))
+        )
+        outs.append(
+            gt.join(hit, [query_col, id_col], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "hits",
+                F.round(F.col("hits") / F.col("n_exact"), 6).alias("recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1,0 +1,74 @@
+"""Real-vocabulary BPE: merge-application semantics and training on
+handcrafted corpora (the driver oracle covers the full SQL replay)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.bpe import (
+    SEP,
+    bpe_segment_expr,
+    bpe_token_counts,
+    merges_df,
+    train_bpe_merges,
+)
+
+
+def _segments(spark, word: str, merges) -> list[str]:
+    row = (
+        spark.createDataFrame([(word,)], "word string")
+        .select(bpe_segment_expr(F.col("word"), merges).alias("seg"))
+        .collect()[0]
+    )
+    return [s for s in row["seg"].split(SEP) if s]
+
+
+def test_merge_application_anchors_whole_symbols(spark):
+    # (a, b) must not fire on the 'a' inside symbol 'xa' or the 'b'
+    # inside 'bx' — the boundary separators anchor complete symbols
+    m = [("a", "b", 1)]
+    assert _segments(spark, "ab", m) == ["ab"]
+    assert _segments(spark, "xab", m) == ["x", "ab"]
+    # after merging nothing, 'aab' still merges only the true (a, b)
+    assert _segments(spark, "aab", m) == ["a", "ab"]
+
+
+def test_merge_application_two_pass_overlap(spark):
+    # alternating runs share their middle separator; the second replace
+    # pass restores greedy behavior
+    m = [("a", "b", 1)]
+    assert _segments(spark, "abab", m) == ["ab", "ab"]
+    assert _segments(spark, "ababab", m) == ["ab", "ab", "ab"]
+    # recursive merges compose left-to-right through the rule list
+    m2 = [("a", "b", 2), ("ab", "c", 1)]
+    assert _segments(spark, "abc", m2) == ["abc"]
+
+
+def test_train_learns_most_frequent_pair_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "aaab xy")], "doc_id int, text string"
+    )
+    merges = train_bpe_merges(docs, num_merges=2)
+    # pair (a, a) appears twice per 'aaab' (greedy counts positions:
+    # a-a, a-a, a-b) * 4 words = 8; everything else is rarer
+    assert merges[0][:2] == ("a", "a")
+    assert merges[0][2] == 8
+
+
+def test_token_counts_cover_all_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, ""), (3, "zq")], "doc_id int, text string"
+    )
+    merges = train_bpe_merges(docs, num_merges=2)
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_token_counts(docs, merges).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0  # empty doc counts 0, not dropped
+    assert 0 < got[3] <= 2
+    assert got[1] < len("aaab aaab")  # merges actually shrank the count
+
+
+def test_merges_df_schema(spark):
+    df = merges_df(spark, [("a", "b", 5), ("ab", "c", 2)])
+    assert df.columns == ["rank", "lhs", "rhs", "merged", "pair_count"]
+    rows = df.orderBy("rank").collect()
+    assert rows[0]["merged"] == "ab" and rows[1]["merged"] == "abc"

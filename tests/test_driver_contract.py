@@ -56,35 +56,43 @@ def test_entry_and_queries_on_bare_session():
     assert "BARE_SESSION_OK" in proc.stdout, proc.stdout[-1000:]
 
 
-def test_never_driver_checked_queries_lead_the_dict():
-    """The round-2 driver truncated its correctness pass at the first 50
-    dict entries. Queries that have never earned a driver row — plus
-    sessionize, whose round-2 row was red on a since-fixed oracle type
-    bug — must stay inside that window or they stay formally unverified
-    for another round."""
+def test_modified_or_new_queries_lead_the_dict():
+    """The round driver truncates its correctness pass at the first 50
+    dict entries. The standing policy (VERDICT r3 §next.1): every query
+    that is NEW this round or whose implementation changed since its
+    last green driver row must sit inside that window, or the hard
+    oracle signal stays stale for exactly the code that moved."""
     import __spark_entry__ as entry
 
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
-        # round-2 unchecked block (driver stopped at 50)
-        "global_shuffle", "pack_sequences", "corpus_stats", "interleave_mix",
-        "dedup_exact", "ngram_jaccard_pairs", "minhash_lsh_pairs", "dedup_near",
-        "simhash_pairs", "embedding_cosine_pairs", "cosine_topk",
-        "lsh_cosine_topk", "lsh_cosine_pairs", "dedup_embedding", "ivf_topk",
-        "embedding_normalize", "embedding_project", "embedding_quantize",
-        "image_features", "audio_features", "video_frames",
-        # added after the round-2 check ran
-        "spmv_sparse", "composite_join_3way", "decontaminate", "domain_mix",
-        "line_dedup", "chunk_docs", "dedup_incremental", "token_entropy",
-        "domain_cap", "rolling_user_stats", "events_topk_hourly",
-        "degree_histogram", "sample_balanced", "label_communities",
-        "bigram_perplexity", "perplexity_buckets", "importance_weights",
-        "semantic_dup_pairs", "semantic_dedup", "quality_classifier",
-        "split_dataset", "heuristic_flags", "pmi_top_pairs", "hybrid_search",
-        "domain_divergence", "data_quality", "personalized_pagerank",
-        "random_walks",
-        # red row in round 2, oracle fixed since
-        "sessionize",
+        # new in round 4
+        "bpe_train_merges", "bpe_vocab_token_count", "ann_recall",
+        # r3-modified core graph/ML block whose last rows date from r2
+        # (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
+        # consolidation 51dfc92)
+        "inlink_count", "sssp", "connected_components", "pagerank",
+        "dynamic_sum", "kcore", "bipartite_matching", "semi_clustering",
+        "pagerank_gen_100k", "sssp_gen_100k", "online_cf_topk",
+        "gradient_descent_linear", "gradient_descent_logistic",
+        "kmeans_sizes",
+        # touched by round-4 edits: pregel exit materialization (all CC
+        # collapses), walks neighbor cap, personalize validation,
+        # importance_weights checkpoint, quantile alias derivation
+        "personalized_pagerank", "random_walks", "label_communities",
+        "minhash_lsh_pairs", "dedup_near", "lsh_cosine_pairs",
+        "dedup_embedding", "semantic_dup_pairs", "semantic_dedup",
+        "importance_weights", "value_quantiles",
     }
     missing = must_lead - first50
     assert not missing, f"queries outside the driver's 50-entry window: {sorted(missing)}"
+    # pair-producing queries must precede their cluster-collapse
+    # consumers so in-order runs price the expensive stage once
+    order = list(entry.QUERIES)
+    for pairs_q, collapse_q in [
+        ("minhash_lsh_pairs", "dedup_near"),
+        ("lsh_cosine_pairs", "dedup_embedding"),
+        ("semantic_dup_pairs", "semantic_dedup"),
+        ("bpe_train_merges", "bpe_vocab_token_count"),
+    ]:
+        assert order.index(pairs_q) < order.index(collapse_q), (pairs_q, collapse_q)

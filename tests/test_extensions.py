@@ -194,6 +194,34 @@ def test_dedup_embedding_collapse(spark, tables):
         assert not (p["id_a"] in survivors and p["id_b"] in survivors)
 
 
+def test_ann_recall_report_floors(spark, tables):
+    """The recall report measures each approximate searcher against the
+    brute-force twin and must clear a stated floor at the driver-query
+    parameters (measured 0.96 ivf / 0.70 lsh on this fixture — floors
+    leave margin for re-generated testdata, not for regressions)."""
+    from hama_spark.extensions import ann_recall_report
+
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 5")
+    exact = cosine_topk(emb, queries, k=10)
+    report = {
+        r["method"]: r
+        for r in ann_recall_report(
+            exact,
+            {
+                "lsh": lsh_cosine_topk(emb, queries, k=10, planes=4, tables=8, dim=64),
+                "ivf": ivf_topk(emb, queries, k=10, n_cells=8, nprobe=3, kmeans_iter=3),
+            },
+        ).collect()
+    }
+    assert report["ivf"]["n_exact"] == 50
+    assert report["ivf"]["recall"] >= 0.85, report["ivf"]
+    assert report["lsh"]["recall"] >= 0.55, report["lsh"]
+    # arithmetic consistency: recall is hits/n_exact rounded to 6 dp
+    for r in report.values():
+        assert abs(r["recall"] - round(r["hits"] / r["n_exact"], 6)) < 1e-12
+
+
 def test_ivf_topk_self_hit(spark, tables):
     emb = tables["embeddings"]
     queries = emb.limit(3)

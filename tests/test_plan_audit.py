@@ -55,6 +55,10 @@ NESTED_LOOP_OK = {
     # |domains|xB smoothing grid, plus the 1-row total — both bounded
     # by n_buckets, never by data size (extensions/lm.py)
     "domain_divergence",
+    # embeds the cosine_topk brute-force twin as its ground-truth side
+    # by definition (recall is measured AGAINST the quadratic baseline);
+    # the report itself joins two (n_queries*k)-row relations
+    "ann_recall",
 }
 
 
