@@ -724,6 +724,86 @@ def _bpe_vocab_count_sql(num_merges: int = _BPE_NUM_MERGES) -> str:
     """
 
 
+def _span_shingle_ctes(k: int, max_df: int) -> str:
+    """Positional k-token shingles restricted to cross-document hashes
+    with doc-frequency 2..max_df — the shared prefix of the span
+    detection and span removal oracles (extensions/dedup.py twins)."""
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id AS id, {_TOKS_SQL} AS t FROM documents
+        ),
+        sh AS MATERIALIZED (
+          SELECT id, CAST(i AS INT) AS pos,
+                 md5(list_aggregate(t[i:i+{k - 1}], 'string_agg', ' ')) AS h
+          FROM toks, unnest(generate_series(1, len(t) - {k - 1})) AS g(i)
+          WHERE len(t) >= {k}
+        ),
+        hh AS MATERIALIZED (
+          SELECT h FROM (SELECT h, count(DISTINCT id) AS df FROM sh GROUP BY h)
+          WHERE df BETWEEN 2 AND {max_df}
+        ),
+        shared AS MATERIALIZED (SELECT sh.id, sh.pos, sh.h FROM sh JOIN hh USING (h))
+    """
+
+
+def _shared_span_pairs_sql(k: int, min_shared: int, max_df: int) -> str:
+    return f"""{_span_shingle_ctes(k, max_df)}
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared,
+               CAST(min(a.pos) AS INT) AS a_min_pos,
+               CAST(max(a.pos) AS INT) AS a_max_pos,
+               CAST(min(b.pos) AS INT) AS b_min_pos,
+               CAST(max(b.pos) AS INT) AS b_max_pos
+        FROM shared a JOIN shared b ON a.h = b.h AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(DISTINCT a.h) >= {min_shared}
+    """
+
+
+def _scrub_shared_spans_sql(k: int, max_df: int) -> str:
+    return f"""{_span_shingle_ctes(k, max_df)},
+        cov AS MATERIALIZED (
+          SELECT DISTINCT id, pos + j AS tp
+          FROM shared, unnest(generate_series(0, {k - 1})) AS u(j)
+        ),
+        tokp AS (
+          SELECT id, CAST(i AS INT) AS tp, t[i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        ),
+        kept AS (
+          SELECT tokp.id, tokp.tp, tokp.tok
+          FROM tokp LEFT JOIN cov ON cov.id = tokp.id AND cov.tp = tokp.tp
+          WHERE cov.id IS NULL
+        ),
+        reb AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY tp)) AS fp
+          FROM kept GROUP BY id
+        )
+        SELECT d.doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(len({_TOKS_SQL}) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(reb.fp, md5('')) AS clean_fingerprint
+        FROM documents d LEFT JOIN reb ON reb.id = d.doc_id
+    """
+
+
+def _bpe_top_tokens_sql(num_merges: int = _BPE_NUM_MERGES, top_n: int = 40) -> str:
+    return f"""{_bpe_train_ctes(num_merges)},
+        symc AS MATERIALIZED (
+          SELECT sym AS token, CAST(sum(n) AS BIGINT) AS n_occurrences FROM (
+            SELECT n, unnest(s[2:len(s)-1]) AS sym FROM (
+              SELECT n, string_split(seg, chr(31)) AS s FROM w{num_merges})
+          ) GROUP BY sym
+        )
+        SELECT token, n_occurrences, CAST(rank AS INT) AS rank FROM (
+          SELECT token, n_occurrences,
+                 row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM symc
+        ) WHERE rank <= {top_n}
+    """
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """60-bit SimHash pairs, mirroring extensions.dedup exactly: md5-
     derived token hashes, per-bit sign votes, 4x15-bit chunk banding,
@@ -1237,6 +1317,9 @@ def _q_sssp_gen(spark, t):
     from hama_spark.sources import fast_graph_gen
 
     # checkpoint for the same shared-derivation reason as _q_pagerank_gen
+    # halt_check_interval: 5 measured best (r4 warm A/B of 5/8/12 on this
+    # graph: 14.7-16.7 / 15.1-17.6 / 16.5-24.1s) — past 5 the extra
+    # no-op supersteps cost what the saved driver round-trips buy back
     edges = (
         fast_graph_gen(spark, GEN_N, max_out=3, weight=100, seed=7)
         .select("src", "dst", (F.col("weight") + 1).alias("weight"))
@@ -2428,6 +2511,66 @@ def _q_bpe_train_merges(spark, t):
     return merges_df(spark, _bpe_merges_cached(spark, t["documents"]))
 
 
+_SPAN_SHINGLE_K, _SPAN_MAX_DF, _SPAN_MIN_SHARED = 8, 50, 3
+
+_SPAN_MEMO: dict = {}
+
+
+def _span_shingles_cached(spark, docs):
+    """Cross-document positional shingles, materialized once per
+    (session, corpus): shared_span_pairs and scrub_shared_spans both
+    consume the same (id, pos, h) relation — the shingle scan +
+    doc-frequency fence prices once, detection and removal pay only
+    their own join."""
+    from hama_spark.extensions.dedup import shared_positional_shingles
+
+    key = (spark.sparkContext.applicationId, docs.semanticHash())
+    if key not in _SPAN_MEMO:
+        _SPAN_MEMO.clear()
+        _SPAN_MEMO[key] = shared_positional_shingles(
+            docs, k=_SPAN_SHINGLE_K, max_df=_SPAN_MAX_DF
+        ).localCheckpoint(eager=True)
+    return _SPAN_MEMO[key]
+
+
+def _q_shared_span_pairs(spark, t):
+    """Exact duplicated-span detection (Lee et al. 2022 shape): doc
+    pairs sharing >= 3 distinct 8-token runs, with span extents."""
+    from hama_spark.extensions import shared_span_pairs
+
+    docs = t["documents"]
+    return shared_span_pairs(
+        docs,
+        k=_SPAN_SHINGLE_K,
+        min_shared=_SPAN_MIN_SHARED,
+        max_df=_SPAN_MAX_DF,
+        shared=_span_shingles_cached(spark, docs),
+    )
+
+
+def _q_scrub_shared_spans(spark, t):
+    """Span-level dedup removal: tokens covered by cross-document
+    8-token runs are cut; per-doc counts + cleaned-stream md5."""
+    from hama_spark.extensions import scrub_shared_spans
+
+    docs = t["documents"]
+    return scrub_shared_spans(
+        docs,
+        k=_SPAN_SHINGLE_K,
+        max_df=_SPAN_MAX_DF,
+        shared=_span_shingles_cached(spark, docs),
+    )
+
+
+def _q_bpe_top_tokens(spark, t):
+    """Vocabulary usage: top-40 trained-vocab tokens by corpus
+    occurrence count (rides the memoized merge table)."""
+    from hama_spark.extensions import bpe_top_tokens
+
+    docs = t["documents"]
+    return bpe_top_tokens(docs, _bpe_merges_cached(spark, docs), top_n=40)
+
+
 def _q_ann_recall(spark, t):
     """Recall@k report: lsh_cosine_topk and ivf_topk vs the exact
     cosine_topk twin on the shared query set — the measurement that
@@ -2467,7 +2610,12 @@ QUERIES: dict[str, Callable] = {
     # re-derives the three searchers it compares)
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
+    "bpe_top_tokens": _q_bpe_top_tokens,
     "ann_recall": _q_ann_recall,
+    # shared_span_pairs before scrub_shared_spans: the removal reuses
+    # the memoized cross-document shingle relation
+    "shared_span_pairs": _q_shared_span_pairs,
+    "scrub_shared_spans": _q_scrub_shared_spans,
     # r3-modified core graph block (fresh rows owed — VERDICT r3 §next.1)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
@@ -2524,11 +2672,11 @@ QUERIES: dict[str, Callable] = {
     "asof_purchase_click": _q_asof_purchase_click,
     "band_error_counts": _q_band_error_counts,
     "token_count": _q_token_count,
+    # ---- driver window boundary (entry 50 above this line) ----------
+    # everything below holds a green r2/r3 row on unchanged code
     "bpe_token_count": _q_bpe_token_count,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
-    # ---- driver window boundary (entry 50 above this line) ----------
-    # everything below holds a green r2/r3 row on unchanged code
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
     "winnow_fingerprints": _q_winnow,
@@ -2884,6 +3032,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": _bpe_token_count_sql(),
         "bpe_train_merges": _bpe_merges_sql(),
         "bpe_vocab_token_count": _bpe_vocab_count_sql(),
+        "bpe_top_tokens": _bpe_top_tokens_sql(),
+        "shared_span_pairs": _shared_span_pairs_sql(
+            _SPAN_SHINGLE_K, _SPAN_MIN_SHARED, _SPAN_MAX_DF
+        ),
+        "scrub_shared_spans": _scrub_shared_spans_sql(_SPAN_SHINGLE_K, _SPAN_MAX_DF),
         "text_stats": f"""
             SELECT doc_id,
                    length(text) AS n_chars,

@@ -130,9 +130,12 @@ def train_bpe_merges(
             break
         lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
         merges.append((lhs, rhs, cnt))
+        # LAZY checkpoint (pregel discipline): the next round's argmax
+        # collect materializes this round's merged vocab in the same
+        # job — one Spark job per merge round instead of two
         vocab = vocab.select(
             "word", "n", _apply_merge(F.col("seg"), lhs, rhs).alias("seg")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -195,4 +198,32 @@ def merges_df(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_top_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    top_n: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary usage report: the ``top_n`` most frequent tokens of
+    the trained vocabulary over the corpus — (token, n_occurrences,
+    rank), ties broken lexicographically. Computed on the distinct
+    pre-token vocabulary (counts ride the word weights), so the merge
+    chain never touches raw text; the final rank is a global sort of
+    the ≤|symbol vocabulary| survivors, the same tiny-relation top-k
+    shape as pmi_top_pairs."""
+    from pyspark.sql import Window
+
+    vocab = pretoken_vocab(docs, text_col)
+    seg = bpe_segment_expr(F.col("word"), merges)
+    syms = vocab.select("n", F.explode(_inner_symbols(seg)).alias("token"))
+    counts = syms.groupBy("token").agg(
+        F.sum("n").cast("long").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
     )

@@ -501,3 +501,169 @@ def contamination_report(
             ),
         )
     )
+
+
+# ----------------------------------------------- exact shared spans
+def _positional_shingles(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, h): md5 over each run of ``k`` consecutive whitespace
+    tokens, 1-based start position. Documents shorter than k tokens
+    contribute nothing (they are whole-doc dedup's problem, not span
+    dedup's). Pure map-side array expressions — one corpus scan."""
+    toks = docs.select(F.col(id_col).alias("id"), tokenize(text_col).alias("t"))
+    return (
+        toks.where(F.size("t") >= k)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - k + 1),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("t"), i, k), " ").cast("binary")
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def _cross_doc_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Shingle hashes appearing in 2..max_df distinct documents. The
+    upper cap fences boilerplate shingles (licenses, headers) out of
+    the pair join — at corpus scale a shingle shared by millions of
+    docs would otherwise create a quadratic hot bucket; such spans are
+    boilerplate-removal's domain, not pair analysis's."""
+    return (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+
+
+def shared_positional_shingles(
+    docs: DataFrame,
+    k: int = 8,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, h) restricted to shingles shared across 2..max_df
+    documents — the common input of ``shared_span_pairs`` (detection)
+    and ``scrub_shared_spans`` (removal); a pipeline running both
+    should materialize it once and pass it to each."""
+    sh = _positional_shingles(docs, k, id_col, text_col)
+    return sh.join(_cross_doc_shingles(sh, max_df), "h")
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    min_shared: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shared: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-document EXACT duplicated spans — the detection half of
+    suffix-style training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): document
+    pairs sharing >= ``min_shared`` distinct k-token runs, with the
+    span extent in each document.
+
+    Returns (id_a, id_b, n_shared, a_min_pos, a_max_pos, b_min_pos,
+    b_max_pos), id_a < id_b, positions 1-based token indexes.
+
+    Scale shape: candidates come from an equi-join on the shingle hash
+    restricted to cross-document shingles with doc-frequency <= max_df
+    (hot-bucket fence), so cost is Σ df² over surviving shingles —
+    never corpus×corpus. MinHash answers "are these documents similar";
+    this answers "exactly WHICH token ranges are copied", which is what
+    a surgical span-removal pass needs."""
+    if shared is None:
+        shared = shared_positional_shingles(docs, k, max_df, id_col, text_col)
+    a, b = shared.alias("a"), shared.alias("b")
+    return (
+        a.join(b, "h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count_distinct("h").cast("long").alias("n_shared"),
+            F.min("a.pos").alias("a_min_pos"),
+            F.max("a.pos").alias("a_max_pos"),
+            F.min("b.pos").alias("b_min_pos"),
+            F.max("b.pos").alias("b_max_pos"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def scrub_shared_spans(
+    docs: DataFrame,
+    k: int = 8,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shared: DataFrame | None = None,
+) -> DataFrame:
+    """Span-level dedup REMOVAL (the cutting half of Lee et al. 2022):
+    every token covered by any k-token run that also appears in another
+    document (doc-frequency 2..max_df) is cut; the survivors are
+    re-joined in order. Returns (id_col, n_tokens, n_removed,
+    clean_fingerprint) with the md5 of the cleaned token stream — the
+    compact, hash-checkable witness of the rewrite (the cleaned text
+    itself is one array_join away for a pipeline that wants it).
+
+    Scale shape: coverage explodes each shared shingle into its k token
+    positions and distincts per (doc, position) — work proportional to
+    duplicated volume, not corpus volume; the rebuild is one keyed
+    groupBy whose collected row is bounded by the document length
+    (the same bound the text column itself already imposes)."""
+    if shared is None:
+        shared = shared_positional_shingles(docs, k, max_df, id_col, text_col)
+    covered = (
+        shared.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tokp = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("p0", "tok"),
+    ).select("id", (F.col("p0") + 1).cast("int").alias("tp"), "tok")
+    kept = tokp.join(covered, ["id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("tp"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("clean_fingerprint"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("clean_fingerprint"), F.md5(F.lit("").cast("binary"))).alias(
+            "clean_fingerprint"
+        ),
+    )

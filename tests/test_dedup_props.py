@@ -80,3 +80,56 @@ def test_vec_kernels_match_numpy(spark, a):
     assert math.isclose(row["s"], float((na + nb).sum()), rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(row["d"], float(na @ nb), rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(row["sc"], float((na * 2).sum()), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_shared_span_pairs_detects_planted_copy(spark):
+    from hama_spark.extensions import scrub_shared_spans, shared_span_pairs
+
+    span = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma delta"),
+            (2, f"epsilon {span} zeta eta theta iota"),
+            (3, "totally unrelated words that repeat nothing interesting here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = shared_span_pairs(docs, k=8, min_shared=3, max_df=50).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    # 12-token span -> 5 shared 8-gram starts; extents cover the span
+    assert p["n_shared"] == 5
+    assert p["a_min_pos"] == 3 and p["a_max_pos"] == 7  # 'one' is token 3 in doc 1
+    assert p["b_min_pos"] == 2 and p["b_max_pos"] == 6
+
+    scrub = {r["doc_id"]: r for r in scrub_shared_spans(docs, k=8, max_df=50).collect()}
+    # every token of the copied span is removed from both docs; doc 3 untouched
+    assert scrub[1]["n_removed"] == 12 and scrub[2]["n_removed"] == 12
+    assert scrub[3]["n_removed"] == 0
+    assert scrub[1]["n_tokens"] == 16 and scrub[2]["n_tokens"] == 17
+    # the cleaned streams are exactly the non-span tokens, in order
+    import hashlib
+
+    exp1 = hashlib.md5("alpha beta gamma delta".encode()).hexdigest()
+    exp2 = hashlib.md5("epsilon zeta eta theta iota".encode()).hexdigest()
+    assert scrub[1]["clean_fingerprint"] == exp1
+    assert scrub[2]["clean_fingerprint"] == exp2
+
+
+def test_scrub_shared_spans_ignores_below_k_and_hot_shingles(spark):
+    from hama_spark.extensions import shared_span_pairs
+
+    # a shingle shared by MORE than max_df docs is fenced out
+    common = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(i, f"{common} filler{i}") for i in range(5)], "doc_id long, text string"
+    )
+    assert shared_span_pairs(docs, k=8, min_shared=1, max_df=3).count() == 0
+    # with the fence relaxed the 5-doc clique appears (C(5,2) pairs)
+    assert shared_span_pairs(docs, k=8, min_shared=1, max_df=10).count() == 10
+    # docs shorter than k produce no shingles at all
+    tiny = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    assert shared_span_pairs(tiny, k=8, min_shared=1).count() == 0

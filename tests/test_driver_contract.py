@@ -67,7 +67,8 @@ def test_modified_or_new_queries_lead_the_dict():
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
         # new in round 4
-        "bpe_train_merges", "bpe_vocab_token_count", "ann_recall",
+        "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
+        "ann_recall", "shared_span_pairs", "scrub_shared_spans",
         # r3-modified core graph/ML block whose last rows date from r2
         # (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
         # consolidation 51dfc92)
@@ -94,5 +95,7 @@ def test_modified_or_new_queries_lead_the_dict():
         ("lsh_cosine_pairs", "dedup_embedding"),
         ("semantic_dup_pairs", "semantic_dedup"),
         ("bpe_train_merges", "bpe_vocab_token_count"),
+        ("bpe_train_merges", "bpe_top_tokens"),
+        ("shared_span_pairs", "scrub_shared_spans"),
     ]:
         assert order.index(pairs_q) < order.index(collapse_q), (pairs_q, collapse_q)
