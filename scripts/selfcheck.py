@@ -8,6 +8,7 @@ names + order-insensitive values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -18,7 +19,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entrymod
 from hama_spark.session import TABLES, get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_SELFCHECK_SF=/root/testdata/sf0.1 to verify
+# oracle parity above the driver's gate scale
+SF_DIR = os.environ.get("SPARK_GRAFT_SELFCHECK_SF", "/root/testdata/sf0.01")
 
 
 def norm(v):

@@ -133,3 +133,24 @@ def test_scrub_shared_spans_ignores_below_k_and_hot_shingles(spark):
         [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
     )
     assert shared_span_pairs(tiny, k=8, min_shared=1).count() == 0
+
+
+def test_scrub_shared_spans_full_removal_and_empty_doc(spark):
+    from hama_spark.extensions import scrub_shared_spans
+
+    # two identical 8-token docs: every token is covered -> everything
+    # removed, fingerprint falls back to md5 of the empty stream
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_shared_spans(docs, k=8, max_df=50).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 8 and out[d]["n_removed"] == 8
+        assert out[d]["clean_fingerprint"] == empty_md5
+    # empty text tokenizes to [''] (engine-wide convention): one token,
+    # nothing shared, fingerprint of the single empty token
+    assert out[3]["n_tokens"] == 1 and out[3]["n_removed"] == 0
