@@ -2,11 +2,13 @@ from hama_spark.sources.generators import fast_graph_gen, symmetric_matrix_gen
 from hama_spark.sources.io import (
     observed,
     pipe_lines,
+    read_jsonl_docs,
     read_sequence_file,
     read_text,
     read_text_kv,
     write_null,
     write_partitioned,
+    write_jsonl_docs,
     write_sequence_file,
     write_text_kv,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "write_sequence_file",
     "write_null",
     "write_partitioned",
+    "read_jsonl_docs",
+    "write_jsonl_docs",
     "pipe_lines",
     "observed",
 ]

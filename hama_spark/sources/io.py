@@ -196,3 +196,52 @@ def observed(
     no extra job (vs a separate ``.count()``)."""
     obs = Observation(name)
     return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    permissive: bool = True,
+) -> DataFrame:
+    """Read a JSON-Lines corpus (the LLM-pipeline interchange format —
+    one JSON document per line, optionally .gz/.zst-sharded) with an
+    ENFORCED schema: schema-on-read inference over 100 TB would pay a
+    full sampling pass and can drift between shards, so the corpus
+    contract is pinned instead. ``permissive`` keeps rows whose extra
+    fields don't fit (dropped silently, standard JSONL tolerance);
+    ``permissive=False`` switches to FAILFAST so a malformed shard
+    aborts the read instead of silently nulling columns.
+
+    Compressed shards (.gz) are line-splittable only per file — shard
+    the corpus into many files for scan parallelism (the writer below
+    does)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE" if permissive else "FAILFAST")
+        .json(path)
+    )
+
+
+def write_jsonl_docs(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    num_shards: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as sharded JSON-Lines. gzip by default (the
+    de-facto corpus interchange); ``num_shards`` controls output file
+    count — gzip shards are non-splittable, so shard count IS the read
+    parallelism of the next pipeline stage. Leave None to inherit the
+    current partitioning."""
+    out = df.repartition(num_shards) if num_shards else df
+    writer = out.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

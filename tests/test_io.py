@@ -160,3 +160,38 @@ def test_lake_format_roundtrips(spark, tables, tmp_path):
         assert sorted(tuple(r) for r in back.collect()) == expected
     # ORC keeps exact types; CSV/JSON re-derive them
     assert orc_back.schema == src.schema
+
+
+def test_jsonl_docs_round_trip(spark, tables, tmp_path):
+    """Sharded gzip JSONL round-trip preserves the corpus exactly and
+    the shard count (gzip shards are the next stage's parallelism)."""
+    import glob
+
+    from hama_spark.sources import read_jsonl_docs, write_jsonl_docs
+
+    docs = tables["documents"]
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl_docs(docs, path, compression="gzip", num_shards=4)
+    assert len(glob.glob(f"{path}/part-*.json.gz")) == 4
+    back = read_jsonl_docs(spark, path)
+    assert back.count() == docs.count()
+    orig = {r["doc_id"]: r for r in docs.collect()}
+    for r in back.collect():
+        o = orig[r["doc_id"]]
+        assert (r["text"], r["lang"], r["source"], r["n_chars"]) == (
+            o["text"], o["lang"], o["source"], o["n_chars"]
+        )
+
+
+def test_jsonl_docs_failfast_on_malformed(spark, tmp_path):
+    import pytest
+
+    from hama_spark.sources import read_jsonl_docs
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "shard.json").write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    # permissive: malformed line nulls out, row count preserved
+    assert read_jsonl_docs(spark, str(p)).count() == 2
+    with pytest.raises(Exception):
+        read_jsonl_docs(spark, str(p), permissive=False).collect()
