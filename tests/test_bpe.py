@@ -72,3 +72,39 @@ def test_merges_df_schema(spark):
     assert df.columns == ["rank", "lhs", "rhs", "merged", "pair_count"]
     rows = df.orderBy("rank").collect()
     assert rows[0]["merged"] == "ab" and rows[1]["merged"] == "abc"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(
+    alphabet=st.sampled_from("abcdefgzy0159.,!-' "),
+    min_size=1,
+    max_size=12,
+).filter(lambda w: w.strip(" ") != "")
+
+
+@settings(max_examples=8, deadline=None)
+@given(words=st.lists(_WORD, min_size=3, max_size=12, unique=True))
+def test_bpe_segmentation_reconstructs_and_never_grows(spark, words):
+    """Invariants for ANY corpus and its trained merges: (1) the
+    segments of a word concatenate back to exactly that word (no
+    character is lost or invented by the replace chain), and (2) token
+    counts are non-increasing along the merge-list prefix (a merge can
+    only join symbols)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(2)], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(docs, num_merges=6)
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    out = wdf.select(
+        "word",
+        bpe_segment_expr(F.col("word"), merges).alias("seg_full"),
+        bpe_segment_expr(F.col("word"), merges[:3]).alias("seg_half"),
+    ).collect()
+    for r in out:
+        full = [s for s in r["seg_full"].split(SEP) if s]
+        half = [s for s in r["seg_half"].split(SEP) if s]
+        assert "".join(full) == r["word"], (r["word"], full)
+        assert "".join(half) == r["word"]
+        assert len(full) <= len(half) <= len(r["word"])
