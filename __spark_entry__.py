@@ -685,11 +685,17 @@ def _bpe_train_ctes(num_merges: int) -> str:
         ), t{r} AS MATERIALIZED (
           SELECT lhs, rhs, cnt FROM p{r} ORDER BY cnt DESC, lhs, rhs LIMIT 1
         ), w{r} AS MATERIALIZED (
+          -- LEFT JOIN, not a cross join: when training exhausts the
+          -- vocabulary early t{{r}} is EMPTY, and the engine's loop
+          -- breaks with the vocab intact — carry seg forward unchanged
+          -- instead of annihilating every row
           SELECT word, n,
-            replace(replace(seg,
-              chr(31)||lhs||chr(31)||rhs||chr(31), chr(31)||lhs||rhs||chr(31)),
-              chr(31)||lhs||chr(31)||rhs||chr(31), chr(31)||lhs||rhs||chr(31)) AS seg
-          FROM w{r - 1}, t{r}
+            CASE WHEN t.lhs IS NULL THEN seg ELSE
+              replace(replace(seg,
+                chr(31)||t.lhs||chr(31)||t.rhs||chr(31), chr(31)||t.lhs||t.rhs||chr(31)),
+                chr(31)||t.lhs||chr(31)||t.rhs||chr(31), chr(31)||t.lhs||t.rhs||chr(31))
+            END AS seg
+          FROM w{r - 1} LEFT JOIN t{r} t ON TRUE
         )"""
         )
     return "".join(parts)
@@ -2631,6 +2637,12 @@ QUERIES: dict[str, Callable] = {
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
     "bpe_top_tokens": _q_bpe_top_tokens,
     "ann_recall": _q_ann_recall,
+    # the three searchers were rewired onto the shared _TOPK_MEMO path
+    # this round — their standalone oracles hash-check the full
+    # (cosine, rank) columns the recall report doesn't
+    "cosine_topk": _q_cosine_topk,
+    "lsh_cosine_topk": _q_lsh_topk,
+    "ivf_topk": _q_ivf_topk,
     # shared_span_pairs before scrub_shared_spans: the removal reuses
     # the memoized cross-document shingle relation
     "shared_span_pairs": _q_shared_span_pairs,
@@ -2686,13 +2698,13 @@ QUERIES: dict[str, Callable] = {
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
     "events_enriched": _q_events_enriched,
-    "events_props": _q_events_props,
-    "events_dedup_hourly": _q_events_dedup_hourly,
     "asof_purchase_click": _q_asof_purchase_click,
     "band_error_counts": _q_band_error_counts,
-    "token_count": _q_token_count,
     # ---- driver window boundary (entry 50 above this line) ----------
     # everything below holds a green r2/r3 row on unchanged code
+    "events_props": _q_events_props,
+    "events_dedup_hourly": _q_events_dedup_hourly,
+    "token_count": _q_token_count,
     "bpe_token_count": _q_bpe_token_count,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
@@ -2717,9 +2729,6 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard_pairs": _q_ngram_jaccard,
     "simhash_pairs": _q_simhash,
     "embedding_cosine_pairs": _q_embedding_dups,
-    "cosine_topk": _q_cosine_topk,
-    "lsh_cosine_topk": _q_lsh_topk,
-    "ivf_topk": _q_ivf_topk,
     "embedding_normalize": _q_embedding_normalize,
     "embedding_project": _q_embedding_project,
     "embedding_quantize": _q_embedding_quantize,

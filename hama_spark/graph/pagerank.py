@@ -61,15 +61,20 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges = edges.join(outdeg, "src")
 
-    n = vertices_ids.count()
     if personalize is None:
+        n = vertices_ids.count()
         init_expr = F.lit(1.0 / n)
         alpha_expr = F.lit((1.0 - damping) / n)
     else:
         # an absent/mistyped source would silently zero the teleport
-        # mass and return all-zero ranks — fail loudly instead (one
-        # cheap pre-loop filter job)
-        if not vertices_ids.where(F.col("id") == personalize).head(1):
+        # mass and return all-zero ranks — fail loudly instead. The
+        # existence check rides the vertex-count aggregation (one job,
+        # no second pass over the edge relation).
+        n, src_hits = vertices_ids.agg(
+            F.count(F.lit(1)),
+            F.sum(F.when(F.col("id") == personalize, 1).otherwise(0)),
+        ).collect()[0]
+        if not src_hits:
             raise ValueError(
                 f"personalize={personalize!r} is not a vertex id in the graph"
             )

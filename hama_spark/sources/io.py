@@ -213,10 +213,12 @@ def read_jsonl_docs(
     one JSON document per line, optionally .gz/.zst-sharded) with an
     ENFORCED schema: schema-on-read inference over 100 TB would pay a
     full sampling pass and can drift between shards, so the corpus
-    contract is pinned instead. ``permissive`` keeps rows whose extra
-    fields don't fit (dropped silently, standard JSONL tolerance);
+    contract is pinned instead. ``permissive`` (Spark PERMISSIVE mode)
+    never drops rows: extra fields are ignored and a MALFORMED line
+    becomes a row with every schema column null — filter/account for
+    all-null rows downstream if shard corruption matters.
     ``permissive=False`` switches to FAILFAST so a malformed shard
-    aborts the read instead of silently nulling columns.
+    aborts the read instead.
 
     Compressed shards (.gz) are line-splittable only per file — shard
     the corpus into many files for scan parallelism (the writer below

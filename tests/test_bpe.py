@@ -108,3 +108,31 @@ def test_bpe_segmentation_reconstructs_and_never_grows(spark, words):
         assert "".join(full) == r["word"], (r["word"], full)
         assert "".join(half) == r["word"]
         assert len(full) <= len(half) <= len(r["word"])
+
+
+def test_oracle_matches_engine_on_early_exhausted_vocab(spark, duck):
+    """When training exhausts the vocabulary before num_merges rounds,
+    the engine breaks with the vocab intact; the SQL oracle's per-round
+    LEFT JOIN must carry the segmentation forward instead of
+    annihilating it (a cross join against the empty argmax relation
+    returned 0 tokens for every doc)."""
+    import __spark_entry__ as e
+
+    docs = spark.createDataFrame([(1, "ab ab"), (2, "ab")], "doc_id long, text string")
+    merges = train_bpe_merges(docs, num_merges=24)
+    assert len(merges) == 2  # training stopped early, not at 24
+    engine = sorted(
+        (r["doc_id"], r["n_tokens"]) for r in bpe_token_counts(docs, merges).collect()
+    )
+
+    con = duck.cursor() if hasattr(duck, "cursor") else duck
+    con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab'), (2, 'ab')) t(doc_id, text)")
+    oracle = sorted(con.execute(e.oracle_sql()["bpe_vocab_token_count"]).fetchall())
+    assert engine == [tuple(r) for r in oracle]
+    otop = con.execute(e.oracle_sql()["bpe_top_tokens"]).fetchall()
+    assert [(r[0], r[1]) for r in sorted(otop, key=lambda r: r[2])] == [("ab", 2), (" ab", 1)]
+    # restore the fixture view for any later test sharing this session
+    import tests.conftest as cft
+    con.execute(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{cft.SF_DIR}/documents.parquet')"
+    )

@@ -69,6 +69,10 @@ def test_modified_or_new_queries_lead_the_dict():
         # new in round 4
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
         "ann_recall", "shared_span_pairs", "scrub_shared_spans",
+        # rewired onto the shared _TOPK_MEMO/localCheckpoint path in r4:
+        # their standalone oracles hash-check the full (cosine, rank)
+        # columns the recall report's overlap join doesn't
+        "cosine_topk", "lsh_cosine_topk", "ivf_topk",
         # r3-modified core graph/ML block whose last rows date from r2
         # (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
         # consolidation 51dfc92)
