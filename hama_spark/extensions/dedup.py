@@ -532,40 +532,55 @@ def _positional_shingles(
     )
 
 
-def _cross_doc_shingles(sh: DataFrame, max_df: int) -> DataFrame:
-    """Shingle hashes appearing in 2..max_df distinct documents. The
-    upper cap fences boilerplate shingles (licenses, headers) out of
-    the pair join — at corpus scale a shingle shared by millions of
-    docs would otherwise create a quadratic hot bucket; such spans are
-    boilerplate-removal's domain, not pair analysis's."""
-    return (
-        sh.groupBy("h")
-        .agg(F.count_distinct("id").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
-        .select("h")
-    )
+def positional_shingles_with_df(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(h, id, pos, df): every positional shingle annotated with its
+    corpus doc-frequency — the shared substrate of span DEDUP (df in
+    2..max_df) and BOILERPLATE removal (df >= threshold). A pipeline
+    running several span passes should materialize this once and slice
+    df ranges from it."""
+    sh = _positional_shingles(docs, k, id_col, text_col)
+    df_tab = sh.groupBy("h").agg(F.count_distinct("id").alias("df"))
+    return sh.join(df_tab, "h")
+
+
+def _df_range(with_df: DataFrame, min_df: int, max_df: int | None) -> DataFrame:
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        # the upper cap fences boilerplate shingles (licenses, headers)
+        # out of the pair join — at corpus scale a shingle shared by
+        # millions of docs would otherwise create a quadratic hot
+        # bucket; such spans are boilerplate-removal's domain (no cap,
+        # no self-join), not pair analysis's
+        cond = cond & (F.col("df") <= max_df)
+    return with_df.where(cond)
 
 
 def shared_positional_shingles(
     docs: DataFrame,
     k: int = 8,
-    max_df: int = 50,
+    max_df: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_df: int = 2,
 ) -> DataFrame:
-    """(id, pos, h) restricted to shingles shared across 2..max_df
-    documents — the common input of ``shared_span_pairs`` (detection)
-    and ``scrub_shared_spans`` (removal); a pipeline running both
-    should materialize it once and pass it to each."""
-    sh = _positional_shingles(docs, k, id_col, text_col)
-    return sh.join(_cross_doc_shingles(sh, max_df), "h")
+    """(id, pos, h, df) restricted to shingles with doc-frequency in
+    [min_df, max_df] — the common input of ``shared_span_pairs``
+    (detection) and ``scrub_shared_spans`` (removal)."""
+    return _df_range(
+        positional_shingles_with_df(docs, k, id_col, text_col), min_df, max_df
+    )
 
 
 def shared_span_pairs(
     docs: DataFrame,
     k: int = 8,
     min_shared: int = 3,
-    max_df: int = 50,
+    max_df: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
     shared: DataFrame | None = None,
@@ -606,10 +621,11 @@ def shared_span_pairs(
 def scrub_shared_spans(
     docs: DataFrame,
     k: int = 8,
-    max_df: int = 50,
+    max_df: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
     shared: DataFrame | None = None,
+    min_df: int = 2,
 ) -> DataFrame:
     """Span-level dedup REMOVAL (the cutting half of Lee et al. 2022):
     every token covered by any k-token run that also appears in another
@@ -623,9 +639,16 @@ def scrub_shared_spans(
     positions and distincts per (doc, position) — work proportional to
     duplicated volume, not corpus volume; the rebuild is one keyed
     groupBy whose collected row is bounded by the document length
-    (the same bound the text column itself already imposes)."""
+    (the same bound the text column itself already imposes).
+
+    ``min_df``/``max_df`` pick the removal regime: the default (2..50)
+    is near-dup span dedup; ``min_df=<boilerplate threshold>,
+    max_df=None`` removes BOILERPLATE — spans repeated across so many
+    documents (licenses, navigation chrome, headers) that they carry
+    no training signal. Boilerplate removal has no pair join, so the
+    no-upper-cap regime stays linear in duplicated volume."""
     if shared is None:
-        shared = shared_positional_shingles(docs, k, max_df, id_col, text_col)
+        shared = shared_positional_shingles(docs, k, max_df, id_col, text_col, min_df)
     covered = (
         shared.select(
             "id",

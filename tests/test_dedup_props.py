@@ -154,3 +154,33 @@ def test_scrub_shared_spans_full_removal_and_empty_doc(spark):
     # empty text tokenizes to [''] (engine-wide convention): one token,
     # nothing shared, fingerprint of the single empty token
     assert out[3]["n_tokens"] == 1 and out[3]["n_removed"] == 0
+
+
+def test_scrub_boilerplate_regime(spark):
+    """min_df>=N with no upper cap removes exactly the high-df spans
+    (boilerplate) and leaves pairwise near-dup spans alone — the
+    complement of the dedup regime's 2..max_df fence."""
+    from hama_spark.extensions import scrub_shared_spans
+
+    boiler = "all rights reserved see license file for details today ok"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} filler{i}") for i in range(1, 5)]
+        + [(10, "pair one two three four five six seven eight alpha"),
+           (11, "pair one two three four five six seven eight beta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_shared_spans(docs, k=8, min_df=4, max_df=None).collect()
+    }
+    # the 4-doc boilerplate span is cut from each of its carriers...
+    for d in (1, 2, 3, 4):
+        assert out[d]["n_removed"] == 10, out[d]
+    # ...but the df=2 near-dup pair is BELOW the boilerplate threshold
+    assert out[10]["n_removed"] == 0 and out[11]["n_removed"] == 0
+    # while the dedup regime (2..50) is the one that cuts the pair
+    dedup = {
+        r["doc_id"]: r["n_removed"]
+        for r in scrub_shared_spans(docs, k=8, min_df=2, max_df=50).collect()
+    }
+    assert dedup[10] == 9 and dedup[11] == 9
