@@ -814,6 +814,32 @@ def _bpe_top_tokens_sql(num_merges: int = _BPE_NUM_MERGES, top_n: int = 40) -> s
     """
 
 
+def _bpe_fertility_sql(num_merges: int = _BPE_NUM_MERGES) -> str:
+    from hama_spark.extensions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""{_bpe_train_ctes(num_merges)},
+        fin AS MATERIALIZED (
+          SELECT word, len(string_split(seg, chr(31))) - 2 AS n_sub FROM w{num_merges}
+        ),
+        dw AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS word FROM documents
+        ),
+        agg AS (
+          SELECT doc_id, sum(n_sub) AS n FROM dw JOIN fin USING (word)
+          WHERE length(word) > 0 AND NOT contains(word, chr(31))
+          GROUP BY doc_id)
+        SELECT d.lang AS slice,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(agg.n, 0)) AS BIGINT) AS n_tokens,
+               CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+               round(sum(length(d.text)) * 1.0 / sum(coalesce(agg.n, 0)), 6)
+                 AS chars_per_token
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        GROUP BY d.lang
+    """
+
+
 def _simhash_sql(max_hamming: int = 3) -> str:
     """60-bit SimHash pairs, mirroring extensions.dedup exactly: md5-
     derived token hashes, per-bit sign votes, 4x15-bit chunk banding,
@@ -2623,6 +2649,16 @@ def _q_bpe_top_tokens(spark, t):
     return bpe_top_tokens(docs, _bpe_merges_cached(spark, docs), top_n=40)
 
 
+def _q_bpe_fertility(spark, t):
+    """Tokenizer fertility by language: chars-per-trained-token per
+    slice — the number vocabulary design optimizes (rides the memoized
+    merge table + one counting pass)."""
+    from hama_spark.extensions import bpe_fertility
+
+    docs = t["documents"]
+    return bpe_fertility(docs, _bpe_merges_cached(spark, docs), by="lang")
+
+
 def _q_ann_recall(spark, t):
     """Recall@k report: lsh_cosine_topk and ivf_topk vs the exact
     cosine_topk twin on the shared query set — the measurement that
@@ -2667,6 +2703,7 @@ QUERIES: dict[str, Callable] = {
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
     "bpe_top_tokens": _q_bpe_top_tokens,
+    "bpe_fertility": _q_bpe_fertility,
     "ann_recall": _q_ann_recall,
     # the three searchers were rewired onto the shared _TOPK_MEMO path
     # this round — their standalone oracles hash-check the full
@@ -2730,9 +2767,9 @@ QUERIES: dict[str, Callable] = {
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
     "events_enriched": _q_events_enriched,
-    "asof_purchase_click": _q_asof_purchase_click,
     # ---- driver window boundary (entry 50 above this line) ----------
     # everything below holds a green r2/r3 row on unchanged code
+    "asof_purchase_click": _q_asof_purchase_click,
     "band_error_counts": _q_band_error_counts,
     "events_props": _q_events_props,
     "events_dedup_hourly": _q_events_dedup_hourly,
@@ -3093,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": _bpe_merges_sql(),
         "bpe_vocab_token_count": _bpe_vocab_count_sql(),
         "bpe_top_tokens": _bpe_top_tokens_sql(),
+        "bpe_fertility": _bpe_fertility_sql(),
         "shared_span_pairs": _shared_span_pairs_sql(
             _SPAN_SHINGLE_K, _SPAN_MIN_SHARED, _SPAN_MAX_DF
         ),

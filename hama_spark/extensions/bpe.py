@@ -227,3 +227,30 @@ def bpe_top_tokens(
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= top_n)
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report: per ``by``-slice document count,
+    total trained-vocab tokens, total characters, and chars-per-token
+    — the number vocabulary design optimizes (a slice paying many more
+    characters per token than the corpus average is under-served by
+    the merge table). One broadcast-joined counting pass + a
+    |slices|-row aggregate."""
+    counts = bpe_token_counts(docs, merges, id_col, text_col)
+    return (
+        docs.select(_c(id_col).alias(id_col), _c(by).alias("slice"), F.length(_c(text_col)).alias("_chars"))
+        .join(counts, id_col)
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.round(F.sum("_chars") / F.sum("n_tokens"), 6).alias("chars_per_token"),
+        )
+    )

@@ -136,3 +136,43 @@ def test_oracle_matches_engine_on_early_exhausted_vocab(spark, duck):
     con.execute(
         f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{cft.SF_DIR}/documents.parquet')"
     )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab x.19'-"), min_size=0, max_size=60),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_span_scrub_oracle_fuzz(spark, duck, texts):
+    """Cross-engine fuzz: scrub_shared_spans and its DuckDB oracle must
+    agree on arbitrary small corpora (tokenization quirks, short docs,
+    overlap/coverage arithmetic, all-removed docs). k=3 keeps shared
+    runs likely in tiny random texts."""
+    import __spark_entry__ as e
+    from hama_spark.extensions import scrub_shared_spans
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    engine = sorted(
+        (r["doc_id"], r["n_tokens"], r["n_removed"], r["clean_fingerprint"])
+        for r in scrub_shared_spans(docs, k=3, min_df=2, max_df=50).collect()
+    )
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in rows
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    try:
+        oracle = sorted(tuple(r) for r in duck.execute(
+            e._scrub_shared_spans_sql(3, 50, 2)
+        ).fetchall())
+    finally:
+        import tests.conftest as cft
+        duck.execute(
+            f"CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('{cft.SF_DIR}/documents.parquet')"
+        )
+    assert engine == oracle
