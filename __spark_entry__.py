@@ -381,12 +381,14 @@ def _matching_sql(edges_sql: str, seed: int = 42, rounds: int = 3) -> str:
 IVF_CELLS, IVF_PROBE, IVF_KM_ITERS, IVF_K = 8, 3, 3, 10
 
 
-def _ivf_topk_sql(dim: int = 64) -> str:
+def _ivf_topk_sql(dim: int = 64, cell_offset: int = 0) -> str:
     """IVF replay: Lloyd on L2-normalized embeddings (seed centers =
     first IVF_CELLS by vec_id, lowest-cid ties, empty cells keep
     position), corpus assigned to final cells, each query probes its
     IVF_PROBE nearest cells, exact cosine re-rank inside. Mirrors
-    extensions.similarity.ivf_topk + ml.kmeans exactly."""
+    extensions.similarity.ivf_topk + ml.kmeans exactly.
+    ``cell_offset=1`` skips each query's own nearest cell — the
+    hard-negative mining twin."""
     # k-means chain shared with the semantic-dedup oracles
     parts = [f"WITH {_km_cells_ctes(IVF_CELLS, IVF_KM_ITERS, dim)}"]
     parts.append(
@@ -398,7 +400,7 @@ def _ivf_topk_sql(dim: int = 64) -> str:
                      list_aggregate(list_transform(c.c, y -> y*y), 'sum')
                      - 2*list_dot_product(q.qv, c.c), c.cid) AS rn
             FROM q CROSS JOIN c{IVF_KM_ITERS} c)
-          WHERE rn <= {IVF_PROBE}),
+          WHERE rn BETWEEN {cell_offset + 1} AND {cell_offset + IVF_PROBE}),
         scored AS (
           SELECT qc.qid, a.vec_id AS id,
                  round(list_dot_product(a.v, qc.qv), 9) AS cosine
@@ -2339,6 +2341,22 @@ def _q_ivf_topk(spark, t):
     return _topk_cached(spark, t["embeddings"], "ivf")
 
 
+def _q_hard_negatives(spark, t):
+    """Hard-negative mining (DPR-style): per query the top-k most
+    similar corpus vectors from OUTSIDE its own semantic cell — the
+    IVF probe with the nearest cell skipped."""
+    from hama_spark.extensions import hard_negatives
+
+    return hard_negatives(
+        t["embeddings"],
+        t["embeddings"].filter("vec_id < 5"),
+        k=IVF_K,
+        n_cells=IVF_CELLS,
+        nprobe=IVF_PROBE,
+        kmeans_iter=IVF_KM_ITERS,
+    )
+
+
 def _q_video_frames(spark, t):
     from hama_spark.extensions import sample_frames
 
@@ -2711,6 +2729,7 @@ QUERIES: dict[str, Callable] = {
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
+    "hard_negatives": _q_hard_negatives,
     # shared_span_pairs before scrub_shared_spans: the removal reuses
     # the memoized cross-document shingle relation
     "shared_span_pairs": _q_shared_span_pairs,
@@ -2766,9 +2785,9 @@ QUERIES: dict[str, Callable] = {
     "top_customers": _q_top_customers,
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
-    "events_enriched": _q_events_enriched,
     # ---- driver window boundary (entry 50 above this line) ----------
     # everything below holds a green r2/r3 row on unchanged code
+    "events_enriched": _q_events_enriched,
     "asof_purchase_click": _q_asof_purchase_click,
     "band_error_counts": _q_band_error_counts,
     "events_props": _q_events_props,
@@ -3777,6 +3796,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk": _ivf_topk_sql(64),
         "ann_recall": _ann_recall_sql(),
+        "hard_negatives": _ivf_topk_sql(64, cell_offset=1),
         "embedding_normalize": """
             SELECT vec_id,
                    round(sqrt(list_aggregate(

@@ -246,10 +246,13 @@ def ivf_topk(
     kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_offset: int = 0,
 ) -> DataFrame:
     """IVF: coarse-quantize the corpus with k-means centroids, search
     only the ``nprobe`` cells nearest each query, exact re-rank.
-    Centroids are O(n_cells·dim) driver state (broadcast literals)."""
+    Centroids are O(n_cells·dim) driver state (broadcast literals).
+    ``cell_offset`` skips that many nearest cells before probing —
+    offset 1 probes cells ranked 2..nprobe+1 (see hard_negatives)."""
     from hama_spark.functions.distance import MEASURES
 
     cb, centers = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
@@ -258,7 +261,7 @@ def ivf_topk(
     q = _normalized(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
-    # nprobe nearest cells per query
+    # nprobe nearest cells per query, after skipping cell_offset
     dists = F.array(
         *[
             F.struct(
@@ -271,7 +274,7 @@ def ivf_topk(
     qcells = q.select(
         "qid",
         "qv",
-        F.explode(F.slice(F.array_sort(dists), 1, nprobe)).alias("dc"),
+        F.explode(F.slice(F.array_sort(dists), 1 + cell_offset, nprobe)).alias("dc"),
     ).select("qid", "qv", F.col("dc.cell").alias("cell"))
 
     scored = cb.join(F.broadcast(qcells), "cell").select(
@@ -387,3 +390,34 @@ def ann_recall_report(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR-style, the
+    standard retrieval-training data op): per query, the top-k most
+    cosine-similar corpus vectors from OUTSIDE the query's own
+    semantic cell — similar enough to be hard, excluded from the
+    nearest cell so positives/near-duplicates don't leak into the
+    negative set. Exactly the IVF probe with the first cell skipped
+    (cells ranked 2..nprobe+1), so it inherits IVF's scale shape: the
+    corpus never shuffles, per-query work is the probed slice."""
+    return ivf_topk(
+        corpus,
+        queries,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        kmeans_iter=kmeans_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_offset=1,
+    )

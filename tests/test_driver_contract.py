@@ -69,7 +69,7 @@ def test_modified_or_new_queries_lead_the_dict():
         # new in round 4
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
         "ann_recall", "shared_span_pairs", "scrub_shared_spans",
-        "scrub_boilerplate", "bpe_fertility",
+        "scrub_boilerplate", "bpe_fertility", "hard_negatives",
         # rewired onto the shared _TOPK_MEMO/localCheckpoint path in r4:
         # their standalone oracles hash-check the full (cosine, rank)
         # columns the recall report's overlap join doesn't

@@ -460,3 +460,34 @@ def test_check_expectations_rejects_unknown_rule(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         check_expectations(df, [("bogus", "id")])
+
+
+def test_hard_negatives_exclude_own_cell(spark, tables):
+    """Hard negatives must come from OUTSIDE each query's nearest
+    semantic cell: the query itself (cosine 1.0 with itself, same
+    cell by construction) can never appear, and no returned id may
+    share the query's cell assignment."""
+    from hama_spark.extensions import hard_negatives, ivf_topk
+    from hama_spark.extensions.similarity import _kmeans_cells
+
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 5")
+    hn = hard_negatives(emb, queries, k=5, n_cells=8, nprobe=3, kmeans_iter=3)
+    rows = hn.collect()
+    assert len(rows) > 0
+    # the query vector itself is its own nearest neighbor — it must
+    # never be returned as a negative
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
+    # no negative shares the query's cell
+    cb, _ = _kmeans_cells(emb, 8, 3, "vec_id", "embedding")
+    cells = {r["id"]: r["cell"] for r in cb.select("id", "cell").collect()}
+    for r in rows:
+        assert cells[r["vec_id"]] != cells[r["query_id"]], r
+    # and the set differs from the positives the plain probe returns
+    pos = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_cells=8, nprobe=3, kmeans_iter=3).collect()
+    }
+    neg = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert not (neg & {(q, q) for q, _ in pos})
+    assert neg != pos
