@@ -2272,16 +2272,20 @@ _TOPK_MEMO: dict = {}
 
 
 def _topk_cached(spark, emb, method: str):
-    """The three searchers' (tiny) top-k results, materialized once per
-    (session, corpus): ann_recall consumes all three and the standalone
-    cosine_topk / lsh_cosine_topk / ivf_topk queries re-read the same
-    50-row checkpoints instead of re-running the scans."""
-    from hama_spark.extensions import cosine_topk, ivf_topk, lsh_cosine_topk
+    """The searchers' (tiny) top-k results, materialized once per
+    (session, corpus): ann_recall consumes three of them and the
+    standalone cosine_topk / lsh_cosine_topk / ivf_topk /
+    hard_negatives queries re-read the same 50-row checkpoints instead
+    of re-running the scans. The IVF index (k-means cells + centers)
+    is itself cached so the plain probe and the hard-negative probe
+    train once."""
+    from hama_spark.extensions import cosine_topk, hard_negatives, ivf_topk, lsh_cosine_topk
+    from hama_spark.extensions.similarity import _kmeans_cells
 
     key = (spark.sparkContext.applicationId, emb.semanticHash(), method)
     if key not in _TOPK_MEMO:
-        # evict other corpora only (all three methods of one corpus
-        # coexist — ann_recall needs them together)
+        # evict other corpora only (all methods of one corpus coexist —
+        # ann_recall needs several together)
         for k_ in [k_ for k_ in _TOPK_MEMO if k_[:2] != key[:2]]:
             del _TOPK_MEMO[k_]
         q = emb.filter("vec_id < 5")
@@ -2290,9 +2294,16 @@ def _topk_cached(spark, emb, method: str):
         elif method == "lsh":
             df = lsh_cosine_topk(emb, q, k=10, planes=4, tables=8, dim=64)
         else:
-            df = ivf_topk(
+            cells_key = key[:2] + ("_cells",)
+            if cells_key not in _TOPK_MEMO:
+                cb, centers = _kmeans_cells(
+                    emb, IVF_CELLS, IVF_KM_ITERS, "vec_id", "embedding"
+                )
+                _TOPK_MEMO[cells_key] = (cb.localCheckpoint(eager=True), centers)
+            fn = ivf_topk if method == "ivf" else hard_negatives
+            df = fn(
                 emb, q, k=IVF_K, n_cells=IVF_CELLS, nprobe=IVF_PROBE,
-                kmeans_iter=IVF_KM_ITERS,
+                kmeans_iter=IVF_KM_ITERS, cells=_TOPK_MEMO[cells_key],
             )
         _TOPK_MEMO[key] = df.localCheckpoint(eager=True)
     return _TOPK_MEMO[key]
@@ -2344,17 +2355,9 @@ def _q_ivf_topk(spark, t):
 def _q_hard_negatives(spark, t):
     """Hard-negative mining (DPR-style): per query the top-k most
     similar corpus vectors from OUTSIDE its own semantic cell — the
-    IVF probe with the nearest cell skipped."""
-    from hama_spark.extensions import hard_negatives
-
-    return hard_negatives(
-        t["embeddings"],
-        t["embeddings"].filter("vec_id < 5"),
-        k=IVF_K,
-        n_cells=IVF_CELLS,
-        nprobe=IVF_PROBE,
-        kmeans_iter=IVF_KM_ITERS,
-    )
+    IVF probe with the nearest cell skipped, sharing ivf_topk's cached
+    index (k-means trains once per corpus)."""
+    return _topk_cached(spark, t["embeddings"], "hard_negatives")
 
 
 def _q_video_frames(spark, t):

@@ -247,15 +247,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_offset: int = 0,
+    cells=None,
 ) -> DataFrame:
     """IVF: coarse-quantize the corpus with k-means centroids, search
     only the ``nprobe`` cells nearest each query, exact re-rank.
     Centroids are O(n_cells·dim) driver state (broadcast literals).
     ``cell_offset`` skips that many nearest cells before probing —
-    offset 1 probes cells ranked 2..nprobe+1 (see hard_negatives)."""
+    offset 1 probes cells ranked 2..nprobe+1 (see hard_negatives).
+    ``cells`` accepts a precomputed ``(assigned, centers)`` pair from
+    an earlier call so a pipeline probing the same index several ways
+    (search + hard negatives) trains k-means once."""
     from hama_spark.functions.distance import MEASURES
 
-    cb, centers = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
+    cb, centers = cells or _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
     measure = MEASURES["euclidean"]
 
     q = _normalized(queries, id_col, vec_col).select(
@@ -401,6 +405,7 @@ def hard_negatives(
     kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells=None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (DPR-style, the
     standard retrieval-training data op): per query, the top-k most
@@ -420,4 +425,5 @@ def hard_negatives(
         id_col=id_col,
         vec_col=vec_col,
         cell_offset=1,
+        cells=cells,
     )
