@@ -272,8 +272,8 @@ def _quality_classifier_sql(iters: int = QC_ITERS, alpha: float = QC_ALPHA) -> s
           SELECT doc_id,
                  len(list_filter({toks}, tk -> lower(tk) IN ({inlist}))) * 1.0
                    / len({toks}) AS x1,
-                 length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-                   / length(text) AS x2,
+                 coalesce(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                   / nullif(length(text), 0), 0.0) AS x2,
                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
           FROM documents),
         t0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)""",
@@ -2780,16 +2780,24 @@ QUERIES: dict[str, Callable] = {
     "spmv": _q_spmv,
     "matmul": _q_matmul,
     "pi_estimate": _q_pi,
-    "inner_join": _q_inner_join,
-    "full_outer_join": _q_full_outer_join,
     "override_join": _q_override_join,
     "agg_lineitem": _q_agg_lineitem,
     "revenue_by_nation": _q_revenue_by_nation,
+    # NULL-hardened for empty documents late in round 4 (ANSI division
+    # guards; byte-identical on the driver corpus, selfcheck-proven) —
+    # back in the window per the modified-queries policy
+    "text_stats": _q_text_stats,
+    "quality_score": _q_quality,
+    "heuristic_flags": _q_heuristic_flags,
+    "quality_classifier": _q_quality_classifier,
+    "corpus_stats": _q_corpus_stats,
+    # ---- driver window boundary (entry 50 above this line) ----------
+    # everything below holds a green r2/r3 row on unchanged code
+    "inner_join": _q_inner_join,
+    "full_outer_join": _q_full_outer_join,
     "top_customers": _q_top_customers,
     "events_window": _q_events_window,
     "events_sliding": _q_events_sliding,
-    # ---- driver window boundary (entry 50 above this line) ----------
-    # everything below holds a green r2/r3 row on unchanged code
     "events_enriched": _q_events_enriched,
     "asof_purchase_click": _q_asof_purchase_click,
     "band_error_counts": _q_band_error_counts,
@@ -2797,8 +2805,6 @@ QUERIES: dict[str, Callable] = {
     "events_dedup_hourly": _q_events_dedup_hourly,
     "token_count": _q_token_count,
     "bpe_token_count": _q_bpe_token_count,
-    "text_stats": _q_text_stats,
-    "quality_score": _q_quality,
     "lang_id": _q_lang_id,
     "doc_fingerprint": _q_fingerprint,
     "winnow_fingerprints": _q_winnow,
@@ -2814,7 +2820,6 @@ QUERIES: dict[str, Callable] = {
     "sessionize": _q_sessionize,
     "global_shuffle": _q_global_shuffle,
     "pack_sequences": _q_pack_sequences,
-    "corpus_stats": _q_corpus_stats,
     "interleave_mix": _q_interleave_mix,
     "dedup_exact": _q_dedup_exact,
     "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -2841,9 +2846,7 @@ QUERIES: dict[str, Callable] = {
     "sample_balanced": _q_sample_balanced,
     "bigram_perplexity": _q_bigram_perplexity,
     "perplexity_buckets": _q_perplexity_buckets,
-    "quality_classifier": _q_quality_classifier,
     "split_dataset": _q_split_dataset,
-    "heuristic_flags": _q_heuristic_flags,
     "pmi_top_pairs": _q_pmi_top_pairs,
     "hybrid_search": _q_hybrid_search,
     "domain_divergence": _q_domain_divergence,

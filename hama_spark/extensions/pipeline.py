@@ -104,8 +104,14 @@ def quality_classifier_scores(
     t = F.col(text_col)
     toks = tokenize(t)
     stop_ratio = _count_matches(toks, EN_STOPWORDS).cast("double") / F.size(toks)
-    digit_ratio = (
-        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / F.length(t)
+    # imputed 0 for empty text: a NULL feature would silently drop the
+    # row from ONE gradient component while it still counts in the
+    # others (F.sum skips NULLs) — biased theta, no error. Oracle
+    # mirrors the coalesce.
+    digit_ratio = F.coalesce(
+        F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+        / F.when(F.length(t) > 0, F.length(t)),
+        F.lit(0.0),
     )
     lbl = label if label is not None else (F.col("lang") == "en")
     feats = docs.select(

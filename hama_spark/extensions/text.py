@@ -73,12 +73,16 @@ def text_stats(text) -> list[Column]:
     n_tokens = F.size(toks)
     stripped = F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")
     digits = F.regexp_replace(t, "[^0-9]", "")
+    # char ratios are NULL for empty text (ANSI division would abort
+    # the whole corpus scan on one empty doc; NULL matches DuckDB's
+    # decimal x/0 and reads as "undefined", which it is)
+    chars_nz = F.when(n_chars > 0, n_chars)
     return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
-        (F.length(stripped).cast("double") / n_chars).alias("alnum_ratio"),
-        (F.length(digits).cast("double") / n_chars).alias("digit_ratio"),
+        (F.length(stripped).cast("double") / chars_nz).alias("alnum_ratio"),
+        (F.length(digits).cast("double") / chars_nz).alias("digit_ratio"),
         (_count_matches(toks, EN_STOPWORDS).cast("double") / n_tokens).alias(
             "stopword_ratio"
         ),
@@ -87,12 +91,17 @@ def text_stats(text) -> list[Column]:
 
 def quality_score(text) -> Column:
     """Scalar quality heuristic in [0,1]: blend of length band, alnum
-    ratio and stopword presence (the usual pretraining-filter shape)."""
+    ratio and stopword presence (the usual pretraining-filter shape).
+    NULL for empty text (the alnum ratio is undefined; NULL propagates
+    like DuckDB's decimal x/0, and a NULL score naturally fails any
+    >= threshold filter)."""
     t = _c(text)
     toks = tokenize(t)
     n_tokens = F.size(toks).cast("double")
     length_ok = F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(1.0)).otherwise(0.0)
-    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")).cast("double") / F.length(t)
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")).cast("double") / F.when(
+        F.length(t) > 0, F.length(t)
+    )
     stop = _count_matches(toks, EN_STOPWORDS).cast("double") / n_tokens
     return (
         F.lit(0.25) * length_ok + F.lit(0.5) * alnum + F.lit(0.25) * F.least(stop * 5, F.lit(1.0))
@@ -413,6 +422,9 @@ def heuristic_flags(text) -> list[Column]:
         ),
         F.round(bullet.cast("double") / n_lines, 6).alias("bullet_line_frac"),
         F.round(F.length(t).cast("double") / n_lines, 6).alias("mean_line_len"),
-        F.round(braces.cast("double") / F.length(t), 6).alias("brace_char_frac"),
+        # NULL for empty text (ANSI division; matches DuckDB decimal x/0)
+        F.round(braces.cast("double") / F.when(F.length(t) > 0, F.length(t)), 6).alias(
+            "brace_char_frac"
+        ),
         F.substring(t, F.length(t), 1).isin(".", "!", "?", '"').alias("ends_with_terminal"),
     ]

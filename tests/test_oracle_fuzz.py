@@ -1,0 +1,92 @@
+"""Cross-engine oracle fuzzing: run documents-only driver queries AND
+their DuckDB oracle SQL on randomized corpora (not just the fixture
+parquet the driver gate uses) and require exact agreement. This is the
+strongest parity check available for the regex/text family — the
+fixture corpus is ASCII filler, so tokenization/windowing edge cases
+(tabs, newlines, punctuation runs, empty docs, single-token docs)
+never arise there.
+
+Alphabet note: RE2 (DuckDB) ``\\s`` is [\\t\\n\\f\\r ] while Java
+(Spark) ``\\s`` also matches \\x0B — vertical tab is a REAL parity
+boundary of the shared regex dialect, excluded here and absent from
+the fixture data (documented limit of the oracle discipline).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as entry
+import tests.conftest as cft
+
+_TEXT = st.text(
+    alphabet=st.sampled_from("abcdefgh XY019.,'!-\n\t"),
+    min_size=0,
+    max_size=120,
+)
+
+# documents-only queries whose Spark side accepts a plain table dict and
+# whose oracle reads only the documents view
+_FUZZ_QUERIES = [
+    "token_count",
+    "bpe_token_count",
+    "doc_fingerprint",
+    "line_dedup",
+    "chunk_docs",
+    "token_entropy",
+    "winnow_fingerprints",
+    "repetition_stats",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "pii_scrub",
+    "heuristic_flags",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(_TEXT, min_size=2, max_size=6))
+def test_documents_queries_match_oracle_on_random_corpora(spark, duck, texts):
+    rows = [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    vals = ", ".join(
+        "(%d, '%s', 'en', 'src%d', %d)"
+        % (i, t.replace("'", "''"), i % 2, len(t))
+        for i, t, _, _, _ in ((r[0], r[1], r[2], r[3], r[4]) for r in rows)
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"(VALUES {vals}) t(doc_id, text, lang, source, n_chars)"
+    )
+    oracles = entry.oracle_sql()
+    try:
+        for name in _FUZZ_QUERIES:
+            df = entry.QUERIES[name](spark, {"documents": docs})
+            cols = sorted(df.columns)
+            got = sorted(
+                "|".join(_norm(r[c]) for c in cols) for r in df.collect()
+            )
+            cur = duck.execute(oracles[name])
+            onames = [d[0] for d in cur.description]
+            want = sorted(
+                "|".join(_norm(v) for _, v in sorted(zip(onames, r)))
+                for r in cur.fetchall()
+            )
+            assert sorted(onames) == cols, (name, onames, cols)
+            assert got == want, (name, got[:5], want[:5])
+    finally:
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{cft.SF_DIR}/documents.parquet')"
+        )
