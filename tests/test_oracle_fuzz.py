@@ -90,3 +90,89 @@ def test_documents_queries_match_oracle_on_random_corpora(spark, duck, texts):
             "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
             f"read_parquet('{cft.SF_DIR}/documents.parquet')"
         )
+
+
+# events-family queries that read ONLY the events table
+_EVENTS_FUZZ = [
+    "events_window",
+    "events_sliding",
+    "events_props",
+    "events_dedup_hourly",
+    "sessionize",
+    "rolling_user_stats",
+    "events_topk_hourly",
+    "events_rollup",
+    "event_transitions",
+    "retention_cohorts",
+    "value_quantiles",
+    "band_error_counts",
+]
+
+_EVENT_ROW = st.tuples(
+    st.integers(min_value=0, max_value=59),   # minute offset -> FORCED ts dups
+    st.integers(min_value=1, max_value=3),    # user_id
+    st.sampled_from(["click", "view", "purchase", "error"]),
+    st.integers(min_value=0, max_value=500),  # value in tenths
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(rows=st.lists(_EVENT_ROW, min_size=4, max_size=14))
+def test_events_queries_match_oracle_on_duplicate_timestamps(spark, duck, rows):
+    """The fixture's 10000 timestamps are all DISTINCT, so window
+    tie-breaking on duplicate event times is never exercised by the
+    driver gate. Here timestamps collide by construction (minute
+    granularity over one hour) and every events-only query must still
+    agree with its oracle — i.e. all orderings are deterministically
+    tie-broken, not accidentally ts-unique."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    data = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, minute, 0),
+            uid,
+            etype,
+            val / 10.0,
+            '{"k": %d}' % (i % 5),
+        )
+        for i, (minute, uid, etype, val) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    vals = ", ".join(
+        "(%d, TIMESTAMP '%s', %d, '%s', %s, '%s')"
+        % (i, ts.isoformat(sep=" "), uid, et, repr(v), p)
+        for i, ts, uid, et, v, p in data
+    )
+    duck.execute(
+        # value must be DOUBLE like the parquet column — a bare VALUES
+        # literal types it DECIMAL and aggregates render differently
+        "CREATE OR REPLACE VIEW events AS SELECT event_id, ts, user_id, "
+        "event_type, CAST(value AS DOUBLE) AS value, props FROM "
+        f"(VALUES {vals}) t(event_id, ts, user_id, event_type, value, props)"
+    )
+    oracles = entry.oracle_sql()
+    try:
+        for name in _EVENTS_FUZZ:
+            df = entry.QUERIES[name](spark, {"events": events})
+            cols = sorted(df.columns)
+            got = sorted("|".join(_norm(r[c]) for c in cols) for r in df.collect())
+            cur = duck.execute(oracles[name])
+            onames = [d[0] for d in cur.description]
+            want = sorted(
+                "|".join(_norm(v) for _, v in sorted(zip(onames, r)))
+                for r in cur.fetchall()
+            )
+            assert sorted(onames) == cols, (name, onames, cols)
+            assert got == want, (name, got[:4], want[:4])
+    finally:
+        duck.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('{cft.SF_DIR}/events.parquet')"
+        )
