@@ -176,3 +176,60 @@ def test_events_queries_match_oracle_on_duplicate_timestamps(spark, duck, rows):
             "CREATE OR REPLACE VIEW events AS SELECT * FROM "
             f"read_parquet('{cft.SF_DIR}/events.parquet')"
         )
+
+
+_DAG_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=9),
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(raw=st.lists(_DAG_EDGE, min_size=2, max_size=14))
+def test_pregel_sssp_pagerank_match_oracle_on_random_graphs(spark, duck, raw):
+    """Core-engine fuzz: the Pregel SSSP and fixed-iteration PageRank
+    must agree with their SQL replays on ARBITRARY random graphs, not
+    just the two fixture graphs the driver gate exercises (multi-edges
+    collapsing, unreachable vertices, dangling nodes, diamond paths)."""
+    import __spark_entry__ as entry
+    from hama_spark.graph import pagerank, sssp
+    from pyspark.sql import functions as F
+
+    # random DAG on small ints (a < a+b guarantees acyclicity for the
+    # recursive-walk oracle); dedup multi-edges keeping the min weight
+    # the same way both engines' DISTINCT would not — make it explicit
+    seen = {}
+    for a, b, w in raw:
+        seen.setdefault((str(a), str(a + b)), w)
+    edges = [(s, d, w) for (s, d), w in seen.items()]
+    if not any(s == "0" for s, _, _ in edges):
+        edges.append(("0", "1", 1))
+
+    df = spark.createDataFrame(edges, "src string, dst string, weight int")
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in edges)
+    duck.execute(
+        "CREATE OR REPLACE VIEW fz_edges AS SELECT * FROM "
+        f"(VALUES {vals}) t(src, dst, weight)"
+    )
+    fz_sql = "SELECT src, dst, weight FROM fz_edges"
+
+    got = sorted(
+        (r["id"], r["dist"])
+        for r in sssp(df, "0", max_iter=20, halt_check_interval=3).collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(
+        entry._bellman_ford_sql(fz_sql, "0")
+    ).fetchall())
+    assert got == want, (got, want)
+
+    n = len({v for s, d, _ in edges for v in (s, d)})
+    pr = pagerank(df.select("src", "dst"), epsilon=None, max_iter=4, self_ref=True)
+    got_pr = sorted(
+        (r["id"], r["rank"])
+        for r in pr.select("id", F.round("rank", 9).alias("rank")).collect()
+    )
+    want_pr = sorted(tuple(r) for r in duck.execute(
+        entry._pagerank_sql("SELECT src, dst FROM fz_edges", n, 4)
+    ).fetchall())
+    assert got_pr == want_pr, (got_pr[:5], want_pr[:5])
