@@ -233,3 +233,63 @@ def test_pregel_sssp_pagerank_match_oracle_on_random_graphs(spark, duck, raw):
         entry._pagerank_sql("SELECT src, dst FROM fz_edges", n, 4)
     ).fetchall())
     assert got_pr == want_pr, (got_pr[:5], want_pr[:5])
+
+
+_VEC_COMP = st.integers(min_value=-64, max_value=64)  # value/64: exact in f32
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(_VEC_COMP, _VEC_COMP, _VEC_COMP, _VEC_COMP,
+                  _VEC_COMP, _VEC_COMP, _VEC_COMP, _VEC_COMP),
+        min_size=6,
+        max_size=12,
+    )
+)
+def test_embedding_queries_match_oracle_on_exact_vectors(spark, duck, vecs):
+    """Embedding-family fuzz with EXACT-arithmetic vectors: components
+    are multiples of 1/64 (exactly representable in float32), so dot
+    products and norms are exact in both engines regardless of
+    summation order — the fuzz stresses the machinery (ranking,
+    tie-breaking on equal cosines, zero vectors, duplicate vectors)
+    rather than float noise. Zero vectors are skipped: 0/0 norms are a
+    documented NULL-propagation boundary, and the fixture generator
+    never emits them."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, [c / 64.0 for c in v]) for i, v in enumerate(vecs)
+        if any(c != 0 for c in v)
+    ]
+    if len(rows) < 6:
+        return  # all-zero draws: nothing meaningful to compare
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(c) for c in v))
+        for i, v in rows
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"(VALUES {vals}) t(vec_id, embedding)"
+    )
+    oracles = entry.oracle_sql()
+    try:
+        for name in ("cosine_topk", "embedding_normalize", "embedding_quantize",
+                     "embedding_cosine_pairs"):
+            df = entry.QUERIES[name](spark, {"embeddings": emb})
+            cols = sorted(df.columns)
+            got = sorted("|".join(_norm(r[c]) for c in cols) for r in df.collect())
+            cur = duck.execute(oracles[name])
+            onames = [d[0] for d in cur.description]
+            want = sorted(
+                "|".join(_norm(v) for _, v in sorted(zip(onames, r)))
+                for r in cur.fetchall()
+            )
+            assert sorted(onames) == cols, (name, onames, cols)
+            assert got == want, (name, got[:4], want[:4])
+    finally:
+        duck.execute(
+            "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{cft.SF_DIR}/embeddings.parquet')"
+        )
