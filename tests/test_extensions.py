@@ -491,3 +491,49 @@ def test_hard_negatives_exclude_own_cell(spark, tables):
     neg = {(r["query_id"], r["vec_id"]) for r in rows}
     assert not (neg & {(q, q) for q, _ in pos})
     assert neg != pos
+
+
+def test_bm25_ranking_invariants(spark, tables):
+    """Ranks are contiguous 1..k per query and scores non-increasing by
+    rank. (Self-doc-in-top-k is deliberately NOT asserted: the fixture
+    corpus shares one tiny vocabulary, so every document matches every
+    query term and ranking is decided by BM25's length normalization —
+    the semantic ordering properties are pinned on a controlled corpus
+    in test_bm25_exact_term_match_outranks_partial.)"""
+    from hama_spark.extensions.retrieval import bm25_topk, self_queries
+
+    docs = tables["documents"]
+    out = bm25_topk(docs, self_queries(docs), k=5).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert len(by_query) == 5  # 500 docs, every 101st queries
+    for qid, rows in by_query.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 6)), qid
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True), qid
+        assert all(s > 0 for s in scores), qid
+
+
+def test_bm25_exact_term_match_outranks_partial(spark):
+    """A document containing BOTH query terms must outrank documents
+    containing only one, and a rare term is worth more than a common
+    one (idf ordering)."""
+    from hama_spark.extensions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),        # both terms
+            (2, "apple kiwi pear"),     # common term only
+            (3, "banana kiwi pear"),    # rare term only
+            (4, "apple kiwi lime"),     # common term only
+            (5, "apple plum fig"),      # common term only (apple df=4)
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple banana")], "query_id long, query_text string")
+    got = sorted(bm25_topk(docs, q, k=5).collect(), key=lambda r: r.rank)
+    assert got[0].doc_id == 1
+    # banana (df=2) outweighs apple (df=4)
+    assert got[1].doc_id == 3

@@ -39,6 +39,9 @@ NESTED_LOOP_OK = {
     # idf term — a single-row broadcast is how scalar subqueries execute;
     # per-partition cost is O(1) regardless of corpus size
     "tfidf_top_terms",
+    # crossJoin(broadcast(<1-row (N, avgdl)>)) for the BM25 normalizer —
+    # same single-row-broadcast pattern (extensions/retrieval.py)
+    "bm25_topk",
     # crossJoin(broadcast(<1-row normalizers>)) over the checkpointed
     # |domains|-row group relation — same single-row-broadcast pattern
     "domain_mix",
