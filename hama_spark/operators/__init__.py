@@ -1,6 +1,7 @@
 from hama_spark.operators.bucketing import co_located_join, write_bucketed
 from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
+from hama_spark.operators.linkage import blocked_fuzzy_pairs, fuzzy_join
 from hama_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
@@ -11,4 +12,6 @@ __all__ = [
     "co_located_join",
     "salted_join",
     "salted_agg",
+    "blocked_fuzzy_pairs",
+    "fuzzy_join",
 ]

@@ -1,0 +1,72 @@
+"""Blocked fuzzy record linkage (operators/linkage.py): match/non-match
+semantics on a controlled corpus, blocking fence behavior, and the
+two-table join variant."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_blocked_fuzzy_pairs_matches_and_blocks(spark):
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "jon smith", "US"),
+            (2, "john smith", "US"),   # 1 edit from jon smith
+            (3, "jon smith", "DE"),    # identical text, other block
+            (4, "jane smyth", "US"),   # >2 edits from jon smith
+            (5, "john smith", "US"),   # exact dup of 2
+        ],
+        "id long, name string, country string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_fuzzy_pairs(df, "id", "name", ["country"], 1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 0}
+    # cross-block identical text (1,3) must NOT pair: blocking fence
+    assert (1, 3) not in got
+
+
+def test_blocked_fuzzy_pairs_requires_blocks(spark):
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a", "x")], "id long, name string, b string")
+    with pytest.raises(ValueError):
+        blocked_fuzzy_pairs(df, "id", "name", [], 1)
+
+
+def test_fuzzy_join_links_across_tables(spark):
+    from hama_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp", "US"), (2, "globex", "US")],
+        "lid long, lname string, lc string",
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp.", "US"), (11, "initech", "US"), (12, "acme corp", "DE")],
+        "rid long, rname string, rc string",
+    )
+    got = [
+        (r.lid, r.rid, r.distance)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", [("lc", "rc")], max_distance=1
+        ).collect()
+    ]
+    assert got == [(1, 10, 1)]
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark, tables):
+    """The candidate join must be hash/sort-merge on the blocking key —
+    never a nested loop with the levenshtein predicate inside."""
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+    from tests.test_plans import _plan
+
+    plan = _plan(
+        blocked_fuzzy_pairs(
+            tables["customer"], "c_custkey", "c_name", ["c_nationkey"], 1
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
