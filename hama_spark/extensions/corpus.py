@@ -219,3 +219,38 @@ def domain_cap(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta: classify every id across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing
+    md5 content fingerprints — the audit a pipeline runs between
+    ingestion runs before deciding what to re-process downstream
+    (only ``added``/``changed`` need re-tokenization; ``removed`` needs
+    tombstoning in derived tables).
+
+    Shape at 100 TB: each side collapses to (id, 16-byte fingerprint)
+    at the scan (column-pruned to id + content), then ONE full outer
+    hash join on id — no text ever shuffles. Output is (id, status,
+    fingerprint) where fingerprint is the new side's when present.
+    """
+    o = old.select(
+        _c(id_col).alias("id"), F.md5(_c(content_col)).alias("old_fp")
+    )
+    n = new.select(
+        _c(id_col).alias("id"), F.md5(_c(content_col)).alias("new_fp")
+    )
+    return o.join(n, "id", "full_outer").select(
+        F.col("id").alias(id_col),
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        F.coalesce("new_fp", "old_fp").alias("fingerprint"),
+    )

@@ -109,3 +109,28 @@ def test_token_entropy_matches_oracle_on_documents(tables, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from hama_spark.extensions.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_fingerprint_prefers_new_side(spark):
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.corpus import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "y")], "doc_id long, text string")
+    row = snapshot_diff(old, new).collect()[0]
+    want = new.select(F.md5("text")).collect()[0][0]
+    assert row.fingerprint == want and row.status == "changed"

@@ -67,7 +67,7 @@ def test_modified_or_new_queries_lead_the_dict():
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
         # new in round 4
-        "bm25_topk", "fuzzy_match_customers",
+        "bm25_topk", "fuzzy_match_customers", "corpus_diff",
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
         "ann_recall", "shared_span_pairs", "scrub_shared_spans",
         "scrub_boilerplate", "bpe_fertility", "hard_negatives",
@@ -92,12 +92,11 @@ def test_modified_or_new_queries_lead_the_dict():
         "importance_weights", "value_quantiles",
         # NULL-hardened for empty documents late in r4 (ANSI division
         # guards found by the oracle fuzz; fixture outputs byte-identical).
-        # text_stats and quality_score are deliberately NOT here: the
-        # window is packed at 50 and their hardened branch is
-        # value-checked cross-engine by the random-corpora fuzz
+        # text_stats, quality_score and heuristic_flags are deliberately
+        # NOT here: the window is packed at 50 and their hardened branch
+        # is value-checked cross-engine by the random-corpora fuzz
         # (test_oracle_fuzz), a stronger signal than a fixture driver
         # row — they sit first below the boundary.
-        "heuristic_flags",
         "quality_classifier", "corpus_stats",
     }
     missing = must_lead - first50
