@@ -102,3 +102,67 @@ def salted_agg(
             for name, (_, comb) in aggs.items()
         ]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    n_buckets: int = 32,
+    top_k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-flight skew diagnostic for a planned shuffle key: returns
+    ``(buckets, hot_keys)``.
+
+    ``buckets`` simulates the shuffle Spark would run — rows hashed
+    into ``n_buckets`` reducer buckets by the key — and reports one row
+    per non-empty bucket with its row count plus, on every row, the
+    distribution-level ratios the decision needs: ``max_over_avg``
+    (straggler factor if the job ran with this key/partition count) and
+    ``cv`` (coefficient of variation). ``max_over_avg`` near 1 = safe;
+    >> 1 = salt the key or raise AQE skew thresholds before running
+    the real job at 100 TB.
+
+    ``hot_keys`` is the exact top-``top_k`` keys by row count with
+    their share of the table — the keys you'd salt.
+
+    Cost: two map-side-combined aggregations over one scan; the bucket
+    relation is <= n_buckets rows and the ratios attach via a
+    single-row broadcast, so the diagnostic is safe to run at full
+    data scale.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    kcols = [F.col(c) for c in keys]
+
+    bucket = F.pmod(F.xxhash64(*kcols), F.lit(n_buckets)).cast("int")
+    counts = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    stats = counts.agg(
+        F.max("rows").alias("_mx"),
+        F.avg("rows").alias("_avg"),
+        F.stddev_pop("rows").alias("_sd"),
+    )
+    buckets = (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "rows",
+            F.round(F.col("_mx") / F.col("_avg"), 6).alias("max_over_avg"),
+            F.round(F.col("_sd") / F.col("_avg"), 6).alias("cv"),
+        )
+    )
+
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "rows",
+            F.round(F.col("rows") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("rows"), *[F.asc(c) for c in keys])
+        .limit(top_k)
+    )
+    return buckets, hot
