@@ -70,3 +70,40 @@ def test_fuzzy_pairs_plan_is_equi_join(spark, tables):
         "simple",
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_parity_with_duckdb_on_random_strings(spark, duck):
+    """Cross-engine edit-distance parity: blocked_fuzzy_pairs leans on
+    Spark's levenshtein matching DuckDB's for the oracle — pin it on
+    randomized ASCII strings (repeats, empties, punctuation runs), not
+    just the well-behaved fixture names."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+
+    text = st.text(alphabet=st.sampled_from("abcX 01.,'-"), min_size=0, max_size=12)
+
+    @settings(max_examples=5, deadline=None)
+    @given(names=st.lists(text, min_size=2, max_size=8))
+    def run(names):
+        rows = [(i, nm, "blk") for i, nm in enumerate(names)]
+        df = spark.createDataFrame(rows, "id long, name string, b string")
+        got = sorted(
+            (r.id_a, r.id_b, r.distance)
+            for r in blocked_fuzzy_pairs(df, "id", "name", ["b"], 3).collect()
+        )
+        vals = ", ".join(
+            "(%d, '%s')" % (i, nm.replace("'", "''")) for i, nm, _ in rows
+        )
+        want = sorted(
+            tuple(r)
+            for r in duck.execute(
+                f"SELECT a.id, b.id, CAST(levenshtein(a.name, b.name) AS INT) "
+                f"FROM (VALUES {vals}) a(id, name), (VALUES {vals}) b(id, name) "
+                f"WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 3"
+            ).fetchall()
+        )
+        assert got == want, (got[:5], want[:5])
+
+    run()

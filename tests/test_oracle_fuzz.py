@@ -44,6 +44,11 @@ _FUZZ_QUERIES = [
     "lang_id",
     "pii_scrub",
     "heuristic_flags",
+    # round-4 additions, both documents-only: the snapshot-diff
+    # derivation (mod-7/5/11 slices) and BM25 self-retrieval (ranking
+    # replays exactly because both engines rank the 6-dp-ROUNDED score)
+    "corpus_diff",
+    "bm25_topk",
 ]
 
 
