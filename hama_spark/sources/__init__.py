@@ -12,6 +12,7 @@ from hama_spark.sources.io import (
     write_sequence_file,
     write_text_kv,
 )
+from hama_spark.sources.zorder import with_zorder_key, write_zordered
 from hama_spark.sources.readers import (
     read_json_graph,
     read_movielens,
@@ -20,6 +21,8 @@ from hama_spark.sources.readers import (
 )
 
 __all__ = [
+    "with_zorder_key",
+    "write_zordered",
     "read_tab_adjacency",
     "read_weighted_adjacency",
     "read_json_graph",
