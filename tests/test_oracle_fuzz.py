@@ -49,6 +49,18 @@ _FUZZ_QUERIES = [
     # replays exactly because both engines rank the 6-dp-ROUNDED score)
     "corpus_diff",
     "bm25_topk",
+    # sampling/mixing family: md5-keyed integer math, bit-exact across
+    # engines by construction — fuzz pins the seeded determinism on
+    # corpora the fixture never shows (dup texts, empty docs)
+    "global_shuffle",
+    "pack_sequences",
+    "seeded_sample",
+    "stratified_sample",
+    "split_dataset",
+    "interleave_mix",
+    "domain_cap",
+    "dedup_incremental",
+    "dedup_exact",
 ]
 
 
