@@ -1,6 +1,12 @@
 from hama_spark.operators.bucketing import co_located_join, write_bucketed
 from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
+from hama_spark.operators.incremental import (
+    agg_state,
+    merge_agg_states,
+    retract_state,
+    state_metrics,
+)
 from hama_spark.operators.linkage import blocked_fuzzy_pairs, fuzzy_join
 from hama_spark.operators.skew import salted_agg, salted_join
 
@@ -14,4 +20,8 @@ __all__ = [
     "salted_agg",
     "blocked_fuzzy_pairs",
     "fuzzy_join",
+    "agg_state",
+    "merge_agg_states",
+    "retract_state",
+    "state_metrics",
 ]

@@ -1,0 +1,104 @@
+"""Mergeable per-key aggregation state for incremental pipelines: build
+once per ingestion batch, merge states instead of rescanning history.
+
+The pattern every incremental ETL needs (and the algebra behind Spark's
+own partial aggregation): a state row per key holding the mergeable
+components (count, sum, min, max) from which the reported metrics
+(mean included) derive. Merging two states is a groupBy over their
+union — associative and commutative, so daily/shard states combine in
+any order and any grouping, and a 100 TB history is never rescanned:
+each new batch contributes its own state and one bounded-size merge.
+
+Retraction: ``retract_state`` handles deletions for the invertible
+components (count, sum). min/max are NOT invertible — retracting the
+current extreme requires the base data — so retraction nulls them for
+affected keys and callers either recompute those keys from the base
+table (join against :func:`hama_spark.extensions.corpus.snapshot_diff`
+output to find them) or use merge-only workflows. That fence is
+explicit by design; silently wrong extremes would be worse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLS = ("cnt", "vsum", "vmin", "vmax")
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key mergeable state: (keys..., cnt, vsum, vmin, vmax)."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("cnt"),
+        F.sum(v.cast("double")).alias("vsum"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Combine two states (associative + commutative): sum the sums and
+    counts, extreme the extremes. Keys present in only one side pass
+    through unchanged — union semantics, not a join."""
+    return (
+        a.select(*keys, *STATE_COLS)
+        .unionByName(b.select(*keys, *STATE_COLS))
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )
+
+
+def retract_state(
+    state: DataFrame, removed: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """Retract deleted rows from a state: count and sum subtract
+    exactly; min/max become NULL for every key the retraction touched
+    (non-invertible — recompute those keys from base data downstream).
+    Keys whose count reaches zero drop out entirely."""
+    neg = agg_state(removed, keys, value_col).select(
+        *keys,
+        (-F.col("cnt")).alias("cnt"),
+        (-F.col("vsum")).alias("vsum"),
+        F.lit(None).cast(state.schema["vmin"].dataType).alias("vmin"),
+        F.lit(None).cast(state.schema["vmax"].dataType).alias("vmax"),
+        F.lit(True).alias("_touched"),
+    )
+    pos = state.select(
+        *keys, *STATE_COLS, F.lit(False).alias("_touched")
+    )
+    return (
+        pos.unionByName(neg)
+        .groupBy(*keys)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            # any touched key loses its extremes (max of bools = touched)
+            F.when(F.max("_touched"), F.lit(None))
+            .otherwise(F.min("vmin"))
+            .alias("vmin"),
+            F.when(F.max("_touched"), F.lit(None))
+            .otherwise(F.max("vmax"))
+            .alias("vmax"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def state_metrics(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Reported metrics from a state: count, sum, mean, min, max.
+    Sums are left unrounded — summation order varies with partitioning,
+    so callers comparing across engines apply their own tolerance."""
+    return state.select(
+        *keys,
+        F.col("cnt").alias("count"),
+        F.col("vsum").alias("sum"),
+        (F.col("vsum") / F.col("cnt")).alias("mean"),
+        F.col("vmin").alias("min"),
+        F.col("vmax").alias("max"),
+    )

@@ -1,0 +1,83 @@
+"""Mergeable aggregation state (operators/incremental.py): the merge
+algebra (split-invariance over random partitions), retraction
+semantics, and a DuckDB twin for the derived metrics."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _state_dict(rows):
+    return {
+        tuple(r[k] for k in ("k",)): (r.cnt, round(r.vsum, 6), r.vmin, r.vmax)
+        for r in rows
+    }
+
+
+def test_merge_of_splits_equals_full_aggregate(spark):
+    """Core algebra: state(A) ⊕ state(B) == state(A ∪ B) for any split."""
+    from hama_spark.operators.incremental import agg_state, merge_agg_states
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(st.sampled_from("abc"), st.integers(-50, 50)),
+            min_size=1,
+            max_size=20,
+        ),
+        cut=st.integers(0, 20),
+    )
+    def run(vals, cut):
+        cut = min(cut, len(vals))
+        full = spark.createDataFrame(vals, "k string, v long")
+        a = spark.createDataFrame(vals[:cut] or [("_none", 0)], "k string, v long")
+        b = spark.createDataFrame(vals[cut:] or [("_none", 0)], "k string, v long")
+        sa, sb = agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v")
+        merged = merge_agg_states(sa, sb, ["k"])
+        want = agg_state(full, ["k"], "v")
+        got = _state_dict(merged.filter(F.col("k") != "_none").collect())
+        exp = _state_dict(want.collect())
+        # the _none padding key only exists when a side was empty
+        assert got == exp, (got, exp)
+
+    run()
+
+
+def test_retract_subtracts_and_fences_extremes(spark):
+    from hama_spark.operators.incremental import agg_state, retract_state
+
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 2), ("c", 7)], "k string, v long"
+    )
+    removed = spark.createDataFrame([("a", 9), ("c", 7)], "k string, v long")
+    out = {r.k: r for r in retract_state(
+        agg_state(base, ["k"], "v"), removed, ["k"], "v"
+    ).collect()}
+    # c fully retracted -> gone; a keeps exact cnt/sum, loses extremes
+    assert set(out) == {"a", "b"}
+    assert (out["a"].cnt, out["a"].vsum) == (2, 6.0)
+    assert out["a"].vmin is None and out["a"].vmax is None
+    # untouched key keeps its extremes
+    assert (out["b"].vmin, out["b"].vmax) == (2, 2)
+
+
+def test_state_metrics_match_duckdb(spark, duck, tables):
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.operators.incremental import agg_state, state_metrics
+
+    assert_df_equals_oracle(
+        state_metrics(
+            agg_state(tables["orders"], ["o_orderpriority"], "o_totalprice"),
+            ["o_orderpriority"],
+        ),
+        duck,
+        """SELECT o_orderpriority, count(o_totalprice) AS count,
+                  sum(o_totalprice) AS sum,
+                  sum(o_totalprice) / count(o_totalprice) AS mean,
+                  min(o_totalprice) AS min, max(o_totalprice) AS max
+           FROM orders GROUP BY 1""",
+        tol=1e-6,
+    )
