@@ -1,5 +1,20 @@
+from hama_spark.plans.audit import (
+    PlanAuditError,
+    assert_scalable_plan,
+    audit_plan,
+    plan_text,
+)
 from hama_spark.plans.pregel import PregelContext, pregel
 from hama_spark.plans.randbench import rand_bench
 from hama_spark.plans.superstep import run_supersteps
 
-__all__ = ["pregel", "PregelContext", "run_supersteps", "rand_bench"]
+__all__ = [
+    "pregel",
+    "PregelContext",
+    "run_supersteps",
+    "rand_bench",
+    "audit_plan",
+    "assert_scalable_plan",
+    "plan_text",
+    "PlanAuditError",
+]

@@ -1,0 +1,85 @@
+"""Public plan-audit API: the scale anti-pattern gate the test suite
+runs over every inventory query (tests/test_plan_audit.py), exposed so
+USERS of the engine can gate their own pipelines the same way — in CI,
+or as a pre-flight check before launching a 100 TB job.
+
+Anti-patterns flagged:
+
+- ``BatchEvalPython`` — a row-at-a-time Python UDF on the hot path
+  (~10-100x slower than JVM expressions or Arrow-batched pandas).
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — a join that
+  lost its equi-condition; quadratic at scale.
+- ``Exchange SinglePartition`` feeding a Window or Sort — a global
+  window/sort that funnels the whole dataset through ONE task (fine
+  for a 1-row aggregate, fatal for per-row ranking at scale).
+
+The audit reads the optimized physical plan only — it never executes
+the query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+class PlanAuditError(AssertionError):
+    """A scale anti-pattern was found in the physical plan."""
+
+
+def plan_text(df: DataFrame, mode: str = "simple") -> str:
+    """The physical plan as text (modes: simple, extended, formatted,
+    cost, codegen — same as ``df.explain``)."""
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def audit_plan(
+    df: DataFrame,
+    allow_nested_loop: bool = False,
+    allow_python: bool = False,
+    allow_global_window: bool = False,
+) -> list[str]:
+    """Return a list of human-readable findings (empty = clean). Allow
+    flags acknowledge intentional uses (a documented broadcast scorer,
+    an Arrow decode stage) the way tests/test_plan_audit.py whitelists
+    its ground-truth twins."""
+    plan = plan_text(df, "simple")
+    findings: list[str] = []
+    if not allow_python and "BatchEvalPython" in plan:
+        findings.append(
+            "BatchEvalPython: row-at-a-time Python UDF on the hot path — "
+            "use pyspark.sql.functions or an Arrow-batched pandas UDF"
+        )
+    if not allow_nested_loop:
+        for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if node in plan:
+                findings.append(
+                    f"{node}: join lost its equi-condition — quadratic at scale"
+                )
+    if not allow_global_window:
+        # a single-partition exchange directly feeding Window/Sort means
+        # the whole dataset serializes through one task
+        if re.search(
+            r"(Window|Sort(?!Aggregate)|WindowGroupLimit)[^\n]*\n[^\n]*"
+            r"Exchange SinglePartition",
+            plan,
+        ):
+            findings.append(
+                "Exchange SinglePartition under a Window/Sort: global "
+                "ordering funnels all rows through one task — partition "
+                "the window or use a two-phase ranked prefix sum"
+            )
+    return findings
+
+
+def assert_scalable_plan(df: DataFrame, **allow) -> None:
+    """Raise :class:`PlanAuditError` listing every finding; no-op when
+    the plan is clean. Keyword flags as in :func:`audit_plan`."""
+    findings = audit_plan(df, **allow)
+    if findings:
+        raise PlanAuditError(
+            "plan fails the scale audit:\n  - " + "\n  - ".join(findings)
+        )

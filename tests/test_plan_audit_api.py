@@ -1,0 +1,56 @@
+"""Public plan-audit API (plans/audit.py): the user-facing version of
+the inventory-wide gate — findings fire on planted anti-patterns and
+stay silent on clean plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_clean_plan_passes(spark, tables):
+    from hama_spark.plans.audit import assert_scalable_plan, audit_plan
+
+    df = (
+        tables["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    assert audit_plan(df) == []
+    assert_scalable_plan(df)  # must not raise
+
+
+def test_cartesian_flagged_and_allowable(spark):
+    from hama_spark.plans.audit import PlanAuditError, assert_scalable_plan, audit_plan
+
+    a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "id2")
+    cross = a.crossJoin(b)
+    found = audit_plan(cross)
+    assert any("equi-condition" in f for f in found)
+    with pytest.raises(PlanAuditError):
+        assert_scalable_plan(cross)
+    assert_scalable_plan(cross, allow_nested_loop=True)
+
+
+def test_python_udf_flagged(spark):
+    from pyspark.sql.functions import udf
+
+    from hama_spark.plans.audit import audit_plan
+
+    slow = udf(lambda x: x + 1, "long")
+    df = spark.range(10).select(slow("id").alias("y"))
+    assert any("BatchEvalPython" in f for f in audit_plan(df))
+    assert audit_plan(df, allow_python=True) == []
+
+
+def test_global_window_flagged_partitioned_window_clean(spark, tables):
+    from hama_spark.plans.audit import audit_plan
+
+    docs = tables["documents"]
+    w_global = Window.orderBy("doc_id")
+    flagged = audit_plan(docs.withColumn("rn", F.row_number().over(w_global)))
+    assert any("SinglePartition" in f for f in flagged)
+
+    w_part = Window.partitionBy("source").orderBy("doc_id")
+    assert audit_plan(docs.withColumn("rn", F.row_number().over(w_part))) == []
