@@ -334,3 +334,65 @@ def domain_divergence(
             6,
         ).alias("kl"),
     )
+
+
+def kneser_ney_perplexity(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each document under the corpus's own interpolated
+    Kneser-Ney bigram model (Kneser & Ney 1995; Chen & Goodman 1999) —
+    the stronger sibling of :func:`bigram_perplexity`'s add-k model,
+    and the smoothing CCNet-style quality filters actually use:
+
+        P(w2|w1) = max(C(w1,w2) - D, 0) / C(w1)
+                   + D * N1+(w1,.) / C(w1) * Pcont(w2)
+        Pcont(w2) = N1+(.,w2) / |bigram types|
+
+    where N1+(w1,.) counts distinct continuations of w1 and N1+(.,w2)
+    counts distinct contexts of w2 ("how many contexts has this word
+    completed" — the novelty signal add-k lacks).
+
+    Returns (id_col, n_bigrams, avg_logp, ppl), floats rounded to 6 dp;
+    documents with fewer than two tokens emit nothing. Self-scoring
+    means every scored bigram exists in the model, so C(w1) > 0 and no
+    unseen-context backoff branch is needed.
+
+    Scale shape: identical to the add-k model — one corpus bigram scan,
+    context/continuation relations derived from the SAME (w1, w2)
+    aggregate (both derived counts consume c12 so column pruning cannot
+    split the exchange), type count via single-row broadcast.
+    """
+    bg = _bigram_rows(docs, id_col, text_col)
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.when(F.col("c12") > 0, 1)).alias("n1p_fwd"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.when(F.col("c12") > 0, 1)).alias("n1p_back")
+    )
+    types = big.agg(F.count(F.lit(1)).alias("n_types"))
+
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d
+        * F.col("n1p_fwd")
+        / F.col("c1")
+        * (F.col("n1p_back") / F.col("n_types"))
+    )
+    model = big.join(ctx, "w1").join(cont, "w2")
+    return (
+        bg.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(types))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp", "ppl")
+    )

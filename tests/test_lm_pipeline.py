@@ -193,3 +193,59 @@ def test_hybrid_search_respects_filter(spark):
     hits = entry.queries()["hybrid_search"](spark, SF_DIR_001)
     en = {r["doc_id"] for r in t["documents"].filter("lang = 'en'").collect()}
     assert all(r["vec_id"] in en for r in hits.collect())
+
+
+def test_kneser_ney_matches_duckdb_twin(spark, duck, tables):
+    """Full SQL replay of the interpolated-KN bigram model in DuckDB
+    over the fixture corpus — same tokenization, same discount."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.extensions.lm import kneser_ney_perplexity
+
+    assert_df_equals_oracle(
+        kneser_ney_perplexity(tables["documents"]),
+        duck,
+        r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents),
+        bg AS MATERIALIZED (
+          SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+          WHERE len(toks) >= 2),
+        big AS MATERIALIZED (
+          SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                       count(*) AS n1p_fwd FROM big GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS n1p_back FROM big GROUP BY 1),
+        types AS (SELECT count(*) AS n_types FROM big),
+        scored AS (
+          SELECT bg.id,
+                 ln(greatest(c12 - 0.75, 0) / c1
+                    + 0.75 * n1p_fwd / c1 * (n1p_back / n_types)) AS lp
+          FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+               JOIN cont USING (w2) CROSS JOIN types)
+        SELECT id AS doc_id, count(*) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logp,
+               round(exp(-avg(lp)), 6) AS ppl
+        FROM scored GROUP BY id
+        """,
+        tol=1e-5,
+    )
+
+
+def test_kneser_ney_favors_frequent_continuations(spark):
+    """The continuation-probability property that distinguishes KN from
+    add-k: a document made of corpus-frequent bigrams scores lower
+    perplexity than one of rare-but-seen bigrams."""
+    from hama_spark.extensions.lm import kneser_ney_perplexity
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)]
+        + [(100, "the cat sat on the mat"), (101, "zeta qoph vav")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.ppl for r in kneser_ney_perplexity(docs).collect()}
+    assert out[100] < out[101]
+    assert all(v > 0 for v in out.values())
