@@ -1,5 +1,6 @@
 from hama_spark.sources.generators import fast_graph_gen, symmetric_matrix_gen
 from hama_spark.sources.io import (
+    compact_parquet,
     observed,
     pipe_lines,
     read_jsonl_docs,
@@ -21,6 +22,7 @@ from hama_spark.sources.readers import (
 )
 
 __all__ = [
+    "compact_parquet",
     "with_zorder_key",
     "write_zordered",
     "read_tab_adjacency",

@@ -247,3 +247,44 @@ def write_jsonl_docs(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet dataset into ~``target_mb`` output
+    files — the standard lakehouse maintenance job (streaming sinks and
+    fine-grained partition writes leave thousands of KB-scale files;
+    each costs a task + open/footer overhead per scan, and at 100 TB
+    the listing alone dominates).
+
+    Output file count = ceil(total_bytes / target), so the rewrite is
+    one shuffle-free coalesce when shrinking (or a repartition when
+    ``sort_by`` asks for clustering: repartitionByRange + sort keeps
+    min/max stats tight for pruning). Writes to ``out_path`` (never in
+    place — the caller swaps directories after validating), returns the
+    number of files written.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    total = p.getFileSystem(conf).getContentSummary(p).getLength()
+    n_out = max(1, -(-int(total) // (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("error").parquet(out_path)
+
+    op = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = op.getFileSystem(conf)
+    it = fs.listStatus(op)
+    return sum(
+        1 for i in range(len(it)) if it[i].getPath().getName().endswith(".parquet")
+    )

@@ -195,3 +195,36 @@ def test_jsonl_docs_failfast_on_malformed(spark, tmp_path):
     assert read_jsonl_docs(spark, str(p)).count() == 2
     with pytest.raises(Exception):
         read_jsonl_docs(spark, str(p), permissive=False).collect()
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hama_spark.sources.io import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    spark.range(10000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_mb=256)
+    assert n == len(glob.glob(f"{dst}/*.parquet")) == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
+
+
+def test_compact_parquet_sorted_variant_clusters(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hama_spark.sources.io import compact_parquet
+
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "sorted")
+    spark.range(5000).withColumn("k", F.col("id") % 100).repartition(32).write.parquet(src)
+    compact_parquet(spark, src, dst, target_mb=256, sort_by=["k"])
+    got = spark.read.parquet(dst)
+    assert got.count() == 5000
+    # rows within each output file are sorted by k
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
+    chk = got.select("k", F.lag("k").over(w).alias("prev"))
+    assert chk.filter(F.col("prev") > F.col("k")).count() == 0
