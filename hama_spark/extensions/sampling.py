@@ -314,6 +314,12 @@ def split_dataset(
 
     ``weights`` values must sum to 1.0 (default 90/5/5); band order is
     dict order.
+
+    Leakage-safe GROUP splits fall out of the same mechanism: pass the
+    group key (domain, author, url-host) as ``id_col`` and every row of
+    a group hashes to the same band — near-duplicate documents from one
+    source can never straddle train and test. Pinned by
+    ``tests/test_sampling.py::test_split_dataset_group_coherence``.
     """
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
     total = sum(weights.values())

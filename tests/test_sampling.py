@@ -142,3 +142,23 @@ def test_mix_weights_temperature(spark):
         for r in mix_weights(df2, "source", size_col="n_tok", alpha=1.0).collect()
     }
     assert w["a"]["n"] == 40 and abs(w["b"]["p"] - 0.6) < 1e-12
+
+
+def test_split_dataset_group_coherence(spark, tables):
+    """Group-keyed splitting: hashing the group column sends EVERY row
+    of a group to one split — the leakage fence for near-duplicate
+    documents from a shared source."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.sampling import split_dataset
+
+    out = split_dataset(
+        tables["documents"], {"train": 0.5, "val": 0.25, "test": 0.25},
+        id_col="source",
+    )
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") > 1).count() == 0
+    # and the groups actually spread over more than one split overall
+    assert out.select("split").distinct().count() > 1
