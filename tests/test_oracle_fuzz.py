@@ -251,6 +251,23 @@ def test_pregel_sssp_pagerank_match_oracle_on_random_graphs(spark, duck, raw):
     ).fetchall())
     assert got_pr == want_pr, (got_pr[:5], want_pr[:5])
 
+    # k-core under the same fixed h-index schedule both sides — the
+    # self-loop-free slice (kcore symmetrizes; a self-loop would count
+    # itself as a neighbor, a modeling choice out of fuzz scope)
+    from hama_spark.graph import kcore
+
+    plain = df.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    if plain.count() > 0:
+        got_kc = sorted((r["id"], r["core"]) for r in kcore(
+            plain, fixed_iters=4
+        ).collect())
+        want_kc = sorted(tuple(r) for r in duck.execute(
+            entry._kcore_sql(
+                "SELECT src, dst FROM fz_edges WHERE src <> dst", iters=4
+            )
+        ).fetchall())
+        assert got_kc == want_kc, (got_kc[:5], want_kc[:5])
+
 
 _VEC_COMP = st.integers(min_value=-64, max_value=64)  # value/64: exact in f32
 
