@@ -137,3 +137,84 @@ def quality_classifier_scores(
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("predicted"),
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+    near_threshold: float = 0.5,
+    max_contamination: float = 0.2,
+    split_weights: dict[str, float] | None = None,
+    split_col: str | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end training-corpus preparation — the composition a real
+    pretraining pipeline runs, wired from the engine's own operators:
+
+    1. quality + language gate   (map-only column expressions)
+    2. exact dedup               (one fingerprint shuffle)
+    3. near-dup cluster collapse (MinHash-LSH bands + Pregel CC)
+    4. benchmark decontamination (broadcast shingle overlap; optional)
+    5. train/val/test assignment (md5 bands; ``split_col`` groups —
+       pass a domain/source column for leakage-safe group splits)
+
+    Returns ``(corpus, report)``: the surviving documents with their
+    original columns plus ``split``, and a (stage, n_docs) funnel
+    report.
+
+    Scale shape: every stage reduces to a SURVIVOR-ID relation that is
+    locally checkpointed (ids only — 8 bytes a row, never text), so no
+    stage re-executes upstream stages and the full document row is
+    joined back exactly once at the end. The driver sees only the five
+    funnel counts (O(1) aggregates each).
+    """
+    from hama_spark.extensions.dedup import contamination_report, dedup_exact, dedup_near
+    from hama_spark.extensions.sampling import split_dataset
+
+    spark = docs.sparkSession
+    funnel: list[tuple[str, int]] = [("input", docs.count())]
+
+    gated = docs.filter(quality_score(text_col) >= min_quality)
+    if langs is not None:
+        gated = gated.filter(lang_id(text_col).isin(langs))
+    gated = gated.select(id_col, text_col).localCheckpoint(eager=True)
+    funnel.append(("quality_lang", gated.count()))
+
+    exact_ids = (
+        dedup_exact(gated, id_col, text_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    exact = gated.join(exact_ids, id_col)
+    funnel.append(("exact_dedup", exact_ids.count()))
+
+    near_ids = (
+        dedup_near(exact, threshold=near_threshold, id_col=id_col, text_col=text_col)
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    near = exact.join(near_ids, id_col)
+    funnel.append(("near_dedup", near_ids.count()))
+
+    if benchmark is not None:
+        clean_ids = (
+            contamination_report(near, benchmark, id_col=id_col, text_col=text_col)
+            .filter(F.col("contamination") <= max_contamination)
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        funnel.append(("decontaminated", clean_ids.count()))
+    else:
+        clean_ids = near_ids
+
+    kept = docs.join(clean_ids, id_col)
+    out = split_dataset(
+        kept, split_weights, seed=seed, id_col=split_col or id_col
+    )
+    report = spark.createDataFrame(funnel, "stage string, n_docs long")
+    return out, report

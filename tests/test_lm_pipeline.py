@@ -249,3 +249,38 @@ def test_kneser_ney_favors_frequent_continuations(spark):
     out = {r.doc_id: r.ppl for r in kneser_ney_perplexity(docs).collect()}
     assert out[100] < out[101]
     assert all(v > 0 for v in out.values())
+
+
+def test_prepare_training_corpus_funnel(spark, tables):
+    """End-to-end composition: funnel counts are monotonically
+    non-increasing, planted near-dupes collapse, the benchmark-leaked
+    doc is dropped, and the output keeps original columns + split."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.pipeline import prepare_training_corpus
+
+    docs = tables["documents"].limit(60).localCheckpoint(eager=True)
+    # plant: an exact dup of doc 0 and a benchmark that leaks doc 1
+    d0 = docs.filter(F.col("doc_id") == 0)
+    dup = d0.withColumn("doc_id", F.lit(100000))
+    corpus = docs.unionByName(dup)
+    bench = docs.filter(F.col("doc_id") == 1).select(
+        F.col("text").alias("question")
+    )
+
+    out, report = prepare_training_corpus(
+        corpus,
+        bench.withColumnRenamed("question", "text"),
+        min_quality=0.0,
+        max_contamination=0.5,
+    )
+    funnel = {r.stage: r.n_docs for r in report.collect()}
+    assert funnel["input"] == 61
+    assert funnel["quality_lang"] == 61  # gate disabled via min_quality=0
+    assert funnel["exact_dedup"] == 60   # planted dup collapsed
+    assert funnel["near_dedup"] <= funnel["exact_dedup"]
+    assert funnel["decontaminated"] < funnel["near_dedup"]  # doc 1 dropped
+
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 100000 not in ids and 1 not in ids and 0 in ids
+    assert "split" in out.columns and set(out.columns) >= set(corpus.columns)
