@@ -120,7 +120,13 @@ def fuzzy_join(
     """Two-table linkage: left rows joined to right rows sharing every
     blocking pair ``(left_col, right_col)`` whose texts are within
     ``max_distance`` edits. Returns all left/right columns plus
-    ``distance``. Same Σ|block|² fence as :func:`blocked_fuzzy_pairs`."""
+    ``distance``. Candidates are all pairs within a block (Σ|block|²):
+    correct for selective blocks, but for distance-1 linkage over a
+    hot block prefer :func:`blocked_fuzzy_pairs` on the union of both
+    tables (tag rows with a side column) — its FastSS deletion-
+    neighborhood join avoids the quadratic; generalizing that path
+    here would need a row-identity contract this column-preserving
+    signature deliberately doesn't impose."""
     if not block_on:
         raise ValueError("fuzzy_join requires >=1 blocking column pair")
     cond = [_c(f"l.{lc}") == _c(f"r.{rc}") for lc, rc in block_on]
