@@ -91,3 +91,58 @@ def check_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
     return spark.createDataFrame(
         out, "rule string, column string, metric double, passed boolean"
     )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass per-column profile — the look-before-you-leap report a
+    pipeline runs on a new source before writing rules for it:
+    (column, n_rows, n_nulls, null_frac, approx_distinct, min, max,
+    mean, stddev). mean/stddev are NULL for non-numeric columns;
+    min/max are stringified so one schema fits every column type.
+
+    Scale shape: ONE aggregation over one scan (8 map-side-combined
+    aggregates per profiled column), then a JVM-side ``stack`` unpivot
+    of the single result row — no driver collect, no per-column jobs,
+    distinct counts via HLL++ (approx_count_distinct), so the profile
+    is safe to run on the full table at any size.
+    """
+    from pyspark.sql.types import NumericType
+
+    cols = cols or df.columns
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs, null_d = [], F.lit(None).cast("double")
+    for c in cols:
+        v = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(v.isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__dist"),
+            F.min(v).cast("string").alias(f"{c}__min"),
+            F.max(v).cast("string").alias(f"{c}__max"),
+            (F.avg(v) if c in numeric else null_d).alias(f"{c}__mean"),
+            (F.stddev_pop(v) if c in numeric else null_d).alias(f"{c}__std"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__dist`, "
+        f"`{c}__min`, `{c}__max`, `{c}__mean`, `{c}__std`"
+        for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_rows, n_nulls, approx_distinct, min, max, mean, stddev)"
+        )
+    ).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        "approx_distinct",
+        "min",
+        "max",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )

@@ -537,3 +537,44 @@ def test_bm25_exact_term_match_outranks_partial(spark):
     assert got[0].doc_id == 1
     # banana (df=2) outweighs apple (df=4)
     assert got[1].doc_id == 3
+
+
+def test_column_profile_matches_duckdb(spark, duck, tables):
+    """Exact components (rows/nulls/min/max/mean) vs DuckDB on orders;
+    approx_distinct within 5% of truth; one row per profiled column."""
+    from hama_spark.extensions.expectations import column_profile
+
+    prof = {
+        r.column: r
+        for r in column_profile(
+            tables["orders"], ["o_orderkey", "o_totalprice", "o_orderpriority"]
+        ).collect()
+    }
+    assert set(prof) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    want = duck.execute(
+        """SELECT count(*), min(o_totalprice), max(o_totalprice),
+                  round(avg(o_totalprice), 6),
+                  count(DISTINCT o_orderpriority)
+           FROM orders"""
+    ).fetchone()
+    p = prof["o_totalprice"]
+    assert (p.n_rows, p.n_nulls) == (want[0], 0)
+    assert (float(p.min), float(p.max)) == (want[1], want[2])
+    assert abs(p.mean - want[3]) < 1e-4
+    s = prof["o_orderpriority"]
+    assert s.mean is None and s.stddev is None
+    assert abs(s.approx_distinct - want[4]) <= max(1, 0.05 * want[4])
+
+
+def test_column_profile_null_accounting(spark):
+    from hama_spark.extensions.expectations import column_profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, "y")], "a int, b string"
+    )
+    prof = {r.column: r for r in column_profile(df).collect()}
+    assert prof["a"].n_nulls == 1 and prof["b"].n_nulls == 1
+    assert prof["a"].null_frac == round(1 / 3, 6)
+    # plan stays one aggregation, no python
+    from hama_spark.plans.audit import audit_plan
+    assert audit_plan(column_profile(df)) == []
