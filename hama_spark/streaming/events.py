@@ -533,3 +533,70 @@ def topk_per_window(
             "rk",
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential funnel analysis: per step, how many users performed
+    the whole ORDERED prefix — the user's earliest step-1 event, then
+    the earliest step-2 event AT OR AFTER that, and so on (classic
+    product-analytics semantics; ties on equal timestamps count as
+    progression). Returns one row per step:
+    (step_index, step, n_users, conversion) with conversion = share of
+    step-1 users surviving to this step.
+
+    Scale shape: one filtered aggregate per step (k is small and
+    fixed), each joined to the previous step's (user, ts) relation on
+    the user key — k hash joins over per-user 1-row relations, never a
+    window over the raw event stream; the event scan is pruned to one
+    step's type per aggregate. Counts are O(1)-row aggregates unioned
+    JVM-side.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires >= 1 step")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+
+    reached = (
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts).alias("t"))
+    )
+    stage_users = [reached]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(ty == step)
+            .select(u.alias("user"), ts.alias("_ts"))
+            .join(stage_users[-1], "user")
+            .filter(F.col("_ts") >= F.col("t"))
+            .groupBy("user")
+            .agg(F.min("_ts").alias("t"))
+        )
+        stage_users.append(nxt)
+
+    counts = None
+    for i, (step, rel) in enumerate(zip(steps, stage_users), start=1):
+        c = rel.agg(
+            F.lit(i).alias("step_index"),
+            F.lit(step).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = stage_users[0].agg(F.count(F.lit(1)).alias("_base"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step_index",
+            "step",
+            "n_users",
+            F.round(
+                F.when(F.col("_base") > 0, F.col("n_users") / F.col("_base"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("conversion"),
+        )
+    )

@@ -151,3 +151,55 @@ def test_band_join_left_keeps_unmatched(spark):
         for r in band_join(left, right, band_secs=300, how="left").collect()
     }
     assert rows == {(1, 10), (2, None)}
+
+
+def test_funnel_steps_matches_duckdb(spark, duck, tables):
+    """Ordered signup -> click -> purchase funnel vs an identical
+    DuckDB CTE chain on the fixture events."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.streaming.events import funnel_steps
+
+    assert_df_equals_oracle(
+        funnel_steps(tables["events"], ["signup", "click", "purchase"]),
+        duck,
+        """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN s1 ON s1.u = e.user_id AND e.ts >= s1.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN s2 ON s2.u = e.user_id AND e.ts >= s2.t
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+        base AS (SELECT count(*) AS b FROM s1)
+        SELECT 1 AS step_index, 'signup' AS step,
+               (SELECT count(*) FROM s1) AS n_users,
+               round((SELECT count(*) FROM s1)::DOUBLE / b, 6) AS conversion
+        FROM base
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+               round((SELECT count(*) FROM s2)::DOUBLE / b, 6) FROM base
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+               round((SELECT count(*) FROM s3)::DOUBLE / b, 6) FROM base
+        """,
+    )
+
+
+def test_funnel_order_matters(spark):
+    """A user whose purchase precedes their only click must NOT count
+    as converted through click -> purchase."""
+    import datetime as dt
+
+    from hama_spark.streaming.events import funnel_steps
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, "click"), (1, t0 + dt.timedelta(hours=1), "purchase"),
+        (2, t0 + dt.timedelta(hours=1), "click"), (2, t0, "purchase"),
+        (3, t0, "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: (r.n_users, r.conversion) for r in
+           funnel_steps(ev, ["click", "purchase"]).collect()}
+    assert out["click"] == (3, 1.0)
+    assert out["purchase"] == (1, round(1 / 3, 6))
