@@ -8,7 +8,7 @@ from hama_spark.operators.incremental import (
     state_metrics,
 )
 from hama_spark.operators.linkage import blocked_fuzzy_pairs, fuzzy_join
-from hama_spark.operators.skew import salted_agg, salted_join
+from hama_spark.operators.skew import salted_agg, salted_join, skew_report
 
 __all__ = [
     "composite_join",
@@ -18,6 +18,7 @@ __all__ = [
     "co_located_join",
     "salted_join",
     "salted_agg",
+    "skew_report",
     "blocked_fuzzy_pairs",
     "fuzzy_join",
     "agg_state",

@@ -40,7 +40,22 @@ def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
 def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     """Combine two states (associative + commutative): sum the sums and
     counts, extreme the extremes. Keys present in only one side pass
-    through unchanged — union semantics, not a join."""
+    through unchanged — union semantics, not a join.
+
+    A retraction-poisoned extreme (NULL vmin/vmax with cnt > 0, see
+    :func:`retract_state`) stays NULL through the merge: SQL min/max
+    skip NULLs, so without the guard a poisoned "unknown" would merge
+    with a fresh batch into a confidently WRONG extreme (the old
+    pre-retraction minimum may still be smaller than anything the new
+    batch saw). cnt = 0 NULLs (a state over all-NULL values) are not
+    poison — they merge away normally."""
+
+    def _merged_extreme(agg, col: str):
+        poisoned = F.max(
+            (F.col(col).isNull() & (F.col("cnt") > 0)).cast("int")
+        ) == 1
+        return F.when(poisoned, F.lit(None)).otherwise(agg(col)).alias(col)
+
     return (
         a.select(*keys, *STATE_COLS)
         .unionByName(b.select(*keys, *STATE_COLS))
@@ -48,8 +63,8 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
+            _merged_extreme(F.min, "vmin"),
+            _merged_extreme(F.max, "vmax"),
         )
     )
 

@@ -120,7 +120,9 @@ def fuzzy_join(
     """Two-table linkage: left rows joined to right rows sharing every
     blocking pair ``(left_col, right_col)`` whose texts are within
     ``max_distance`` edits. Returns all left/right columns plus
-    ``distance``. Candidates are all pairs within a block (Σ|block|²):
+    ``distance``; right-side columns that collide with a left-side name
+    come back suffixed ``_right``. Candidates are all pairs within a
+    block (Σ|block|²):
     correct for selective blocks, but for distance-1 linkage over a
     hot block prefer :func:`blocked_fuzzy_pairs` on the union of both
     tables (tag rows with a side column) — its FastSS deletion-
@@ -129,12 +131,27 @@ def fuzzy_join(
     signature deliberately doesn't impose."""
     if not block_on:
         raise ValueError("fuzzy_join requires >=1 blocking column pair")
-    cond = [_c(f"l.{lc}") == _c(f"r.{rc}") for lc, rc in block_on]
+    # column names shared by both sides would come back duplicated and
+    # ambiguous downstream — suffix the right side's collisions
+    clash = set(left.columns) & set(right.columns)
+    renames = {c: f"{c}_right" for c in clash}
+    taken = set(left.columns) | set(right.columns)
+    for old, new in renames.items():
+        if new in taken:
+            raise ValueError(
+                f"cannot disambiguate shared column {old!r}: {new!r} "
+                "already exists — rename inputs before joining"
+            )
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    rtext = renames.get(right_text, right_text)
+    cond = [
+        _c(f"l.{lc}") == _c(f"r.{renames.get(rc, rc)}") for lc, rc in block_on
+    ]
     return (
         left.alias("l")
-        .join(right.alias("r"), cond)
-        .withColumn(
-            "distance", F.levenshtein(f"l.{left_text}", f"r.{right_text}")
-        )
+        .join(r.alias("r"), cond)
+        .withColumn("distance", F.levenshtein(f"l.{left_text}", f"r.{rtext}"))
         .filter(F.col("distance") <= max_distance)
     )

@@ -114,11 +114,14 @@ def skew_report(
     ``(buckets, hot_keys)``.
 
     ``buckets`` simulates the shuffle Spark would run — rows hashed
-    into ``n_buckets`` reducer buckets by the key — and reports one row
-    per non-empty bucket with its row count plus, on every row, the
-    distribution-level ratios the decision needs: ``max_over_avg``
-    (straggler factor if the job ran with this key/partition count) and
-    ``cv`` (coefficient of variation). ``max_over_avg`` near 1 = safe;
+    into ``n_buckets`` reducer buckets by the key, with Murmur3
+    (``F.hash``), the exact function HashPartitioning applies — and
+    reports one row per non-empty bucket with its row count plus, on
+    every row, the distribution-level ratios the decision needs:
+    ``max_over_avg`` (straggler factor vs the IDEAL uniform share
+    total/n_buckets — empty buckets count as zeros) and ``cv``
+    (coefficient of variation, same population including empties).
+    ``max_over_avg`` near 1 = safe;
     >> 1 = salt the key or raise AQE skew thresholds before running
     the real job at 100 TB.
 
@@ -133,14 +136,21 @@ def skew_report(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     kcols = [F.col(c) for c in keys]
 
-    bucket = F.pmod(F.xxhash64(*kcols), F.lit(n_buckets)).cast("int")
+    # F.hash IS Murmur3 — the same function HashPartitioning applies —
+    # so the histogram reproduces the real shuffle's bucket assignment
+    # (xxhash64 would predict different collisions than the exchange).
+    bucket = F.pmod(F.hash(*kcols), F.lit(n_buckets)).cast("int")
     counts = df.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("rows")
     )
+    # ratios are against the IDEAL uniform share total/n_buckets with
+    # empty buckets counted as zeros — averaging only non-empty buckets
+    # would report max_over_avg = 1 for the worst case of all rows
+    # hashing into one bucket
     stats = counts.agg(
         F.max("rows").alias("_mx"),
-        F.avg("rows").alias("_avg"),
-        F.stddev_pop("rows").alias("_sd"),
+        (F.sum("rows") / n_buckets).alias("_avg"),
+        F.sum(F.col("rows") * F.col("rows")).alias("_s2"),
     )
     buckets = (
         counts.crossJoin(F.broadcast(stats))
@@ -148,7 +158,11 @@ def skew_report(
             "bucket",
             "rows",
             F.round(F.col("_mx") / F.col("_avg"), 6).alias("max_over_avg"),
-            F.round(F.col("_sd") / F.col("_avg"), 6).alias("cv"),
+            F.round(
+                F.sqrt(F.col("_s2") / n_buckets - F.col("_avg") * F.col("_avg"))
+                / F.col("_avg"),
+                6,
+            ).alias("cv"),
         )
     )
 

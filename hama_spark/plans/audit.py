@@ -59,20 +59,50 @@ def audit_plan(
                 findings.append(
                     f"{node}: join lost its equi-condition — quadratic at scale"
                 )
-    if not allow_global_window:
-        # a single-partition exchange directly feeding Window/Sort means
-        # the whole dataset serializes through one task
-        if re.search(
-            r"(Window|Sort(?!Aggregate)|WindowGroupLimit)[^\n]*\n[^\n]*"
-            r"Exchange SinglePartition",
-            plan,
-        ):
-            findings.append(
-                "Exchange SinglePartition under a Window/Sort: global "
-                "ordering funnels all rows through one task — partition "
-                "the window or use a two-phase ranked prefix sum"
-            )
+    if not allow_global_window and _global_window_funnel(plan):
+        findings.append(
+            "Exchange SinglePartition under a Window/Sort: global "
+            "ordering funnels all rows through one task — partition "
+            "the window or use a two-phase ranked prefix sum"
+        )
     return findings
+
+
+# plan nodes that merely wrap/relay their child in explain output (AQE
+# stages, codegen adapters) — skipped when walking from an exchange up
+# to its real consumer
+_WRAPPER_RE = re.compile(
+    r"\b(ShuffleQueryStage|AQEShuffleRead|InputAdapter|WholeStageCodegen|"
+    r"ColumnarToRow|ReusedExchange|TableCacheQueryStage|InMemory)\b"
+)
+# consumers that mean "every row serializes through one task": a global
+# Window / Sort / WindowGroupLimit. SortAggregate / SortMergeJoin embed
+# the word Sort but are partitioned operators — excluded.
+_FUNNEL_RE = re.compile(r"\b(Window(?:GroupLimit|Expression)?|Sort)\s*[\[(]")
+
+
+def _global_window_funnel(plan: str) -> bool:
+    """True when an Exchange SinglePartition feeds a Window/Sort. The
+    consumer sits ABOVE the exchange in explain text, possibly behind
+    AQE/codegen wrapper lines — adjacency alone misses executed (AQE)
+    plans, so walk upward past wrappers to the first real operator."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        j = i - 1
+        while j >= 0 and (
+            _WRAPPER_RE.search(lines[j]) or not lines[j].strip(" +-*:()0-9")
+        ):
+            j -= 1
+        if j < 0:
+            continue
+        consumer = lines[j]
+        if "SortMergeJoin" in consumer or "SortAggregate" in consumer:
+            continue
+        if _FUNNEL_RE.search(consumer):
+            return True
+    return False
 
 
 def assert_scalable_plan(df: DataFrame, **allow) -> None:

@@ -56,18 +56,42 @@ def with_zorder_key(
     """Append the Morton key column interleaving ``bits`` bucket-rank
     bits per clustered column (supports 2+ columns; ``bits * len(cols)``
     must fit in 63 bits)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
     if len(cols) < 2:
         raise ValueError("z-ordering needs >= 2 columns (sort handles 1)")
     if bits * len(cols) > 63:
         raise ValueError("bits * n_cols must fit in a long")
+
+    # width_bucket needs a numeric axis; dates/timestamps rank on their
+    # epoch value. Anything else would throw CAST_INVALID_INPUT at
+    # RUNTIME under ANSI mode — fail fast with the column name instead
+    # (rank a string column through a numeric surrogate, e.g. a
+    # leading-prefix integer, before z-ordering on it).
+    types = {f.name: f.dataType for f in df.schema.fields}
+    axes = []
+    for c in cols:
+        dt = types.get(c)
+        if isinstance(dt, NumericType):
+            axes.append(F.col(c))
+        elif isinstance(dt, TimestampType):
+            axes.append(F.unix_micros(F.col(c)))
+        elif isinstance(dt, DateType):
+            axes.append(F.datediff(F.col(c), F.lit("1970-01-01")))
+        else:
+            raise ValueError(
+                f"z-order column {c!r} has non-orderable-numeric type "
+                f"{dt}; provide a numeric surrogate column"
+            )
+
     stats = df.agg(
-        *[F.min(c).alias(f"_lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(c).alias(f"_hi_{i}") for i, c in enumerate(cols)],
+        *[F.min(a).alias(f"_lo_{i}") for i, a in enumerate(axes)],
+        *[F.max(a).alias(f"_hi_{i}") for i, a in enumerate(axes)],
     )
     out = df.crossJoin(F.broadcast(stats))
     ranks = [
-        _bucket(F.col(c), F.col(f"_lo_{i}"), F.col(f"_hi_{i}"), 1 << bits)
-        for i, c in enumerate(cols)
+        _bucket(a, F.col(f"_lo_{i}"), F.col(f"_hi_{i}"), 1 << bits)
+        for i, a in enumerate(axes)
     ]
     terms = [
         F.shiftleft(

@@ -81,3 +81,29 @@ def test_state_metrics_match_duckdb(spark, duck, tables):
            FROM orders GROUP BY 1""",
         tol=1e-6,
     )
+
+
+def test_merge_propagates_retraction_poisoned_extremes(spark):
+    """A NULL extreme with cnt > 0 means 'unknown since retraction' —
+    merging it with a fresh batch must stay NULL, not adopt the batch's
+    extreme as a confidently wrong answer (the pre-retraction minimum
+    may still undercut anything the new batch saw)."""
+    from hama_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+        retract_state,
+    )
+
+    base = spark.createDataFrame([("a", 1), ("a", 5)], "k string, v long")
+    removed = spark.createDataFrame([("a", 1)], "k string, v long")
+    poisoned = retract_state(agg_state(base, ["k"], "v"), removed, ["k"], "v")
+    batch = agg_state(
+        spark.createDataFrame([("a", 7), ("b", 2)], "k string, v long"),
+        ["k"], "v",
+    )
+    out = {r.k: r for r in merge_agg_states(poisoned, batch, ["k"]).collect()}
+    # true surviving min for a is 5 — unknown to the merge, so NULL
+    assert out["a"].vmin is None and out["a"].vmax is None
+    assert (out["a"].cnt, out["a"].vsum) == (2, 12.0)
+    # untouched keys merge normally
+    assert (out["b"].vmin, out["b"].vmax) == (2, 2)

@@ -107,3 +107,25 @@ def test_levenshtein_parity_with_duckdb_on_random_strings(spark, duck):
         assert got == want, (got[:5], want[:5])
 
     run()
+
+
+def test_fuzzy_join_suffixes_colliding_columns(spark):
+    from hama_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp", "US")], "id long, name string, country string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp.", "US")], "id long, name string, country string"
+    )
+    out = fuzzy_join(
+        left, right, "name", "name", [("country", "country")], max_distance=1
+    )
+    assert sorted(out.columns) == sorted(
+        ["id", "name", "country", "id_right", "name_right", "country_right",
+         "distance"]
+    )
+    row = out.collect()[0]
+    assert (row.id, row.id_right, row.distance) == (1, 10, 1)
+    # downstream selection is unambiguous
+    assert out.select("name", "name_right").count() == 1

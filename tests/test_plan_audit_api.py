@@ -54,3 +54,26 @@ def test_global_window_flagged_partitioned_window_clean(spark, tables):
 
     w_part = Window.partitionBy("source").orderBy("doc_id")
     assert audit_plan(docs.withColumn("rn", F.row_number().over(w_part))) == []
+
+
+def test_global_window_flagged_on_executed_aqe_plan(spark, tables):
+    """The funnel check must survive AQE's final-plan rewrites: after
+    execution the exchange hides behind ShuffleQueryStage wrapper
+    lines, where naive line-adjacency matching goes blind."""
+    from hama_spark.plans.audit import audit_plan
+
+    df = tables["documents"].withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    df.collect()  # materialize -> AQE final plan
+    assert any("SinglePartition" in f for f in audit_plan(df))
+
+
+def test_global_aggregate_not_flagged(spark, tables):
+    """A 1-row global aggregate also uses Exchange SinglePartition —
+    that's the legitimate case the consumer walk must NOT flag."""
+    from hama_spark.plans.audit import audit_plan
+
+    agg = tables["lineitem"].agg(F.sum("l_quantity").alias("s"))
+    agg.collect()
+    assert audit_plan(agg) == []

@@ -14,9 +14,9 @@ from tests.conftest import SF_DIR
 
 
 def _plan(df, mode: str = "formatted") -> str:
-    jvm = df.sparkSession._jvm
-    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(em)
+    from hama_spark.plans.audit import plan_text
+
+    return plan_text(df, mode)
 
 
 def test_filter_pushdown_reaches_parquet(spark):

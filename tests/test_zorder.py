@@ -88,3 +88,26 @@ def test_zorder_prunes_second_column_better_than_lexicographic(spark, tmp_path):
         == spark.read.parquet(lpath).filter(F.col("y") < 8).count()
         == 64 * 8
     )
+
+
+def test_zorder_rejects_string_column_fast(spark):
+    """Under ANSI mode a string->double cast would throw mid-job; the
+    operator fails fast with the column name instead."""
+    from hama_spark.sources.zorder import with_zorder_key
+
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(ValueError, match="'s'"):
+        with_zorder_key(df, ["x", "s"])
+
+
+def test_zorder_timestamp_column_ranks_on_epoch(spark):
+    import datetime as dt
+
+    from hama_spark.sources.zorder import with_zorder_key
+
+    rows = [
+        (i, dt.datetime(2026, 1, 1) + dt.timedelta(hours=i)) for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "x long, ts timestamp")
+    out = with_zorder_key(df, ["x", "ts"], bits=4).collect()
+    assert len({r._zkey for r in out}) == 16  # distinct, no cast errors
