@@ -3,6 +3,7 @@ from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
 from hama_spark.operators.incremental import (
     agg_state,
+    apply_changelog,
     merge_agg_states,
     retract_state,
     state_metrics,
@@ -22,6 +23,7 @@ __all__ = [
     "blocked_fuzzy_pairs",
     "fuzzy_join",
     "agg_state",
+    "apply_changelog",
     "merge_agg_states",
     "retract_state",
     "state_metrics",

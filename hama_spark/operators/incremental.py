@@ -20,7 +20,7 @@ explicit by design; silently wrong extremes would be worse.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STATE_COLS = ("cnt", "vsum", "vmin", "vmax")
@@ -116,4 +116,51 @@ def state_metrics(state: DataFrame, keys: list[str]) -> DataFrame:
         (F.col("vsum") / F.col("cnt")).alias("mean"),
         F.col("vmin").alias("min"),
         F.col("vmax").alias("max"),
+    )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC changelog to a base snapshot: for every key, the
+    HIGHEST-``seq_col`` change wins — ``I``/``U`` rows replace the base
+    row, ``D`` deletes it; keys with no change pass through. This is
+    the merge a lakehouse MERGE INTO runs, expressed as one window over
+    the (small) changelog plus one full outer join against the base —
+    the base never shuffles more than once and is never rescanned per
+    change.
+
+    ``changes`` carries the full row payload (same columns as ``base``)
+    plus ``op_col`` in {'I','U','D'} and a monotonically increasing
+    ``seq_col`` (commit timestamp / LSN). Ties on ``seq_col`` break
+    toward delete, then by op descending — deterministic but a
+    well-formed log should not produce them.
+    """
+    payload = [c for c in base.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(F.col(op_col) == "D"), F.desc(op_col)
+    )
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            *[F.col(c).alias(f"_chg_{c}") for c in payload],
+            F.col(op_col).alias("_op"),
+        )
+    )
+    merged = base.join(last, keys, "full_outer")
+    kept = merged.filter(F.col("_op").isNull() | (F.col("_op") != "D"))
+    return kept.select(
+        *keys,
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_chg_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
     )

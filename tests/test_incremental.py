@@ -107,3 +107,62 @@ def test_merge_propagates_retraction_poisoned_extremes(spark):
     assert (out["a"].cnt, out["a"].vsum) == (2, 12.0)
     # untouched keys merge normally
     assert (out["b"].vmin, out["b"].vmax) == (2, 2)
+
+
+def test_apply_changelog_matches_duckdb(spark, duck):
+    """Insert/update/delete with out-of-order sequence numbers vs an
+    identical DuckDB merge."""
+    from hama_spark.operators.incremental import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),    # update
+            (3, None, None, "D", 6),    # delete
+            (4, "d", 40.0, "I", 7),     # insert
+            (2, "b3", 22.0, "U", 9),    # later update wins
+            (4, None, None, "D", 3),    # STALE delete before the insert
+        ],
+        "id long, name string, v double, op string, seq long",
+    )
+    got = sorted(tuple(r) for r in apply_changelog(base, changes, ["id"]).collect())
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH c AS (
+              SELECT * FROM (VALUES (2,'b2',21.0,'U',5),(3,NULL,NULL,'D',6),
+                                    (4,'d',40.0,'I',7),(2,'b3',22.0,'U',9),
+                                    (4,NULL,NULL,'D',3))
+                   t(id, name, v, op, seq)),
+            last AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC) rn
+                FROM c) WHERE rn = 1),
+            b AS (SELECT * FROM (VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0))
+                  t(id, name, v))
+            SELECT coalesce(b.id, last.id) AS id,
+                   CASE WHEN last.id IS NOT NULL THEN last.name ELSE b.name END,
+                   CASE WHEN last.id IS NOT NULL THEN last.v ELSE b.v END
+            FROM b FULL OUTER JOIN last ON b.id = last.id
+            WHERE last.op IS NULL OR last.op <> 'D'
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # spot meaning: 1 untouched, 2 updated to b3, 3 deleted, 4 inserted
+    assert got == [(1, "a", 10.0), (2, "b3", 22.0), (4, "d", 40.0)]
+
+
+def test_apply_changelog_delete_then_reinsert(spark):
+    from hama_spark.operators.incremental import apply_changelog
+
+    base = spark.createDataFrame([(1, "x")], "id long, s string")
+    changes = spark.createDataFrame(
+        [(1, None, "D", 1), (1, "x2", "I", 2)], "id long, s string, op string, seq long"
+    )
+    got = [tuple(r) for r in apply_changelog(base, changes, ["id"]).collect()]
+    assert got == [(1, "x2")]
