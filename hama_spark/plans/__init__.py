@@ -3,6 +3,7 @@ from hama_spark.plans.audit import (
     assert_scalable_plan,
     audit_plan,
     plan_text,
+    scan_report,
 )
 from hama_spark.plans.pregel import PregelContext, pregel
 from hama_spark.plans.randbench import rand_bench
@@ -16,5 +17,6 @@ __all__ = [
     "audit_plan",
     "assert_scalable_plan",
     "plan_text",
+    "scan_report",
     "PlanAuditError",
 ]

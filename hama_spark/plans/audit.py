@@ -113,3 +113,43 @@ def assert_scalable_plan(df: DataFrame, **allow) -> None:
         raise PlanAuditError(
             "plan fails the scale audit:\n  - " + "\n  - ".join(findings)
         )
+
+
+def scan_report(df: DataFrame) -> list[dict]:
+    """Per-scan pushdown/pruning report from the formatted plan: one
+    dict per file scan with ``location``, ``read_columns`` (what the
+    scan actually reads — column pruning made visible), and
+    ``pushed_filters`` (predicates that reached the format reader).
+    The positive counterpart of :func:`audit_plan`: where audit flags
+    anti-patterns, this shows whether pushdown and pruning landed —
+    a scan reading 16 columns for a 2-column projection, or an empty
+    ``pushed_filters`` under a selective predicate, is a 100 TB
+    performance bug that returns correct answers at test scale."""
+    txt = plan_text(df, "formatted")
+    reports: list[dict] = []
+    current: dict | None = None
+    for line in txt.splitlines():
+        s = line.strip()
+        if re.match(r"\(\d+\) Scan \w+", s):
+            current = {"location": "", "read_columns": [], "pushed_filters": []}
+            reports.append(current)
+        elif current is not None:
+            if s.startswith("Location:"):
+                m = re.search(r"\[([^\]]*)\]", s)
+                current["location"] = m.group(1) if m else s[len("Location:"):].strip()
+            elif s.startswith("PushedFilters:"):
+                inner = s.split(":", 1)[1].strip().strip("[]")
+                current["pushed_filters"] = (
+                    [f.strip() for f in re.split(r",\s*(?![^()]*\))", inner)]
+                    if inner
+                    else []
+                )
+            elif s.startswith("ReadSchema:"):
+                m = re.search(r"struct<(.*)>", s)
+                if m and m.group(1):
+                    current["read_columns"] = [
+                        f.split(":", 1)[0] for f in re.split(r",(?![^<>]*>)", m.group(1))
+                    ]
+            elif not s:
+                current = None
+    return reports

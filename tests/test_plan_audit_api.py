@@ -77,3 +77,32 @@ def test_global_aggregate_not_flagged(spark, tables):
     agg = tables["lineitem"].agg(F.sum("l_quantity").alias("s"))
     agg.collect()
     assert audit_plan(agg) == []
+
+
+def test_scan_report_shows_pruning_and_pushdown(spark):
+    from tests.conftest import SF_DIR
+
+    from hama_spark.plans.audit import scan_report
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .filter(F.col("p_size") > 30)
+        .select("p_partkey", "p_size")
+    )
+    (rep,) = scan_report(df)
+    assert rep["read_columns"] == ["p_partkey", "p_size"]  # pruned
+    assert any("GreaterThan(p_size,30)" in f for f in rep["pushed_filters"])
+    assert "part.parquet" in rep["location"]
+
+
+def test_scan_report_one_entry_per_scan(spark, tables):
+    from hama_spark.plans.audit import scan_report
+
+    joined = tables["nation"].join(
+        tables["region"],
+        tables["nation"].n_regionkey == tables["region"].r_regionkey,
+    )
+    reps = scan_report(joined.select("n_name", "r_name"))
+    assert len(reps) == 2
+    cols = {tuple(r["read_columns"]) for r in reps}
+    assert ("n_regionkey", "n_name") in cols or ("n_name", "n_regionkey") in cols
