@@ -166,3 +166,43 @@ def test_apply_changelog_delete_then_reinsert(spark):
     )
     got = [tuple(r) for r in apply_changelog(base, changes, ["id"]).collect()]
     assert got == [(1, "x2")]
+
+
+def test_apply_changelog_matches_reference_replay(spark):
+    """Property fuzz: random I/U/D sequences against a sequential
+    dict replay — same final state for any interleaving, including
+    updates to absent keys (treated as upserts, like MERGE)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hama_spark.operators.incremental import apply_changelog
+
+    op = st.tuples(
+        st.integers(1, 4),                      # key
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 99),                     # payload
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=st.lists(op, min_size=0, max_size=12))
+    def run(ops):
+        base_rows = [(1, -1), (2, -2)]
+        ref = dict(base_rows)
+        for k, o, v in ops:                     # seq = list position
+            if o == "D":
+                ref.pop(k, None)
+            else:
+                ref[k] = v
+        base = spark.createDataFrame(base_rows, "id long, v long")
+        if ops:
+            changes = spark.createDataFrame(
+                [(k, v, o, i) for i, (k, o, v) in enumerate(ops)],
+                "id long, v long, op string, seq long",
+            )
+            out = apply_changelog(base, changes, ["id"])
+        else:
+            out = base
+        got = {r.id: r.v for r in out.collect()}
+        assert got == ref, (got, ref, ops)
+
+    run()
