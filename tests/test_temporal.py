@@ -203,3 +203,59 @@ def test_funnel_order_matters(spark):
            funnel_steps(ev, ["click", "purchase"]).collect()}
     assert out["click"] == (3, 1.0)
     assert out["purchase"] == (1, round(1 / 3, 6))
+
+
+def test_funnel_matches_reference_replay_on_random_events(spark):
+    """Property fuzz for the ordered-prefix semantics, with forced
+    timestamp ties (equal ts counts as progression, the >= boundary):
+    Spark funnel vs a per-user Python replay."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hama_spark.streaming.events import funnel_steps
+
+    steps = ["a", "b", "c"]
+    ev = st.tuples(
+        st.integers(1, 3),                    # user
+        st.integers(0, 5),                    # coarse ts -> many ties
+        st.sampled_from(["a", "b", "c", "x"]),
+    )
+
+    def replay(rows):
+        by_user = {}
+        for u, t, e in rows:
+            by_user.setdefault(u, []).append((t, e))
+        counts = []
+        for i in range(len(steps)):
+            n = 0
+            for evs in by_user.values():
+                cur = None
+                ok = True
+                for s in steps[: i + 1]:
+                    cand = [t for t, e in evs if e == s and (cur is None or t >= cur)]
+                    if not cand:
+                        ok = False
+                        break
+                    cur = min(cand)
+                if ok:
+                    n += 1
+            counts.append(n)
+        return counts
+
+    @settings(max_examples=5, deadline=None)
+    @given(rows=st.lists(ev, min_size=1, max_size=15))
+    def run(rows):
+        base = dt.datetime(2026, 1, 1)
+        df = spark.createDataFrame(
+            [(u, base + dt.timedelta(hours=t), e) for u, t, e in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {
+            r.step_index: r.n_users for r in funnel_steps(df, steps).collect()
+        }
+        want = replay(rows)
+        assert [got[i + 1] for i in range(3)] == want, (got, want, rows)
+
+    run()
