@@ -8,7 +8,11 @@ from hama_spark.operators.incremental import (
     retract_state,
     state_metrics,
 )
-from hama_spark.operators.linkage import blocked_fuzzy_pairs, fuzzy_join
+from hama_spark.operators.linkage import (
+    blocked_fuzzy_pairs,
+    fuzzy_join,
+    sorted_neighborhood_pairs,
+)
 from hama_spark.operators.skew import salted_agg, salted_join, skew_report
 
 __all__ = [
@@ -22,6 +26,7 @@ __all__ = [
     "skew_report",
     "blocked_fuzzy_pairs",
     "fuzzy_join",
+    "sorted_neighborhood_pairs",
     "agg_state",
     "apply_changelog",
     "merge_agg_states",

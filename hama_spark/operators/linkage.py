@@ -155,3 +155,68 @@ def fuzzy_join(
         .withColumn("distance", F.levenshtein(f"l.{left_text}", f"r.{rtext}"))
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    prefix_len: int = 3,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995) for the distances where FastSS doesn't apply (d > 1, where
+    :func:`blocked_fuzzy_pairs` falls back to all-pairs): rows sort by
+    text within a deterministic prefix block, and only pairs within
+    ``window`` positions of each other are compared — O(n·w) candidate
+    comparisons instead of Σ|block|².
+
+    The tradeoff is stated, not hidden: SNM is a HEURISTIC canopy.
+    A true near-match whose strings diverge in the first ``prefix_len``
+    characters (e.g. a typo in character 1) lands in different blocks
+    and is missed; within a block, more than ``window`` interleaving
+    rows also hide a pair. Recall rises with ``window`` and falls with
+    ``prefix_len``. Output is the same (id_a, id_b, distance) contract
+    as :func:`blocked_fuzzy_pairs`, fully deterministic (block +
+    sorted-order windows, no sampling).
+
+    Scale shape: one window function per prefix block (partitioned,
+    never global), one equi-join on the block key with a ±window rank
+    band — candidates stream through the levenshtein verify map-side.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        _c(id_col).alias("id"),
+        _c(text_col).alias("text"),
+        F.substring(_c(text_col), 1, prefix_len).alias("_blk"),
+    )
+    w = W.partitionBy("_blk").orderBy("text", "id")
+    ranked = base.withColumn("_rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col("_blk"),
+        F.col("id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        F.col("_rn").alias("_ra"),
+    )
+    b = ranked.select(
+        F.col("_blk"),
+        F.col("id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        F.col("_rn").alias("_rb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") - F.col("_ra") <= window)
+        )
+        .withColumn("distance", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "distance",
+        )
+    )

@@ -129,3 +129,53 @@ def test_fuzzy_join_suffixes_colliding_columns(spark):
     assert (row.id, row.id_right, row.distance) == (1, 10, 1)
     # downstream selection is unambiguous
     assert out.select("name", "name_right").count() == 1
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    from hama_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith john"),
+            (2, "smith johm"),      # adjacent after sort, d=1
+            (3, "smith johnathan"), # d=4 from 1 -> excluded at d<=2
+            (4, "zeta misc"),
+            (5, "smith johb"),      # d<=2 of both 1 and 2
+        ],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in sorted_neighborhood_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert (2, 5) in got and (1, 5) in got
+    assert all(d <= 2 for d in got.values())
+    assert not any(4 in p for p in got)
+
+
+def test_sorted_neighborhood_subset_of_exhaustive_and_windowed(spark, tables):
+    """Every reported pair is a TRUE pair (verify filter), and the
+    candidate fence holds: pair count ≤ n·window per block."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs, sorted_neighborhood_pairs
+
+    cust = tables["customer"].limit(300)
+    snm = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            cust, "c_custkey", "c_name", max_distance=1, prefix_len=10, window=8
+        ).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b)
+        for r in blocked_fuzzy_pairs(
+            cust.withColumn("_one", F.lit(1)), "c_custkey", "c_name", ["_one"], 1
+        ).collect()
+    }
+    assert snm <= exhaustive
+    # names share the 'Customer#0' prefix and sort by digit string, so
+    # distance-1 neighbors are usually adjacent — recall is non-trivial
+    if exhaustive:
+        assert len(snm) / len(exhaustive) >= 0.3
