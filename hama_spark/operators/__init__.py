@@ -13,7 +13,12 @@ from hama_spark.operators.linkage import (
     fuzzy_join,
     sorted_neighborhood_pairs,
 )
-from hama_spark.operators.skew import salted_agg, salted_join, skew_report
+from hama_spark.operators.skew import (
+    join_explosion_report,
+    salted_agg,
+    salted_join,
+    skew_report,
+)
 
 __all__ = [
     "composite_join",
@@ -24,6 +29,7 @@ __all__ = [
     "salted_join",
     "salted_agg",
     "skew_report",
+    "join_explosion_report",
     "blocked_fuzzy_pairs",
     "fuzzy_join",
     "sorted_neighborhood_pairs",

@@ -180,3 +180,62 @@ def skew_report(
         .limit(top_k)
     )
     return buckets, hot
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    top_k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Pre-flight join-cardinality diagnostic: EXACT output size of
+    ``left.join(right, on)`` without running the join — output rows =
+    Σ_k cnt_left(k) · cnt_right(k), computed from the two per-key count
+    relations (two map-side-combined aggregates + one join on distinct
+    keys, tiny next to the real join's shuffle of full rows).
+
+    Returns ``(summary, hot_keys)``: a 1-row summary
+    (left_rows, right_rows, matching_keys, output_rows, amplification
+    = output/max(input)) and the ``top_k`` keys by output contribution
+    — the many-to-many keys that would explode. Amplification >> 1
+    means duplicate keys on both sides (often an unintended grain
+    mismatch); catch it here instead of 40 minutes into a 100 TB job.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nr"))
+    per_key = lc.join(rc, keys).select(
+        *keys, (F.col("_nl") * F.col("_nr")).alias("out_rows"), "_nl", "_nr"
+    )
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.sum("out_rows").alias("output_rows"),
+    )
+    lt = left.agg(F.count(F.lit(1)).alias("left_rows"))
+    rt = right.agg(F.count(F.lit(1)).alias("right_rows"))
+    summary = (
+        lt.crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "left_rows",
+            "right_rows",
+            "matching_keys",
+            F.coalesce("output_rows", F.lit(0)).cast("long").alias("output_rows"),
+            F.round(
+                F.coalesce("output_rows", F.lit(0))
+                / F.greatest("left_rows", "right_rows", F.lit(1)),
+                6,
+            ).alias("amplification"),
+        )
+    )
+    hot = (
+        per_key.orderBy(F.desc("out_rows"), *[F.asc(c) for c in keys])
+        .limit(top_k)
+        .select(
+            *keys,
+            F.col("_nl").alias("left_cnt"),
+            F.col("_nr").alias("right_cnt"),
+            F.col("out_rows").cast("long").alias("out_rows"),
+        )
+    )
+    return summary, hot

@@ -50,3 +50,55 @@ def test_skew_report_stays_jvm_side(spark):
         plan = _plan(d, "simple")
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_join_explosion_predicts_exact_output(spark, tables, duck):
+    """Prediction must equal the REAL join's row count (orders x
+    lineitem on orderkey) and match DuckDB's arithmetic."""
+    from hama_spark.operators.skew import join_explosion_report
+
+    o, l = tables["orders"], tables["lineitem"]
+    summary, hot = join_explosion_report(
+        o.withColumnRenamed("o_orderkey", "k"),
+        l.withColumnRenamed("l_orderkey", "k"),
+        "k",
+    )
+    s = summary.collect()[0]
+    real = (
+        o.withColumnRenamed("o_orderkey", "k")
+        .join(l.withColumnRenamed("l_orderkey", "k"), "k")
+        .count()
+    )
+    assert s.output_rows == real
+    want = duck.execute(
+        """SELECT CAST(sum(n1 * n2) AS BIGINT) FROM
+             (SELECT o_orderkey k, count(*) n1 FROM orders GROUP BY 1) a
+             JOIN
+             (SELECT l_orderkey k, count(*) n2 FROM lineitem GROUP BY 1) b
+             USING (k)"""
+    ).fetchone()[0]
+    assert s.output_rows == want
+    h = hot.collect()
+    assert len(h) == 5 and all(r.out_rows == r.left_cnt * r.right_cnt for r in h)
+
+
+def test_join_explosion_flags_many_to_many(spark):
+    from hama_spark.operators.skew import join_explosion_report
+
+    left = spark.createDataFrame([("k", i) for i in range(100)], "k string, a long")
+    right = spark.createDataFrame([("k", i) for i in range(100)], "k string, b long")
+    summary, hot = join_explosion_report(left, right, "k")
+    s = summary.collect()[0]
+    assert s.output_rows == 10000 and s.amplification == 100.0
+    assert hot.collect()[0].out_rows == 10000
+
+
+def test_join_explosion_disjoint_keys(spark):
+    from hama_spark.operators.skew import join_explosion_report
+
+    left = spark.createDataFrame([("a", 1)], "k string, v long")
+    right = spark.createDataFrame([("b", 1)], "k string, v long")
+    summary, hot = join_explosion_report(left, right, "k")
+    s = summary.collect()[0]
+    assert (s.matching_keys, s.output_rows, s.amplification) == (0, 0, 0.0)
+    assert hot.count() == 0
