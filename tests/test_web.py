@@ -1,0 +1,70 @@
+"""Web-corpus cleaning (extensions/web.py): HTML stripping, domain
+extraction, unicode normalization — all JVM-side expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], "x string").select(col.alias("y")).first().y
+
+
+def test_strip_html_drops_tags_scripts_and_entities(spark):
+    from hama_spark.extensions.web import strip_html
+
+    html = (
+        "<html><head><style>p {color: red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- note --><h1>Title</h1>\n<p>Hello&nbsp;&amp;\n"
+        "<b>world</b> &lt;3</p></body></html>"
+    )
+    got = _one(spark, strip_html(F.col("x")), html)
+    assert got == "Title Hello & world <3"
+
+
+def test_strip_html_plain_text_unchanged(spark):
+    from hama_spark.extensions.web import strip_html
+
+    assert _one(spark, strip_html(F.col("x")), "just  plain\ttext") == "just plain text"
+
+
+def test_extract_domain_psl_and_subdomains(spark):
+    from hama_spark.extensions.web import extract_domain
+
+    cases = {
+        "https://News.Example.COM/a?b=1": ("news.example.com", "example.com"),
+        "http://a.b.example.co.uk/x": ("a.b.example.co.uk", "example.co.uk"),
+        "https://example.org": ("example.org", "example.org"),
+        "https://localhost:8080/": ("localhost", "localhost"),
+    }
+    for url, (host, reg) in cases.items():
+        row = _one(spark, extract_domain(F.col("x")), url)
+        assert (row.host, row.registered_domain) == (host, reg), url
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    from hama_spark.extensions.web import normalize_text
+
+    got = _one(
+        spark,
+        normalize_text(F.col("x")),
+        "Crème  BRÛLÉE — “déjà vu”…\x00\x1f señor",
+    )
+    assert got == "creme brulee - \"deja vu\"... senor"
+
+
+def test_normalized_fingerprints_converge(spark):
+    """The point of normalize_text: encoding variants of the same text
+    get the same dedup fingerprint."""
+    from hama_spark.extensions.text import doc_fingerprint
+    from hama_spark.extensions.web import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Déjà vu — again…"), (2, "deja  vu - again...")],
+        "id long, text string",
+    )
+    fps = df.select(
+        doc_fingerprint(normalize_text(F.col("text"))).alias("fp")
+    ).collect()
+    assert fps[0].fp == fps[1].fp
