@@ -179,11 +179,15 @@ def prepare_training_corpus(
     spark = docs.sparkSession
     funnel: list[tuple[str, int]] = [("input", docs.count())]
 
-    gated = docs.filter(quality_score(text_col) >= min_quality)
+    gated_rows = docs.filter(quality_score(text_col) >= min_quality)
     if langs is not None:
-        gated = gated.filter(lang_id(text_col).isin(langs))
-    gated = gated.select(id_col, text_col).localCheckpoint(eager=True)
-    funnel.append(("quality_lang", gated.count()))
+        gated_rows = gated_rows.filter(lang_id(text_col).isin(langs))
+    # checkpoint the IDS ONLY (the docstring's contract): caching text
+    # would pin the whole surviving corpus in the block manager at
+    # scale; re-deriving rows is one cheap join back to the scan
+    gated_ids = gated_rows.select(id_col).localCheckpoint(eager=True)
+    gated = docs.select(id_col, text_col).join(gated_ids, id_col)
+    funnel.append(("quality_lang", gated_ids.count()))
 
     exact_ids = (
         dedup_exact(gated, id_col, text_col)
