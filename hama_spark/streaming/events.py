@@ -600,3 +600,62 @@ def funnel_steps(
             ).alias("conversion"),
         )
     )
+
+
+def resample_gapfill(
+    events: DataFrame,
+    step: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    agg: str = "avg",
+) -> DataFrame:
+    """Resample an irregular event stream onto a regular per-user time
+    grid with forward fill — the time-series normalization step before
+    windowed features or model input: one row per (user, grid slot)
+    from the user's first to last event, ``agg`` of the slot's events
+    where any exist, previous slot's value carried forward through
+    gaps. Returns (user_col, slot, value, gap_filled).
+
+    Scale shape: slot assignment is a map-side ``window(ts, step)``;
+    the grid materializes per user via one ``sequence`` explode bounded
+    by that user's own span (never a global calendar join); the carry-
+    forward is ``last(value, ignorenulls)`` over a PER-USER window —
+    partitioned, never global. One shuffle on the user key end-to-end.
+    """
+    from pyspark.sql import Window
+
+    aggs = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    u, ts = F.col(user_col), F.col(ts_col)
+
+    slotted = events.select(
+        u.alias("user"),
+        F.window(ts, step).getField("start").alias("slot"),
+        F.col(value_col).alias("v"),
+    )
+    per_slot = slotted.groupBy("user", "slot").agg(aggs[agg]("v").alias("v"))
+
+    spans = per_slot.groupBy("user").agg(
+        F.min("slot").alias("_lo"), F.max("slot").alias("_hi")
+    )
+    grid = spans.select(
+        "user",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("slot"),
+    )
+
+    w = (
+        Window.partitionBy("user")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(per_slot, ["user", "slot"], "left")
+    return joined.select(
+        F.col("user").alias(user_col),
+        "slot",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("gap_filled"),
+    )
