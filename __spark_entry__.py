@@ -3300,11 +3300,13 @@ def oracle_sql() -> dict[str, str]:
             dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
             qterms AS (
-              SELECT DISTINCT doc_id AS query_id,
-                     unnest(list_slice(
-                       regexp_split_to_array(trim(lower(text)), '\s+'),
-                       1, 8)) AS term
-              FROM documents WHERE doc_id % 101 = 0),
+              SELECT DISTINCT query_id, term FROM (
+                SELECT doc_id AS query_id,
+                       unnest(list_slice(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         1, 8)) AS term
+                FROM documents WHERE doc_id % 101 = 0)
+              WHERE term <> ''),
             scored AS (
               SELECT q.query_id, tf.doc_id,
                      round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))

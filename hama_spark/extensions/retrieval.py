@@ -84,10 +84,19 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    qterms = queries.select(
-        _c(query_id_col).alias("query_id"),
-        F.explode(tokenize(F.lower(_c(query_text_col)))).alias("term"),
-    ).distinct()
+    # empty-string tokens (split artifacts of leading/trailing/double
+    # whitespace) are never query terms: they'd "match" blank documents,
+    # and they don't survive a join+re-tokenize round trip anyway —
+    # excluding them on BOTH sides keeps the SQL twin exact (fuzz-found
+    # boundary: a corpus of ['0\t', ''])
+    qterms = (
+        queries.select(
+            _c(query_id_col).alias("query_id"),
+            F.explode(tokenize(F.lower(_c(query_text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
 
     idf = F.log(
         1
