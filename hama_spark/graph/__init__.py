@@ -1,3 +1,4 @@
+from hama_spark.graph.hits import hits
 from hama_spark.graph.components import mindist_search
 from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
@@ -12,6 +13,7 @@ from hama_spark.graph.triangles import triangle_count
 from hama_spark.graph.walks import random_walks
 
 __all__ = [
+    "hits",
     "inlink_count",
     "sssp",
     "mindist_search",
