@@ -1,4 +1,5 @@
 from hama_spark.graph.hits import hits
+from hama_spark.graph.centrality import harmonic_centrality
 from hama_spark.graph.components import mindist_search
 from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
@@ -14,6 +15,7 @@ from hama_spark.graph.walks import random_walks
 
 __all__ = [
     "hits",
+    "harmonic_centrality",
     "inlink_count",
     "sssp",
     "mindist_search",

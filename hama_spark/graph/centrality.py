@@ -1,0 +1,109 @@
+"""Landmark-sampled harmonic centrality — beyond-reference graph
+analytics extending the link-analysis family (PageRank `graph/
+pagerank.py`, HITS `graph/hits.py`) with a distance-based score.
+Classic data-pipeline use: ranking crawl seeds and picking
+representative documents in a link graph.
+
+Harmonic centrality of v = sum over reachable u != v of 1/d(u, v) —
+well-defined on disconnected graphs (unreachable pairs contribute 0),
+which is why it is preferred over classic closeness at corpus scale.
+Exact all-pairs is O(V·E); the standard scale path (Eppstein & Wang
+2004 landmark estimation) runs BFS from a small seeded landmark set
+and sums 1/d from the landmarks only. Radius is also bounded, so one
+round = one frontier⋈edges equi-join — the same frontier-only send
+discipline as SSSP (`graph/sssp.py`).
+
+Determinism / oracle discipline: landmarks are the first L vertices by
+md5(seed:id) (seeded, engine-independent), the schedule is a FIXED
+radius, and distances are small integers — so the whole run replays as
+unrolled SQL (see `_harmonic_sql` in tests/test_centrality.py and the
+driver oracle), hash-exact except for the final 1/d sum which is ≤L
+doubles folded in one round(6).
+
+Scale shape per round: frontier(lm, id) ⋈ edges shuffles on the join
+key only; the discovered-set anti-join keys on (lm, id); state is
+bounded by L·V rows of (id, id, int) — never adjacency lists, never a
+per-vertex array. Lazy localCheckpoint each round bounds the plan the
+same way the Pregel loops do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: int = 8,
+    radius: int = 4,
+    seed: int = 42,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """edges(src, dst) -> (id, harmonic, n_lm).
+
+    ``harmonic``: sum of 1/d(lm, id) over landmarks with 0 < d <=
+    radius, rounded to 6 dp. ``n_lm``: number of landmark BFS balls
+    (d <= radius, including d = 0 for the landmarks themselves) the
+    vertex lies in — the coverage count a user reads to judge whether
+    ``landmarks``/``radius`` were large enough. Vertices outside every
+    ball report (0.0, 0).
+
+    ``symmetrize`` treats edges as undirected (the usual centrality
+    setting); pass False to rank by in-link distance only.
+    """
+    e = edges.select("src", "dst")
+    if symmetrize:
+        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # seeded deterministic landmark pick: first L vertices by
+    # md5(seed:id) — TakeOrdered (top-L per partition then merge),
+    # never a global sort of the vertex set
+    lm = (
+        verts.orderBy(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id"))), "id"
+        )
+        .limit(landmarks)
+        .select(F.col("id").alias("lm"), "id", F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+
+    dist = lm
+    frontier = lm
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.select("lm", F.col("id").alias("src"))
+            .join(e, "src")
+            .select("lm", F.col("dst").alias("id"), F.lit(r).alias("d"))
+            .distinct()
+            .join(dist.select("lm", "id"), ["lm", "id"], "left_anti")
+        )
+        if r < radius:
+            nxt = nxt.localCheckpoint(eager=False)
+        dist = dist.union(nxt)
+        frontier = nxt
+
+    scores = (
+        dist.groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("d") > 0, 1.0 / F.col("d")).otherwise(0.0)), 6
+            ).alias("harmonic"),
+            F.count(F.lit(1)).alias("n_lm"),
+        )
+    )
+    return (
+        verts.join(scores, "id", "left")
+        .select(
+            "id",
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.coalesce("n_lm", F.lit(0)).alias("n_lm"),
+        )
+    )

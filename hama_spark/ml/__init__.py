@@ -6,6 +6,7 @@ from hama_spark.ml.feature import (
     scale_transformer,
 )
 from hama_spark.ml.gradient_descent import gradient_descent
+from hama_spark.ml.naive_bayes import nb_confusion, nb_predict, nb_train
 from hama_spark.ml.kmeans import kmeans
 from hama_spark.ml.online_cf import CFModel, online_cf_train
 from hama_spark.ml.pi import estimate_pi
@@ -13,6 +14,9 @@ from hama_spark.ml.spmv import spmv
 
 __all__ = [
     "kmeans",
+    "nb_train",
+    "nb_predict",
+    "nb_confusion",
     "gradient_descent",
     "spmv",
     "estimate_pi",

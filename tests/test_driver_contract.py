@@ -66,6 +66,11 @@ def test_modified_or_new_queries_lead_the_dict():
 
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
+        # new in round 4 session 3 (displacing the override_join /
+        # agg_lineitem / revenue_by_nation refresh slots: single-shot
+        # SQL unchanged since their r2 green rows, re-verified by the
+        # full selfcheck recorded in SELFCHECK_r04.json)
+        "hits_scores", "harmonic_centrality", "nb_lang_confusion",
         # new in round 4
         "bm25_topk", "fuzzy_match_customers", "corpus_diff",
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",

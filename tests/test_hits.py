@@ -5,39 +5,10 @@ from __future__ import annotations
 
 
 def _hits_sql(edges_sql: str, iters: int) -> str:
-    """The exact synchronous schedule as chained CTEs, mirroring
-    hama_spark.graph.hits (L2 normalization over ALL vertices each
-    half-step)."""
-    parts = [
-        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
-        "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),",
-        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM v),",
-        "a0 AS (SELECT id, 1.0::DOUBLE AS authority FROM v)",
-    ]
-    for t in range(iters):
-        parts.append(f""", ac{t} AS (
-            SELECT v.id, coalesce(s.s, 0) AS raw FROM v
-            LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS s
-                       FROM e JOIN h{t} h ON h.id = e.src GROUP BY 1) s
-              ON s.id = v.id),
-          an{t} AS (SELECT sqrt(sum(raw*raw)) AS n FROM ac{t}),
-          a{t + 1} AS MATERIALIZED (
-            SELECT id, CASE WHEN n > 0 THEN raw / n ELSE 0 END AS authority
-            FROM ac{t} CROSS JOIN an{t}),
-          hc{t} AS (
-            SELECT v.id, coalesce(s.s, 0) AS raw FROM v
-            LEFT JOIN (SELECT e.src AS id, sum(a.authority) AS s
-                       FROM e JOIN a{t + 1} a ON a.id = e.dst GROUP BY 1) s
-              ON s.id = v.id),
-          hn{t} AS (SELECT sqrt(sum(raw*raw)) AS n FROM hc{t}),
-          h{t + 1} AS MATERIALIZED (
-            SELECT id, CASE WHEN n > 0 THEN raw / n ELSE 0 END AS hub
-            FROM hc{t} CROSS JOIN hn{t})""")
-    parts.append(
-        f"SELECT h.id, round(h.hub, 6) AS hub, round(a.authority, 6) AS authority "
-        f"FROM h{iters} h JOIN a{iters} a ON a.id = h.id"
-    )
-    return "\n".join(parts)
+    # single source of truth: the driver oracle's replay builder
+    from __spark_entry__ import _hits_sql as builder
+
+    return builder(edges_sql, iters)
 
 
 def test_hits_matches_unrolled_sql_on_fixture_graph(spark, tables, duck):

@@ -58,6 +58,14 @@ NESTED_LOOP_OK = {
     # |domains|xB smoothing grid, plus the 1-row total — both bounded
     # by n_buckets, never by data size (extensions/lm.py)
     "domain_divergence",
+    # crossJoin(broadcast(<1-row L2 norm>)) twice per iteration to
+    # rescale the (id, double) score relations — the same single-row-
+    # broadcast scalar pattern (graph/hits.py)
+    "hits_scores",
+    # crossJoin(broadcast(<n_classes-row model + 1-row vocab/total>)):
+    # the scorer grid is bounded by |classes|, never by corpus size
+    # (ml/naive_bayes.py)
+    "nb_lang_confusion",
     # embeds the cosine_topk brute-force twin as its ground-truth side
     # by definition (recall is measured AGAINST the quadratic baseline);
     # the report itself joins two (n_queries*k)-row relations
