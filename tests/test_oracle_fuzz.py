@@ -61,6 +61,10 @@ _FUZZ_QUERIES = [
     "domain_cap",
     "dedup_incremental",
     "dedup_exact",
+    # round-4 session-3: naive-Bayes confusion — exercises the count
+    # model + argmax tiebreak on corpora with empty docs, dup texts and
+    # tiny per-class vocabularies (langs rotate l0/l1/l2 below)
+    "nb_lang_confusion",
 ]
 
 
@@ -73,14 +77,17 @@ def _norm(v):
 @settings(max_examples=5, deadline=None)
 @given(texts=st.lists(_TEXT, min_size=2, max_size=6))
 def test_documents_queries_match_oracle_on_random_corpora(spark, duck, texts):
-    rows = [(i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)]
+    # lang rotates so multi-class paths (NB classes, lang strata) get
+    # real variation; queries only ever compare Spark vs DuckDB on the
+    # SAME corpus, so no fixed 'en' is assumed anywhere
+    rows = [(i, t, f"l{i % 3}", f"src{i % 2}", len(t)) for i, t in enumerate(texts)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     vals = ", ".join(
-        "(%d, '%s', 'en', 'src%d', %d)"
-        % (i, t.replace("'", "''"), i % 2, len(t))
-        for i, t, _, _, _ in ((r[0], r[1], r[2], r[3], r[4]) for r in rows)
+        "(%d, '%s', '%s', '%s', %d)"
+        % (i, t.replace("'", "''"), lang, src, n)
+        for i, t, lang, src, n in rows
     )
     duck.execute(
         "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
@@ -267,6 +274,43 @@ def test_pregel_sssp_pagerank_match_oracle_on_random_graphs(spark, duck, raw):
             )
         ).fetchall())
         assert got_kc == want_kc, (got_kc[:5], want_kc[:5])
+
+    # landmark harmonic centrality: 1/d sums over small integer
+    # distances are exact enough that the round-6 values compare as
+    # strings; random graphs exercise multi-edges, unreached vertices
+    # and landmark picks the fixture never varies
+    from hama_spark.graph import harmonic_centrality, hits
+
+    got_hc = sorted(
+        (r["id"], r["harmonic"], r["n_lm"])
+        for r in harmonic_centrality(
+            df.select("src", "dst"), landmarks=3, radius=3, seed=7
+        ).collect()
+    )
+    want_hc = sorted(tuple(r) for r in duck.execute(
+        entry._harmonic_sql("SELECT src, dst FROM fz_edges", 3, 3, 7)
+    ).fetchall())
+    assert got_hc == want_hc, (got_hc[:5], want_hc[:5])
+
+    # HITS: L2 norms fold the whole score vector, so cross-engine sums
+    # may differ at ulp — compare with tolerance (the fixed driver
+    # fixture compares round-6 exactly; fuzz pins the SCHEDULE)
+    got_h = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits(df.select("src", "dst"), iterations=3).collect()
+    }
+    want_h = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            entry._hits_sql("SELECT src, dst FROM fz_edges", 3)
+        ).fetchall()
+    }
+    assert set(got_h) == set(want_h)
+    for vid, (hub, auth) in got_h.items():
+        wh, wa = want_h[vid]
+        assert abs(hub - wh) < 1e-9 and abs(auth - wa) < 1e-9, (
+            vid, (hub, auth), (wh, wa)
+        )
 
 
 _VEC_COMP = st.integers(min_value=-64, max_value=64)  # value/64: exact in f32
