@@ -205,6 +205,63 @@ def _harmonic_sql(edges_sql: str, landmarks: int, radius: int, seed: int) -> str
     return "\n".join(parts)
 
 
+def _betweenness_sql(edges_sql: str, sources: int, radius: int, seed: int) -> str:
+    """Sampled radius-bounded Brandes replay (graph/betweenness.py):
+    md5-seeded source pick, forward BFS with integer sigma sums, DAG
+    dependency accumulation walked back level-by-level — the exact
+    DataFrame schedule as chained CTEs."""
+    parts = [
+        f"""WITH re AS MATERIALIZED ({edges_sql}),
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM re
+            UNION ALL SELECT dst AS src, src AS dst FROM re)),
+        v AS MATERIALIZED (SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+        srcs AS MATERIALIZED (SELECT id FROM v
+            ORDER BY md5('{seed}:' || id), id LIMIT {sources}),
+        sp0 AS MATERIALIZED (
+            SELECT id AS s, id, 0 AS d, 1::BIGINT AS sigma FROM srcs),
+        f0 AS (SELECT * FROM sp0)"""
+    ]
+    for r in range(1, radius + 1):
+        parts.append(f""", c{r} AS (
+            SELECT f.s, e.dst AS id, sum(f.sigma) AS sigma
+            FROM f{r - 1} f JOIN e ON e.src = f.id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sp{r - 1} p WHERE p.s = f.s AND p.id = e.dst)
+            GROUP BY 1, 2),
+          f{r} AS MATERIALIZED (SELECT s, id, {r} AS d, sigma FROM c{r}),
+          sp{r} AS MATERIALIZED (
+            SELECT s, id, d, sigma FROM sp{r - 1}
+            UNION ALL SELECT s, id, d, sigma FROM f{r})""")
+    parts.append(f""", dag AS MATERIALIZED (
+            SELECT a.s, a.id AS vx, b.id AS w, a.d AS dv,
+                   a.sigma AS sigma_v, b.sigma AS sigma_w
+            FROM sp{radius} a
+            JOIN e ON e.src = a.id
+            JOIN sp{radius} b ON b.s = a.s AND b.id = e.dst
+            WHERE b.d = a.d + 1),
+        du{radius} AS (SELECT s, id, 0.0 AS delta FROM sp{radius} WHERE false)""")
+    for r in range(radius - 1, -1, -1):
+        parts.append(f""", dl{r} AS MATERIALIZED (
+            SELECT g.s, g.vx AS id,
+                   sum((CAST(g.sigma_v AS DOUBLE) / g.sigma_w)
+                       * (1.0 + coalesce(x.delta, 0.0))) AS delta
+            FROM dag g
+            LEFT JOIN du{r + 1} x ON x.s = g.s AND x.id = g.w
+            WHERE g.dv = {r}
+            GROUP BY 1, 2),
+          du{r} AS MATERIALIZED (
+            SELECT s, id, delta FROM du{r + 1}
+            UNION ALL SELECT s, id, delta FROM dl{r})""")
+    parts.append(f"""
+        SELECT v.id, coalesce(b.bc, 0.0) AS betweenness
+        FROM v LEFT JOIN (
+            SELECT id, round(sum(delta), 6) AS bc
+            FROM du0 WHERE id <> s GROUP BY 1) b ON b.id = v.id""")
+    return "\n".join(parts)
+
+
 def _nb_confusion_sql(label_col: str = "lang", smoothing: float = 1.0) -> str:
     """Multinomial-NB resubstitution confusion replay
     (ml/naive_bayes.py): integer count model, ln terms from identical
@@ -1223,6 +1280,18 @@ def _q_harmonic_centrality(spark, t):
 
     return harmonic_centrality(
         _sp_edges(spark, t), landmarks=8, radius=4, seed=42
+    )
+
+
+def _q_betweenness(spark, t):
+    """Sampled radius-bounded Brandes betweenness
+    (graph/betweenness.py) on the symmetrized supplier-part graph: 4
+    md5-seeded sources, radius 3 — bridge-vertex scoring at the
+    K-episodes cost exact betweenness can't have at scale."""
+    from hama_spark.graph import betweenness_centrality
+
+    return betweenness_centrality(
+        _sp_edges(spark, t), sources=4, radius=3, seed=42
     )
 
 
@@ -2924,6 +2993,7 @@ QUERIES: dict[str, Callable] = {
     # re-derives the three searchers it compares)
     "hits_scores": _q_hits_scores,
     "harmonic_centrality": _q_harmonic_centrality,
+    "betweenness": _q_betweenness,
     "nb_lang_confusion": _q_nb_confusion,
     "bm25_topk": _q_bm25_topk,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
@@ -2986,7 +3056,6 @@ QUERIES: dict[str, Callable] = {
     "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
-    "pi_estimate": _q_pi,
     # NULL-hardened for empty documents late in round 4 (ANSI division
     # guards; byte-identical on the driver corpus, selfcheck-proven) —
     # back in the window per the modified-queries policy
@@ -3010,6 +3079,7 @@ QUERIES: dict[str, Callable] = {
     "override_join": _q_override_join,
     "agg_lineitem": _q_agg_lineitem,
     "revenue_by_nation": _q_revenue_by_nation,
+    "pi_estimate": _q_pi,
     # everything below holds a green r2/r3 row on unchanged code
     "inner_join": _q_inner_join,
     "full_outer_join": _q_full_outer_join,
@@ -3103,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_scores": _hits_sql(SP_EDGES_SQL, 5),
         "harmonic_centrality": _harmonic_sql(SP_EDGES_SQL, 8, 4, 42),
+        "betweenness": _betweenness_sql(SP_EDGES_SQL, 4, 3, 42),
         "nb_lang_confusion": _nb_confusion_sql("lang"),
         "pagerank": _pagerank_sql(PR_EDGES_SQL, 25, 10),
         "personalized_pagerank": _ppr_sql(PR_EDGES_SQL, "0", 10),

@@ -1,5 +1,6 @@
 from hama_spark.graph.hits import hits
 from hama_spark.graph.centrality import harmonic_centrality
+from hama_spark.graph.betweenness import betweenness_centrality
 from hama_spark.graph.components import mindist_search
 from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
@@ -16,6 +17,7 @@ from hama_spark.graph.walks import random_walks
 __all__ = [
     "hits",
     "harmonic_centrality",
+    "betweenness_centrality",
     "inlink_count",
     "sssp",
     "mindist_search",

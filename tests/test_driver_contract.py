@@ -71,6 +71,7 @@ def test_modified_or_new_queries_lead_the_dict():
         # SQL unchanged since their r2 green rows, re-verified by the
         # full selfcheck recorded in SELFCHECK_r04.json)
         "hits_scores", "harmonic_centrality", "nb_lang_confusion",
+        "betweenness",
         # new in round 4
         "bm25_topk", "fuzzy_match_customers", "corpus_diff",
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",

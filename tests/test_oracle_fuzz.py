@@ -292,6 +292,22 @@ def test_pregel_sssp_pagerank_match_oracle_on_random_graphs(spark, duck, raw):
     ).fetchall())
     assert got_hc == want_hc, (got_hc[:5], want_hc[:5])
 
+    # sampled Brandes: integer sigma sums + small ratio folds, exact
+    # at round-6 on these graph sizes; random graphs exercise uneven
+    # BFS depths and sources landing on isolated-ish vertices
+    from hama_spark.graph import betweenness_centrality
+
+    got_bc = sorted(
+        (r["id"], r["betweenness"])
+        for r in betweenness_centrality(
+            df.select("src", "dst"), sources=3, radius=3, seed=7
+        ).collect()
+    )
+    want_bc = sorted(tuple(r) for r in duck.execute(
+        entry._betweenness_sql("SELECT src, dst FROM fz_edges", 3, 3, 7)
+    ).fetchall())
+    assert got_bc == want_bc, (got_bc[:5], want_bc[:5])
+
     # HITS: L2 norms fold the whole score vector, so cross-engine sums
     # may differ at ulp — compare with tolerance (the fixed driver
     # fixture compares round-6 exactly; fuzz pins the SCHEDULE)
