@@ -58,6 +58,7 @@ ITERATIVE_LAST = [
     "pagerank_gen_100k", "sssp_gen_100k", "personalized_pagerank",
     "random_walks", "label_communities", "online_cf_topk",
     "gradient_descent_linear", "gradient_descent_logistic", "kmeans_sizes",
+    "hits_scores", "harmonic_centrality", "betweenness",
 ]
 
 

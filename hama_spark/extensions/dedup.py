@@ -161,6 +161,31 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) LSH band rows from an (id, sig) relation: the
+    key concatenates one band's slice of the signature, so two docs
+    share a (band, key) row iff that whole band agrees — the equi-join
+    key both the self-join pair finder and the persistent incremental
+    index probe use. Deterministic given (num_hashes, bands)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -179,29 +204,12 @@ def minhash_lsh_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
     # eager checkpoint: the bands self-join below would otherwise
     # re-derive (and re-hash) the signatures once PER SIDE
     sig = minhash_signatures(df, num_hashes, k, id_col, text_col).localCheckpoint(
         eager=True
     )
-    # (id, band, band_key) — band_key joins equal slices
-    bands_df = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands_df = minhash_band_rows(sig, num_hashes, bands)
 
     x, y = bands_df.alias("x"), bands_df.alias("y")
     candidates = (

@@ -1,0 +1,172 @@
+"""Persistent MinHash-LSH index for INCREMENTAL near-deduplication:
+index a corpus once, then dedup each new batch against it without ever
+rescanning (or even retaining) the indexed text — the build/serve split
+a continuously-ingesting training-data pipeline needs. Complements
+``extensions.corpus.incremental_dedup`` (exact fingerprints) with the
+near-duplicate analogue, and mirrors ``extensions.ann_index``'s
+save/load/probe shape for vectors.
+
+Reference parity note: apache/hama has no dedup surface; this extends
+the MinHash-LSH operators (``extensions/dedup.py``) the same way
+``ann_index`` extends ``similarity`` — same math, persisted halves.
+
+Layout under ``path``:
+
+- ``meta/``  — one row (num_hashes, bands, k): the signature recipe.
+  Probes MUST replay the identical recipe or band keys never collide;
+  load reads it back so callers cannot drift.
+- ``bands/`` — (id, band, key) parquet PARTITIONED BY band.
+- ``sigs/``  — (id, sig array<long>) full signatures, for the
+  estimated-Jaccard verify step (the indexed TEXT is not stored, so
+  exact shingle Jaccard is impossible by design — at 100 TB retaining
+  text in the index would just be a second corpus).
+
+Scale shape of a probe: the new batch's band rows equi-join the index
+bands on (band, key) — shuffle volume is the SMALL batch side plus the
+matching index buckets, never the whole index (partition-by-band keeps
+each band's join input to 1/bands of the index; the key equi-join is
+an ordinary shuffled hash join Spark sizes per-bucket). Verification
+joins only the CANDIDATE ids against ``sigs/`` (semi-join pushdown),
+then scores agreement with one ``zip_with`` — O(num_hashes) per
+candidate pair, no text, no quadratic stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.dedup import minhash_band_rows, minhash_signatures
+
+
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "error",
+) -> None:
+    """Index ``docs`` for later incremental probes. One signature pass
+    (shingle → md5 → num_hashes min-aggregates), checkpointed so bands
+    and sigs are derived once, not twice."""
+    spark = docs.sparkSession
+    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    minhash_band_rows(sig, num_hashes, bands).write.mode(mode).partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    sig.write.mode(mode).parquet(f"{path}/sigs")
+    spark.createDataFrame(
+        [(num_hashes, bands, k)], "num_hashes int, bands int, k int"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def load_minhash_index(spark: SparkSession, path: str):
+    """-> (bands_df, sigs_df, meta dict). Lazy scans — nothing is read
+    until a probe joins against them."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/sigs"),
+        meta,
+    )
+
+
+def _sig_agreement(a: Column, b: Column) -> Column:
+    """Fraction of agreeing minhash positions — the standard unbiased
+    estimate of Jaccard similarity (E[h_min(A)=h_min(B)] = J(A,B))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(a)
+
+
+def near_dups_vs_index(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(new_id, index_id, est_jaccard) — near-duplicate links from the
+    new batch into the indexed corpus, est_jaccard = minhash agreement
+    >= ``threshold``. The signature recipe comes from the index meta,
+    so a probe can never silently use mismatched parameters."""
+    spark = new_docs.sparkSession
+    idx_bands, idx_sigs, meta = load_minhash_index(spark, index_path)
+    sig = minhash_signatures(
+        new_docs, meta["num_hashes"], meta["k"], id_col, text_col
+    ).localCheckpoint(eager=True)
+    probe = minhash_band_rows(sig, meta["num_hashes"], meta["bands"])
+
+    candidates = (
+        probe.alias("n")
+        .join(
+            idx_bands.alias("i"),
+            (F.col("n.band") == F.col("i.band")) & (F.col("n.key") == F.col("i.key")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"), F.col("i.id").alias("index_id")
+        )
+        .distinct()
+    )
+    return (
+        candidates.join(
+            sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")),
+            "new_id",
+        )
+        .join(
+            idx_sigs.select(F.col("id").alias("index_id"), F.col("sig").alias("sig_i")),
+            "index_id",
+        )
+        .select(
+            "new_id",
+            "index_id",
+            F.round(_sig_agreement(F.col("sig_n"), F.col("sig_i")), 6).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The new batch minus rows near-duplicating the indexed corpus —
+    a left_anti on the matched new ids, so survivors keep their full
+    original schema."""
+    matched = near_dups_vs_index(
+        new_docs, index_path, threshold, id_col, text_col
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(matched, id_col, "left_anti")
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Extend the index with (already-deduplicated) new docs — one
+    signature pass appended to ``bands/`` and ``sigs/`` using the
+    recipe from ``meta/``. Typical loop per ingest batch:
+    ``survivors = dedup_against_index(batch, p); append(survivors, p)``."""
+    spark = new_docs.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    sig = minhash_signatures(
+        new_docs, meta["num_hashes"], meta["k"], id_col, text_col
+    ).localCheckpoint(eager=True)
+    minhash_band_rows(sig, meta["num_hashes"], meta["bands"]).write.mode(
+        "append"
+    ).partitionBy("band").parquet(f"{path}/bands")
+    sig.write.mode("append").parquet(f"{path}/sigs")
