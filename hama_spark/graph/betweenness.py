@@ -41,17 +41,28 @@ def betweenness_centrality(
     radius: int = 3,
     seed: int = 42,
     symmetrize: bool = True,
+    prepared: bool = False,
 ) -> DataFrame:
     """edges(src, dst) -> (id, betweenness) with betweenness the
     dependency mass accumulated over ``sources`` sampled truncated
     Brandes episodes (rounded to 6 dp). Scores are a K/|V| sample of
     the exact sum — rank order converges long before the exact values
     do, which is what centrality consumers use.
+
+    ``prepared=True``: edges are already symmetrized-as-desired,
+    deduplicated, and materialized — used as-is (``symmetrize``
+    ignored), so multi-pass centrality over one graph builds the edge
+    set once (see ``harmonic_centrality``).
     """
-    e = edges.select("src", "dst")
-    if symmetrize:
-        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    if prepared:
+        e = edges.select("src", "dst")
+    else:
+        e = edges.select("src", "dst")
+        if symmetrize:
+            e = e.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = e.distinct().localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -39,6 +39,7 @@ def harmonic_centrality(
     radius: int = 4,
     seed: int = 42,
     symmetrize: bool = True,
+    prepared: bool = False,
 ) -> DataFrame:
     """edges(src, dst) -> (id, harmonic, n_lm).
 
@@ -51,11 +52,22 @@ def harmonic_centrality(
 
     ``symmetrize`` treats edges as undirected (the usual centrality
     setting); pass False to rank by in-link distance only.
+
+    ``prepared=True`` declares edges ALREADY symmetrized-as-desired,
+    deduplicated, and materialized (checkpointed/cached) — the operator
+    uses them as-is, so a caller running several centrality passes over
+    one graph (this and ``betweenness_centrality``) pays the edge-set
+    build once instead of per call; ``symmetrize`` is ignored.
     """
-    e = edges.select("src", "dst")
-    if symmetrize:
-        e = e.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    if prepared:
+        e = edges.select("src", "dst")
+    else:
+        e = edges.select("src", "dst")
+        if symmetrize:
+            e = e.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+        e = e.distinct().localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -4,17 +4,32 @@ analytics rounding out the link-analysis pair with PageRank: authority
 use in a data pipeline: scoring crawl frontiers and seed lists, where
 authorities rank content pages and hubs rank link pages.
 
-Synchronous power iteration with L2 normalization each half-step, a
-FIXED iteration count so the schedule replays exactly in unrolled SQL
-(the oracle discipline every iterative operator here follows —
-compare ``_pagerank_sql``).
+Synchronous power iteration with a FIXED iteration count so the
+schedule replays exactly in unrolled SQL (the oracle discipline every
+iterative operator here follows — compare ``_pagerank_sql``).
+Normalization commutes with the linear half-steps (scaling hub scores
+by c scales the derived authority sums by c, and normalize(c·x) =
+normalize(x)), so the loop runs UNNORMALIZED and a single L2
+normalization at the end produces exactly the textbook per-half-step-
+normalized fixed schedule — 1 materializing job for the whole
+iteration chain instead of one per half-step. Unnormalized sums grow
+like (λ_max)^iterations; doubles carry that comfortably for any sane
+iteration count (10 half-steps on a degree-10⁴ graph is still ~1e40 of
+1e308) and the final division restores O(1) values at full relative
+precision.
 
-Scale shape per iteration: two keyed joins edges⋈scores (shuffle on
-the join key only — scores are (id, double) relations, never wider)
-and two partial-aggregated groupBys. Each half-step re-anchors on a
-lazy localCheckpoint and collects its L2 norm as an O(1) driver scalar
-(the pregel.py aggregator discipline), so executed work is linear in
-iterations and the plan stays bounded at any iteration count.
+Scale shape per iteration: two keyed joins edges⋈scores and two
+partial-aggregated groupBys. The edge relation is cached TWICE —
+hash-partitioned + sorted on src for the authority half-step and on
+dst for the hub half-step — so every join reuses the cached layout
+exchange-free and shuffles only the (id, double) score relation (the
+bucketed-join shape, without writing a table; at cluster scale the
+same two layouts would be bucketed tables). Scores stay SPARSE through
+the loop (vertices with zero score carry no rows — zeros contribute
+nothing to contributions or to norms, so values are unchanged); the
+dense zero-filled view is produced once at the end. Lazy
+localCheckpoints bound the plan; the two final norms are collected as
+O(1) driver scalars (the pregel.py aggregator discipline).
 """
 
 from __future__ import annotations
@@ -29,27 +44,50 @@ def hits(
 ) -> DataFrame:
     """edges(src, dst) directed -> (id, hub, authority), both rounded
     to 6 dp for cross-engine hashing. Vertices with no in-edges hold
-    authority 0 (respectively hubs without out-edges); isolated
-    direction scores still normalize over ALL vertices, matching the
-    textbook formulation and the SQL replay."""
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    authority 0 (respectively hubs without out-edges); scores
+    L2-normalize over ALL vertices, matching the textbook formulation
+    and the SQL replay."""
+    # one canonical cached layout per join key; e_dst and verts are
+    # derived FROM the e_src cache so distinct runs once
+    e_src = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    e_dst = e_src.repartition("dst").sortWithinPartitions("dst").persist()
     verts = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
+        e_src.select(F.col("src").alias("id"))
+        .union(e_src.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
 
-    def _l2_normalized(scores: DataFrame, col: str) -> DataFrame:
-        # The norm is an O(1) aggregate: collect it as a plan LITERAL
-        # (same discipline as pregel.py's aggregator collects) instead
-        # of crossJoin(broadcast(agg)) — the broadcast form embeds the
-        # upstream plan TWICE per half-step, doubling executed work
-        # each of the 2*iterations half-steps (measured 55s -> 8s at
-        # sf0.1). The lazy checkpoint re-anchors the chain so the norm
-        # scan is the step that materializes it, and the division is a
-        # cheap projection over the checkpointed rows.
-        scores = scores.localCheckpoint(eager=False)
+    h = verts.select("id", F.lit(1.0).alias("hub"))
+    a = None
+    for _ in range(iterations):
+        # authority(v) = sum of hub over in-neighbors (unnormalized)
+        a = (
+            e_src.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+            .localCheckpoint(eager=False)
+        )
+        # hub(u) = sum of authority over out-neighbors (unnormalized)
+        h = (
+            e_dst.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+
+    if a is None:  # iterations=0: the initial all-ones state, unnormalized
+        a = verts.select("id", F.lit(1.0).alias("authority"))
+
+    def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        # O(1) aggregate collected as a plan LITERAL, never a
+        # crossJoin(broadcast(agg)) that would embed the loop plan twice
         n = scores.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
         ).collect()[0]["_n"]
@@ -57,35 +95,17 @@ def hits(
             return scores.select("id", F.lit(0.0).alias(col))
         return scores.select("id", (F.col(col) / F.lit(float(n))).alias(col))
 
-    h = verts.select("id", F.lit(1.0).alias("hub"))
-    a = verts.select("id", F.lit(1.0).alias("authority"))
-    for _ in range(iterations):
-        # authority(v) = sum of hub over in-neighbors
-        contrib = e.join(h.withColumnRenamed("id", "src"), "src").groupBy(
-            F.col("dst").alias("id")
-        ).agg(F.sum("hub").alias("authority"))
-        a = _l2_normalized(
-            verts.join(contrib, "id", "left").select(
-                "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
-            ),
-            "authority",
-        )
-        # hub(u) = sum of authority over out-neighbors
-        contrib = e.join(a.withColumnRenamed("id", "dst"), "dst").groupBy(
-            F.col("src").alias("id")
-        ).agg(F.sum("authority").alias("hub"))
-        h = _l2_normalized(
-            verts.join(contrib, "id", "left").select(
-                "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
-            ),
-            "hub",
-        )
-
-    return (
-        h.join(a, "id")
+    h, a = _normalized(h, "hub"), _normalized(a, "authority")
+    out = (
+        verts.join(h, "id", "left")
+        .join(a, "id", "left")
         .select(
             "id",
-            F.round("hub", 6).alias("hub"),
-            F.round("authority", 6).alias("authority"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("authority", F.lit(0.0)), 6).alias("authority"),
         )
+        .localCheckpoint(eager=True)
     )
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out
