@@ -2963,6 +2963,25 @@ def _q_bm25_topk(spark, t):
     return bm25_topk(docs, self_queries(docs), k=5)
 
 
+def _q_hybrid_rrf(spark, t):
+    """Reciprocal-rank fusion of lexical and dense retrieval
+    (extensions/retrieval.py rrf_fuse): the BM25 self-query ranking
+    over documents fused with the exact-cosine ranking over the
+    aligned embeddings (same every-101st query ids), k0=60 — the
+    standard hybrid-RAG combiner, operating on ranks only so the two
+    scorers' incomparable scales never meet."""
+    from hama_spark.extensions import cosine_topk
+    from hama_spark.extensions.retrieval import bm25_topk, rrf_fuse, self_queries
+
+    docs = t["documents"]
+    lex = bm25_topk(docs, self_queries(docs), k=5)
+    emb = t["embeddings"]
+    dense = cosine_topk(
+        emb, emb.filter("vec_id % 101 = 0"), k=5
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k0=60, topk=5)
+
+
 def _q_fuzzy_match_customers(spark, t):
     """Blocked fuzzy record linkage (operators/linkage.py): customer
     name pairs within one edit inside a nation block — candidate
@@ -3016,6 +3035,7 @@ QUERIES: dict[str, Callable] = {
     "betweenness": _q_betweenness,
     "nb_lang_confusion": _q_nb_confusion,
     "bm25_topk": _q_bm25_topk,
+    "hybrid_rrf": _q_hybrid_rrf,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
     "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
@@ -3071,8 +3091,9 @@ QUERIES: dict[str, Callable] = {
     "importance_weights": _q_importance_weights,
     "value_quantiles": _q_value_quantiles,
     # refresh slots: r2-era rows on since-unmodified code, oldest hard
-    # signal first
-    "triangle_count": _q_triangles,
+    # signal first (triangle_count yielded its slot to hybrid_rrf this
+    # session — unmodified since its r2 green row, re-verified by the
+    # full selfcheck recorded in SELFCHECK_r04.json)
     "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
@@ -3089,6 +3110,7 @@ QUERIES: dict[str, Callable] = {
     # the driver fixture, and the random-corpora oracle fuzz
     # (tests/test_oracle_fuzz.py) value-checks exactly that branch
     # cross-engine — a strictly stronger signal than a fixture row.
+    "triangle_count": _q_triangles,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "heuristic_flags": _q_heuristic_flags,
@@ -3164,6 +3186,69 @@ QUERIES: dict[str, Callable] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _q(fn) for name, fn in QUERIES.items()}
+
+
+_BM25_TOPK_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+            tf AS MATERIALIZED (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dl AS MATERIALIZED (
+              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            qterms AS (
+              SELECT DISTINCT query_id, term FROM (
+                SELECT doc_id AS query_id,
+                       unnest(list_slice(
+                         regexp_split_to_array(trim(lower(text)), '\s+'),
+                         1, 8)) AS term
+                FROM documents WHERE doc_id % 101 = 0)
+              WHERE term <> ''),
+            scored AS (
+              SELECT q.query_id, tf.doc_id,
+                     round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                          * tf * (1.2 + 1)
+                          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ),
+                       6) AS score
+              FROM qterms q JOIN tf USING (term) JOIN dl USING (doc_id)
+                   JOIN dfq ON dfq.term = tf.term CROSS JOIN stats
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
+        """
+
+
+def _hybrid_rrf_sql() -> str:
+    """RRF replay (extensions/retrieval.py rrf_fuse): the two component
+    rankings are the EXACT bm25_topk and cosine_topk oracle programs
+    (embedded as subqueries so the twins can never drift), fused with
+    1/(60+rank) and re-ranked on the 9-dp-rounded sum."""
+    return f"""
+        WITH lex AS MATERIALIZED (
+          SELECT query_id, doc_id, rank FROM ({_BM25_TOPK_SQL})),
+        dense AS MATERIALIZED (
+          SELECT query_id, vec_id AS doc_id, rank
+          FROM ({_COSINE_TOPK_SQL.replace("q.vec_id < 5", "q.vec_id % 101 = 0")})
+          WHERE rank <= 5),
+        u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+        fused AS (
+          SELECT query_id, doc_id,
+                 round(sum(1.0 / (60 + rank)), 9) AS rrf_score,
+                 count(*) AS n_lists
+          FROM u GROUP BY 1, 2),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+        SELECT query_id, doc_id, rrf_score, n_lists, rank FROM rk WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3545,41 +3630,8 @@ def oracle_sql() -> dict[str, str]:
              AND a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
-        "bm25_topk": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-              FROM documents),
-            tf AS MATERIALIZED (
-              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-            dl AS MATERIALIZED (
-              SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            qterms AS (
-              SELECT DISTINCT query_id, term FROM (
-                SELECT doc_id AS query_id,
-                       unnest(list_slice(
-                         regexp_split_to_array(trim(lower(text)), '\s+'),
-                         1, 8)) AS term
-                FROM documents WHERE doc_id % 101 = 0)
-              WHERE term <> ''),
-            scored AS (
-              SELECT q.query_id, tf.doc_id,
-                     round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                          * tf * (1.2 + 1)
-                          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ),
-                       6) AS score
-              FROM qterms q JOIN tf USING (term) JOIN dl USING (doc_id)
-                   JOIN dfq ON dfq.term = tf.term CROSS JOIN stats
-              GROUP BY 1, 2),
-            ranked AS (
-              SELECT query_id, doc_id, score,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, doc_id ASC) AS rank
-              FROM scored)
-            SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 5
-        """,
+        "bm25_topk": _BM25_TOPK_SQL,
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "tfidf_top_terms": r"""
             WITH toks AS (
               SELECT doc_id AS id,

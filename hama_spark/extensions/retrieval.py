@@ -149,3 +149,53 @@ def self_queries(
             F.slice(tokenize(F.lower(_c(text_col))), 1, n_terms), " "
         ).alias("query_text"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    topk: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of N
+    ranked lists: rrf(q, d) = Σ_lists 1/(k0 + rank(q, d)) — the
+    standard score-free way to combine lexical (BM25) and dense
+    (embedding) retrieval in a hybrid RAG stack, robust to the two
+    scorers' incomparable scales because only RANKS enter the sum.
+
+    Each input is a (query_id, doc_id, rank) relation (extra columns
+    ignored); a document missing from a list simply contributes no term
+    for it. Returns (query_id, doc_id, rrf_score, n_lists, rank) with
+    rrf_score rounded to 9 dp and rank ordered on the ROUNDED score
+    (ties then doc_id) so the ordering replays exactly in ANSI SQL.
+    ``topk`` keeps the best rows per query.
+
+    Scale shape: one union of the (already tiny, top-k-per-query)
+    ranked lists, one partial-aggregated groupBy on (query_id, doc_id),
+    one bounded per-query window — the fused relation is ≤ Σ|lists|
+    rows regardless of corpus size; the corpus itself is never touched.
+    """
+    parts = [
+        r.select(
+            _c(query_id_col).alias("query_id"),
+            _c(id_col).alias("doc_id"),
+            _c(rank_col).cast("int").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(1.0 / (F.lit(k0) + F.col("rank"))), 9).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out

@@ -32,6 +32,11 @@ NESTED_LOOP_OK = {
     # same broadcast query-side scorer as cosine_topk, over the
     # metadata-filtered corpus slice
     "hybrid_search",
+    # fuses the bm25_topk and cosine_topk rankings, so it inherits both
+    # components' whitelisted broadcasts (1-row BM25 normalizer, dense
+    # broadcast query side); the fusion itself adds only a groupBy +
+    # bounded per-query window
+    "hybrid_rrf",
     # exact full-catalog scorer: users side broadcast, catalog scanned
     # map-side once (ANN twin most_preferred_items_ann is the scale path)
     "online_cf_topk",
