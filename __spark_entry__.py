@@ -2982,6 +2982,27 @@ def _q_hybrid_rrf(spark, t):
     return rrf_fuse([lex, dense], k0=60, topk=5)
 
 
+def _q_scd2_orders(spark, t):
+    """Type-2 SCD history (operators/incremental.py scd2_history) from
+    a deterministic CDC changelog derived from orders: key =
+    o_orderkey % 1000 (so keys carry many versions), seq = o_orderkey,
+    ops split I/U/D by key residue. One shuffle on the key; both
+    window passes share it."""
+    from hama_spark.operators.incremental import scd2_history
+
+    ch = t["orders"].select(
+        (F.col("o_orderkey") % 1000).alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.when(F.col("o_orderkey") % 97 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 1, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return scd2_history(ch, keys=["k"])
+
+
 def _q_fuzzy_match_customers(spark, t):
     """Blocked fuzzy record linkage (operators/linkage.py): customer
     name pairs within one edit inside a nation block — candidate
@@ -3036,6 +3057,7 @@ QUERIES: dict[str, Callable] = {
     "nb_lang_confusion": _q_nb_confusion,
     "bm25_topk": _q_bm25_topk,
     "hybrid_rrf": _q_hybrid_rrf,
+    "scd2_orders": _q_scd2_orders,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
     "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
@@ -3094,7 +3116,6 @@ QUERIES: dict[str, Callable] = {
     # signal first (triangle_count yielded its slot to hybrid_rrf this
     # session — unmodified since its r2 green row, re-verified by the
     # full selfcheck recorded in SELFCHECK_r04.json)
-    "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
     # NULL-hardened for empty documents late in round 4 (ANSI division
@@ -3111,6 +3132,7 @@ QUERIES: dict[str, Callable] = {
     # (tests/test_oracle_fuzz.py) value-checks exactly that branch
     # cross-engine — a strictly stronger signal than a fixture row.
     "triangle_count": _q_triangles,
+    "randbench": _q_randbench,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "heuristic_flags": _q_heuristic_flags,
@@ -3632,6 +3654,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_TOPK_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "scd2_orders": """
+            WITH ch AS (
+              SELECT o_orderkey % 1000 AS k,
+                     o_orderstatus AS status,
+                     round(o_totalprice, 2) AS price,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 'D'
+                          WHEN o_orderkey % 2 = 1 THEN 'U'
+                          ELSE 'I' END AS op,
+                     o_orderkey AS seq
+              FROM orders),
+            v AS (
+              SELECT *, lead(seq) OVER (
+                       PARTITION BY k ORDER BY seq, (op = 'D'), op
+                     ) AS next_seq
+              FROM ch)
+            SELECT k, status, price,
+                   seq AS valid_from, next_seq AS valid_to,
+                   next_seq IS NULL AS is_current
+            FROM v WHERE op <> 'D'
+        """,
         "tfidf_top_terms": r"""
             WITH toks AS (
               SELECT doc_id AS id,

@@ -6,6 +6,7 @@ from hama_spark.operators.incremental import (
     apply_changelog,
     merge_agg_states,
     retract_state,
+    scd2_history,
     state_metrics,
 )
 from hama_spark.operators.linkage import (
@@ -35,6 +36,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "agg_state",
     "apply_changelog",
+    "scd2_history",
     "merge_agg_states",
     "retract_state",
     "state_metrics",

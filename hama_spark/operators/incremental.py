@@ -164,3 +164,52 @@ def apply_changelog(
             for c in payload
         ],
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a CDC
+    changelog: one row per (key, version) with ``valid_from`` /
+    ``valid_to`` sequence bounds and an ``is_current`` flag — the
+    classic warehouse shape for as-of dimension joins, and the
+    lineage-preserving complement to ``apply_changelog`` (which keeps
+    only the latest state).
+
+    ``changes`` carries the full row payload plus ``op_col`` in
+    {'I','U','D'} and a monotonically increasing ``seq_col`` (commit
+    timestamp / LSN). Each I/U row opens a version at its ``seq``;
+    a version closes at the NEXT change's ``seq`` (half-open
+    [valid_from, valid_to) intervals, the standard convention); a 'D'
+    row closes the prior version without opening one, so deleted keys
+    simply have no current row. ``is_current`` marks versions with
+    ``valid_to`` NULL. Ties on ``seq_col`` break like
+    ``apply_changelog`` (delete first, then op descending) so the two
+    operators agree on the final state.
+
+    Scale shape: ONE shuffle of the changelog on the key columns; both
+    window passes (ordering + lead) share that single partitioning, and
+    the payload is never joined or rescanned. An incremental refresh at
+    lake scale runs this over base ∪ new-batch per affected key — keys
+    without new changes need not be touched.
+    """
+    payload = [c for c in changes.columns if c not in keys + [op_col, seq_col]]
+    order = [
+        F.asc(seq_col), F.asc(F.col(op_col) == "D"), F.asc(op_col)
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    versioned = (
+        changes.withColumn("_next_seq", F.lead(seq_col).over(w))
+        .filter(F.col(op_col) != "D")
+        .select(
+            *keys,
+            *payload,
+            F.col(seq_col).alias("valid_from"),
+            F.col("_next_seq").alias("valid_to"),
+            F.col("_next_seq").isNull().alias("is_current"),
+        )
+    )
+    return versioned

@@ -206,3 +206,63 @@ def test_apply_changelog_matches_reference_replay(spark):
         assert got == ref, (got, ref, ops)
 
     run()
+
+
+def test_scd2_history_versions_and_deletes(spark):
+    """Known changelog: versions chain with half-open [from, to)
+    bounds, a D closes without opening, re-insert after delete opens a
+    fresh current version."""
+    from hama_spark.operators.incremental import scd2_history
+
+    rows = [
+        # key 1: I(1) -> U(3) -> D(5) -> I(8): two closed, one current
+        (1, "a", "I", 1), (1, "b", "U", 3), (1, None, "D", 5), (1, "c", "I", 8),
+        # key 2: single insert, stays current
+        (2, "x", "I", 2),
+        # key 3: insert then delete: no current row
+        (3, "y", "I", 4), (3, None, "D", 6),
+    ]
+    ch = spark.createDataFrame(rows, "id long, v string, op string, seq long")
+    got = {
+        (r.id, r.valid_from): (r.v, r.valid_to, r.is_current)
+        for r in scd2_history(ch, ["id"]).collect()
+    }
+    assert got == {
+        (1, 1): ("a", 3, False),
+        (1, 3): ("b", 5, False),
+        (1, 8): ("c", None, True),
+        (2, 2): ("x", None, True),
+        (3, 4): ("y", 6, False),
+    }
+
+
+def test_scd2_current_state_agrees_with_apply_changelog(spark):
+    """The is_current slice of the history must equal apply_changelog
+    replayed over an empty base — including on seq ties, where both
+    operators break toward delete then op descending."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hama_spark.operators.incremental import apply_changelog, scd2_history
+
+    op = st.tuples(
+        st.integers(1, 3),
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 9),
+        st.integers(0, 5),                      # seq, DUPLICATES allowed
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=st.lists(op, min_size=1, max_size=10, unique_by=lambda t: (t[0], t[3], t[1])))
+    def run(ops):
+        changes = spark.createDataFrame(
+            [(k, v, o, s) for (k, o, v, s) in ops],
+            "id long, v long, op string, seq long",
+        )
+        base = spark.createDataFrame([], "id long, v long")
+        want = {r.id: r.v for r in apply_changelog(base, changes, ["id"]).collect()}
+        hist = scd2_history(changes, ["id"])
+        got = {r.id: r.v for r in hist.filter("is_current").collect()}
+        assert got == want, (got, want, ops)
+
+    run()
