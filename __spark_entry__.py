@@ -3003,6 +3003,19 @@ def _q_scd2_orders(spark, t):
     return scd2_history(ch, keys=["k"])
 
 
+def _q_link_prediction(spark, t):
+    """Neighborhood-overlap link prediction (graph/linkpred.py) on the
+    symmetrized supplier-part graph: top-25 vertex pairs by
+    Adamic-Adar through degree-capped wedge centers — candidate
+    generation cost is Σ deg(w)² over centers, never |V|²."""
+    from hama_spark.graph.linkpred import link_prediction
+
+    return link_prediction(
+        _sym_sp_edges_cached(spark, t),
+        max_neighbor_degree=64, min_common=2, topk=25, prepared=True,
+    )
+
+
 def _q_fuzzy_match_customers(spark, t):
     """Blocked fuzzy record linkage (operators/linkage.py): customer
     name pairs within one edit inside a nation block — candidate
@@ -3058,6 +3071,7 @@ QUERIES: dict[str, Callable] = {
     "bm25_topk": _q_bm25_topk,
     "hybrid_rrf": _q_hybrid_rrf,
     "scd2_orders": _q_scd2_orders,
+    "link_prediction": _q_link_prediction,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
     "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
@@ -3116,7 +3130,6 @@ QUERIES: dict[str, Callable] = {
     # signal first (triangle_count yielded its slot to hybrid_rrf this
     # session — unmodified since its r2 green row, re-verified by the
     # full selfcheck recorded in SELFCHECK_r04.json)
-    "spmv": _q_spmv,
     "matmul": _q_matmul,
     # NULL-hardened for empty documents late in round 4 (ANSI division
     # guards; byte-identical on the driver corpus, selfcheck-proven) —
@@ -3133,6 +3146,7 @@ QUERIES: dict[str, Callable] = {
     # cross-engine — a strictly stronger signal than a fixture row.
     "triangle_count": _q_triangles,
     "randbench": _q_randbench,
+    "spmv": _q_spmv,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "heuristic_flags": _q_heuristic_flags,
@@ -3673,6 +3687,31 @@ def oracle_sql() -> dict[str, str]:
                    seq AS valid_from, next_seq AS valid_to,
                    next_seq IS NULL AS is_current
             FROM v WHERE op <> 'D'
+        """,
+        "link_prediction": f"""
+            WITH re AS ({SP_EDGES_SQL}),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM re
+                UNION ALL SELECT dst AS src, src AS dst FROM re)),
+            deg AS MATERIALIZED (
+                SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+            legs AS MATERIALIZED (
+                SELECT e.src AS w, e.dst AS v, d.deg
+                FROM e JOIN deg d ON d.id = e.src WHERE d.deg <= 64),
+            pairs AS (
+                SELECT a.v AS id_a, b.v AS id_b,
+                       count(*) AS common_neighbors,
+                       round(sum(1.0 / ln(a.deg)), 6) AS adamic_adar
+                FROM legs a JOIN legs b ON a.w = b.w AND a.v < b.v
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT id_a, id_b, common_neighbors,
+                   round(common_neighbors::DOUBLE
+                         / (da.deg + db.deg - common_neighbors), 6) AS jaccard,
+                   adamic_adar
+            FROM pairs
+            JOIN deg da ON da.id = pairs.id_a
+            JOIN deg db ON db.id = pairs.id_b
+            ORDER BY adamic_adar DESC, id_a, id_b LIMIT 25
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

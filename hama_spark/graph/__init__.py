@@ -7,6 +7,7 @@ from hama_spark.graph.dynamic import dynamic_sum
 from hama_spark.graph.inlink import inlink_count
 from hama_spark.graph.kcore import kcore
 from hama_spark.graph.labelprop import label_propagation
+from hama_spark.graph.linkpred import link_prediction
 from hama_spark.graph.matching import bipartite_matching
 from hama_spark.graph.pagerank import pagerank
 from hama_spark.graph.semiclustering import semi_clustering

@@ -73,8 +73,8 @@ def test_modified_or_new_queries_lead_the_dict():
         "hits_scores", "harmonic_centrality", "nb_lang_confusion",
         "betweenness",
         # new in round 4
-        "bm25_topk", "hybrid_rrf", "scd2_orders", "fuzzy_match_customers",
-        "corpus_diff",
+        "bm25_topk", "hybrid_rrf", "scd2_orders", "link_prediction",
+        "fuzzy_match_customers", "corpus_diff",
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
         "ann_recall", "shared_span_pairs", "scrub_shared_spans",
         "scrub_boilerplate", "bpe_fertility", "hard_negatives",
