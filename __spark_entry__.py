@@ -3016,17 +3016,44 @@ def _q_link_prediction(spark, t):
     )
 
 
+_FUZZY_MEMO: dict = {}
+
+
+def _fuzzy_pairs_cached(spark, customer):
+    """Blocked fuzzy customer pairs, materialized once per (session,
+    table plan): fuzzy_match_customers and entity_clusters share the
+    FastSS candidate generation + levenshtein verify."""
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+
+    key = (spark.sparkContext.applicationId, customer.semanticHash())
+    if key not in _FUZZY_MEMO:
+        _FUZZY_MEMO.clear()  # single-entry memo, evict for GC
+        _FUZZY_MEMO[key] = blocked_fuzzy_pairs(
+            customer, "c_custkey", "c_name", ["c_nationkey"], max_distance=1
+        ).localCheckpoint(eager=True)
+    return _FUZZY_MEMO[key]
+
+
 def _q_fuzzy_match_customers(spark, t):
     """Blocked fuzzy record linkage (operators/linkage.py): customer
     name pairs within one edit inside a nation block — candidate
     generation is an equi-join on the blocking key so the quadratic is
     fenced to Σ|block|², and the levenshtein predicate is a JVM
     built-in post-join filter."""
-    from hama_spark.operators.linkage import blocked_fuzzy_pairs
+    return _fuzzy_pairs_cached(spark, t["customer"])
 
-    return blocked_fuzzy_pairs(
-        t["customer"], "c_custkey", "c_name", ["c_nationkey"], max_distance=1
-    )
+
+def _q_entity_clusters(spark, t):
+    """Entity resolution (operators/linkage.py entity_clusters): the
+    memoized fuzzy customer pairs collapse into entities via the
+    distributed Pregel CC, labeling EVERY record with its canonical
+    entity_id + cluster_size — the golden-record assignment."""
+    from hama_spark.operators.linkage import entity_clusters
+
+    cust = t["customer"]
+    return entity_clusters(
+        cust, _fuzzy_pairs_cached(spark, cust), "c_custkey"
+    ).select("c_custkey", "entity_id", "cluster_size")
 
 
 def _q_corpus_diff(spark, t):
@@ -3073,6 +3100,7 @@ QUERIES: dict[str, Callable] = {
     "scd2_orders": _q_scd2_orders,
     "link_prediction": _q_link_prediction,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
+    "entity_clusters": _q_entity_clusters,
     "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
@@ -3130,7 +3158,6 @@ QUERIES: dict[str, Callable] = {
     # signal first (triangle_count yielded its slot to hybrid_rrf this
     # session — unmodified since its r2 green row, re-verified by the
     # full selfcheck recorded in SELFCHECK_r04.json)
-    "matmul": _q_matmul,
     # NULL-hardened for empty documents late in round 4 (ANSI division
     # guards; byte-identical on the driver corpus, selfcheck-proven) —
     # back in the window per the modified-queries policy
@@ -3147,6 +3174,7 @@ QUERIES: dict[str, Callable] = {
     "triangle_count": _q_triangles,
     "randbench": _q_randbench,
     "spmv": _q_spmv,
+    "matmul": _q_matmul,
     "text_stats": _q_text_stats,
     "quality_score": _q_quality,
     "heuristic_flags": _q_heuristic_flags,
@@ -3665,6 +3693,30 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_nationkey = b.c_nationkey
              AND a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "entity_clusters": """
+            WITH RECURSIVE fp AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1),
+            e AS (SELECT id_a AS a, id_b AS b FROM fp
+                  UNION ALL SELECT id_b, id_a FROM fp),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+            lbl AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+            labeled AS (
+              SELECT c.c_custkey, coalesce(l.comp, c.c_custkey) AS comp
+              FROM customer c LEFT JOIN lbl l ON l.id = c.c_custkey),
+            stats AS (
+              SELECT comp, min(c_custkey) AS entity_id,
+                     CAST(count(*) AS BIGINT) AS cluster_size
+              FROM labeled GROUP BY comp)
+            SELECT c_custkey, entity_id, cluster_size
+            FROM labeled JOIN stats USING (comp)
         """,
         "bm25_topk": _BM25_TOPK_SQL,
         "hybrid_rrf": _hybrid_rrf_sql(),

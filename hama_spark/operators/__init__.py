@@ -11,6 +11,7 @@ from hama_spark.operators.incremental import (
 )
 from hama_spark.operators.linkage import (
     blocked_fuzzy_pairs,
+    entity_clusters,
     fuzzy_join,
     sorted_neighborhood_pairs,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "skew_report",
     "join_explosion_report",
     "blocked_fuzzy_pairs",
+    "entity_clusters",
     "fuzzy_join",
     "sorted_neighborhood_pairs",
     "agg_state",

@@ -220,3 +220,46 @@ def sorted_neighborhood_pairs(
             "distance",
         )
     )
+
+
+def entity_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Entity resolution tail: collapse linkage ``pairs`` (id_a, id_b —
+    from ``blocked_fuzzy_pairs`` / ``sorted_neighborhood_pairs``) into
+    entities via connected components, and label EVERY input record
+    with its entity: df columns + ``entity_id`` (the component's
+    minimum id — the canonical record) + ``cluster_size``. Unlike the
+    dedup collapse (``extensions.dedup.dedup_near``), which keeps one
+    survivor per cluster, this keeps all records — the shape a
+    golden-record / master-data step consumes.
+
+    Components run as distributed Pregel min-label propagation
+    (graph/components.py, the same engine twin as reference A3), so no
+    driver-side union-find; ids propagate zero-padded so the string min
+    equals the numeric min. Match clusters are shallow (diameter ≈
+    block size), so label propagation converges in a few supersteps.
+    """
+    from hama_spark.graph import mindist_search
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
+
+    ids = df.select(_c(id_col), pad(id_col).alias("_pid"))
+    # qualify through the frame handles: comp also carries an `id`
+    # column, which would otherwise collide with an `id`-named id_col
+    labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(
+        ids[id_col],
+        F.coalesce(comp["component"], ids["_pid"]).alias("_comp"),
+    )
+    stats = labeled.groupBy("_comp").agg(
+        F.min(id_col).alias("entity_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    assign = labeled.join(stats, "_comp").select(
+        id_col, "entity_id", "cluster_size"
+    )
+    return df.join(assign, id_col)

@@ -74,7 +74,7 @@ def test_modified_or_new_queries_lead_the_dict():
         "betweenness",
         # new in round 4
         "bm25_topk", "hybrid_rrf", "scd2_orders", "link_prediction",
-        "fuzzy_match_customers", "corpus_diff",
+        "fuzzy_match_customers", "entity_clusters", "corpus_diff",
         "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
         "ann_recall", "shared_span_pairs", "scrub_shared_spans",
         "scrub_boilerplate", "bpe_fertility", "hard_negatives",

@@ -179,3 +179,47 @@ def test_sorted_neighborhood_subset_of_exhaustive_and_windowed(spark, tables):
     # distance-1 neighbors are usually adjacent — recall is non-trivial
     if exhaustive:
         assert len(snm) / len(exhaustive) >= 0.3
+
+
+def test_entity_clusters_assigns_every_record(spark):
+    """Chain a-b, b-c plus isolated d: one 3-entity, one singleton;
+    every record keeps its row and gets the component-min entity_id."""
+    from hama_spark.operators.linkage import entity_clusters
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, name string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r.id: (r.entity_id, r.cluster_size, r.name)
+        for r in entity_clusters(df, pairs, "id").collect()
+    }
+    assert got == {
+        1: (1, 3, "a"),
+        2: (1, 3, "b"),
+        3: (1, 3, "c"),
+        4: (4, 1, "d"),
+    }
+
+
+def test_entity_clusters_consistent_with_fuzzy_pairs(spark, tables):
+    """On the customer fixture: entity assignments must be a valid
+    partition — every pair links two records of the SAME entity, and
+    cluster_size equals the actual member count."""
+    from hama_spark.operators.linkage import blocked_fuzzy_pairs, entity_clusters
+
+    cust = tables["customer"]
+    pairs = blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"], max_distance=1
+    ).localCheckpoint(eager=True)
+    out = entity_clusters(cust, pairs, "c_custkey").select(
+        "c_custkey", "entity_id", "cluster_size"
+    )
+    assign = {r.c_custkey: (r.entity_id, r.cluster_size) for r in out.collect()}
+    assert len(assign) == cust.count()
+    for r in pairs.collect():
+        assert assign[r.id_a][0] == assign[r.id_b][0], (r.id_a, r.id_b)
+    from collections import Counter
+    sizes = Counter(e for e, _ in assign.values())
+    for k, (e, s) in assign.items():
+        assert sizes[e] == s, (k, e, s)
