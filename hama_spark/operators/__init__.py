@@ -6,6 +6,7 @@ from hama_spark.operators.incremental import (
     apply_changelog,
     merge_agg_states,
     retract_state,
+    scd2_asof_join,
     scd2_history,
     state_metrics,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "agg_state",
     "apply_changelog",
+    "scd2_asof_join",
     "scd2_history",
     "merge_agg_states",
     "retract_state",

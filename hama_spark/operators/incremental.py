@@ -213,3 +213,45 @@ def scd2_history(
         )
     )
     return versioned
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join facts to the dimension version that was valid AT the fact's
+    time: each fact row picks the ``scd2_history`` row with
+    ``valid_from <= ts < valid_to`` (current versions have NULL
+    valid_to, i.e. an open upper bound) — the standard point-in-time
+    dimension lookup. Facts before a key's first version (or inside a
+    deleted gap) keep NULL dimension columns under ``how='left'``.
+
+    Scale shape: ONE equi-join on the key columns with the interval
+    predicate as a join-time filter — valid because versions of one key
+    never overlap (they chain end-to-start by construction), so at most
+    one history row survives per fact and the join never amplifies.
+    Keys hold few versions each; a pathological hot key is a skew
+    problem for the equi-join exactly like any other join (salt via
+    operators/skew.py if needed).
+    """
+    hist = history.select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys],
+        *[
+            F.col(c)
+            for c in history.columns
+            if c not in keys
+        ],
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (facts[k] == hist[f"_h_{k}"])
+    cond = (
+        cond
+        & (hist["valid_from"] <= facts[ts_col])
+        & (hist["valid_to"].isNull() | (facts[ts_col] < hist["valid_to"]))
+    )
+    out = facts.join(hist, cond, how)
+    return out.drop(*[f"_h_{k}" for k in keys])

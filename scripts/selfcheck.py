@@ -3,6 +3,11 @@ at sf0.01 in Spark AND its DuckDB oracle, compare row count + column
 names + order-insensitive values. Usage:
 
     python scripts/selfcheck.py [query ...]   # default: all
+
+A FULL run (no query filter) also records the per-query verdicts to
+SELFCHECK_r{N}.json (N from SPARK_GRAFT_ROUND, default 04) — the
+committed evidence that out-of-window queries were value-checked this
+round, referenced by tests/test_driver_contract.py.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -54,11 +60,13 @@ def main() -> int:
             cols = df.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "why": f"spark error: {e}"[:300]}
             failures += 1
             continue
         elapsed = time.time() - t0
         if name not in oracles:
             print(f"ok-   {name}: rows={len(rows)} (rows-only, no oracle) [{elapsed:.1f}s]")
+            results[name] = {"status": "rows-only", "rows": len(rows), "secs": round(elapsed, 1)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -66,10 +74,12 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            results[name] = {"status": "FAIL", "why": f"oracle error: {e}"[:300]}
             failures += 1
             continue
         if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
             print(f"FAIL  {name}: columns {cols} vs oracle {ocols}")
+            results[name] = {"status": "FAIL", "why": f"columns {cols} vs {ocols}"[:300]}
             failures += 1
             continue
         # align oracle column order to spark's
@@ -77,6 +87,7 @@ def main() -> int:
         orows = [tuple(r[i] for i in idx) for r in orows]
         if len(rows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(rows)} vs oracle {len(orows)}")
+            results[name] = {"status": "FAIL", "why": f"rowcount {len(rows)} vs {len(orows)}"}
             failures += 1
             continue
         a = sorted(tuple(norm(v) for v in r) for r in rows)
@@ -84,10 +95,23 @@ def main() -> int:
         if a != b:
             bad = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            results[name] = {"status": "FAIL", "why": f"value mismatch: {bad}"[:300]}
             failures += 1
             continue
         print(f"OK    {name}: rows={len(rows)} hash-match [{elapsed:.1f}s]")
+        results[name] = {"status": "hash-match", "rows": len(rows), "secs": round(elapsed, 1)}
     print("FAILURES:", failures)
+    if not only:
+        import json
+
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "04")
+        path = f"/root/repo/SELFCHECK_r{rnd}.json"
+        with open(path, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "failures": failures, "results": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {path}")
     return 1 if failures else 0
 
 

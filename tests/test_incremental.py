@@ -266,3 +266,40 @@ def test_scd2_current_state_agrees_with_apply_changelog(spark):
         assert got == want, (got, want, ops)
 
     run()
+
+
+def test_scd2_asof_join_point_in_time(spark):
+    """Facts pick the version valid at their timestamp; pre-history and
+    deleted-gap facts keep NULLs; the interval equi-join never
+    amplifies (one history row max per fact)."""
+    from hama_spark.operators.incremental import scd2_asof_join, scd2_history
+
+    ch = spark.createDataFrame(
+        [
+            (1, "v1", "I", 10), (1, "v2", "U", 20), (1, None, "D", 30),
+            (1, "v3", "I", 40),
+            (2, "w1", "I", 15),
+        ],
+        "id long, v string, op string, seq long",
+    )
+    hist = scd2_history(ch, ["id"])
+    facts = spark.createDataFrame(
+        [
+            (1, 5),    # before first version -> NULL
+            (1, 10),   # inclusive lower bound -> v1
+            (1, 19),   # -> v1
+            (1, 20),   # half-open: exactly at next valid_from -> v2
+            (1, 35),   # deleted gap -> NULL
+            (1, 99),   # current -> v3
+            (2, 15),   # -> w1
+            (3, 50),   # unknown key -> NULL
+        ],
+        "id long, ts long",
+    )
+    out = scd2_asof_join(facts, hist, ["id"], "ts")
+    got = {(r.id, r.ts): r.v for r in out.collect()}
+    assert got == {
+        (1, 5): None, (1, 10): "v1", (1, 19): "v1", (1, 20): "v2",
+        (1, 35): None, (1, 99): "v3", (2, 15): "w1", (3, 50): None,
+    }
+    assert out.count() == facts.count()  # no amplification
