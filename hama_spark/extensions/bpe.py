@@ -222,10 +222,15 @@ def bpe_top_tokens(
     counts = syms.groupBy("token").agg(
         F.sum("n").cast("long").alias("n_occurrences")
     )
+    # top-k FIRST via orderBy+limit (TakeOrdered: distributed partial
+    # top-k, never a single-task global window over the whole symbol
+    # vocabulary), then rank the top_n survivors — the empty-partition
+    # window is top_n rows only (same shape as pmi_top_pairs)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= top_n)
+        counts.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
     )
 
 

@@ -170,3 +170,70 @@ def append_to_minhash_index(
         "append"
     ).partitionBy("band").parquet(f"{path}/bands")
     sig.write.mode("append").parquet(f"{path}/sigs")
+
+
+def stream_dedup_against_index(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extend_index: bool = True,
+    trigger_available_now: bool = False,
+):
+    """Continuous-ingest near-dedup: each micro-batch is deduplicated
+    against the persistent MinHash index (cross-corpus AND within the
+    batch itself), survivors land in ``output_path`` parquet, and —
+    with ``extend_index`` — the index absorbs them so the NEXT batch
+    dedups against everything seen so far. This is the foreachBatch
+    composition of ``dedup_against_index`` + ``append_to_minhash_index``
+    (exactly-once per batch via the streaming checkpoint: a replayed
+    batch re-runs the same deterministic dedup).
+
+    Within-batch duplicates collapse to the lowest id (the in-session
+    self-join pair finder + connected components from
+    ``extensions.dedup.dedup_near``), so two near-identical docs
+    arriving in ONE batch cannot both enter the index.
+
+    Returns the StreamingQuery; callers stop it (or use
+    ``trigger_available_now`` to drain and stop).
+    """
+    from hama_spark.extensions.dedup import dedup_near
+
+    # the index recipe also drives the WITHIN-batch dedup, so batch
+    # self-collapse and cross-index probes can never use different
+    # signature parameters
+    meta = (
+        stream.sparkSession.read.parquet(f"{index_path}/meta")
+        .collect()[0]
+        .asDict()
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        survivors = dedup_against_index(
+            batch, index_path, threshold, id_col, text_col
+        )
+        keep_ids = dedup_near(
+            survivors,
+            threshold=threshold,
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+            k=meta["k"],
+            id_col=id_col,
+            text_col=text_col,
+        ).select(id_col)
+        survivors = survivors.join(keep_ids, id_col).localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(output_path)
+        if extend_index:
+            append_to_minhash_index(survivors, index_path, id_col, text_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

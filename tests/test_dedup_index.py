@@ -116,3 +116,47 @@ def test_dedup_and_append_loop(spark, split_docs, tmp_path):
     assert selfs.agg(F.min("est_jaccard")).collect()[0][0] == 1.0
     # layout: bands/ is hive-partitioned by band for per-band joins
     assert len(glob.glob(f"{path}/bands/band=*")) == 4
+
+
+def test_stream_dedup_against_index(spark, split_docs, tmp_path):
+    """availableNow streaming drain: survivors written to parquet must
+    equal the batch dedup_against_index + within-batch collapse, and
+    the extended index rejects a replay of the same docs entirely."""
+    from hama_spark.extensions.dedup_index import (
+        dedup_against_index,
+        near_dups_vs_index,
+        save_minhash_index,
+        stream_dedup_against_index,
+    )
+
+    old, new = split_docs
+    idx = str(tmp_path / "mh_s")
+    save_minhash_index(old, idx, num_hashes=16, bands=4, k=3)
+
+    # batch twin FIRST, against the pristine index (the stream extends
+    # it): cross-index dedup, then within-batch collapse
+    from hama_spark.extensions.dedup import dedup_near
+
+    surv = dedup_against_index(new, idx, threshold=0.5)
+    want_ids = {
+        r.doc_id
+        for r in dedup_near(surv, threshold=0.5).join(
+            surv.select("doc_id"), "doc_id"
+        ).select("doc_id").collect()
+    }
+
+    src_dir = str(tmp_path / "incoming")
+    new.write.parquet(src_dir)
+    stream = spark.readStream.schema(new.schema).parquet(src_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_dedup_against_index(
+        stream, idx, out_dir, ckpt, threshold=0.5, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    got_ids = {r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+    # every survivor entered the index: replaying the SAME batch now
+    # dedups to nothing (survivors self-match at 1.0, collapsed docs
+    # match their cluster's surviving representative)
+    assert dedup_against_index(new, idx, threshold=0.5).count() == 0
