@@ -199,3 +199,75 @@ def rrf_fuse(
     if topk is not None:
         out = out.filter(F.col("rank") <= topk)
     return out
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    min_sim: float = 0.3,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs (id_a < id_b, cosine) with tf-idf cosine >=
+    ``min_sim``, via an INVERTED-INDEX join — the sparse-vector member
+    of the similarity family (dense pairs: LSH/SemDeDup in
+    extensions/similarity.py; lexical search: bm25_topk). Classic use:
+    topical near-dup candidates and related-document suggestion where
+    embeddings don't exist yet.
+
+    tf-idf weight = tf · ln((N+1)/(df+1)), L2-normalized per document
+    over the KEPT terms; cosine = Σ w_a·w_b over shared terms, rounded
+    to 6 dp.
+
+    Scale shape: pairs come from a self-join of the postings relation
+    on the term — cost Σ_term df², which ``max_df_frac`` bounds by
+    dropping terms appearing in more than that fraction of documents
+    (the stop-word fence: ubiquitous terms contribute near-zero idf
+    weight but quadratic join output, so dropping them is both the
+    quality and the scale move; replayed identically by any SQL twin).
+    No |docs|² stage anywhere; the corpus text is scanned once into the
+    postings aggregate.
+    """
+    tf = term_frequencies(docs, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(_c(id_col)).distinct().count()  # O(1) scalar
+    # plain equi-join on term — the df relation is vocabulary-sized, so
+    # AQE broadcasts it when small and shuffles it when a 100 TB corpus
+    # makes the vocabulary big; forcing a broadcast here would be wrong
+    # at scale
+    kept = (
+        tf.join(
+            dfreq.filter(F.col("df") <= int(max_df_frac * n_docs)),
+            "term",
+        )
+        .select(
+            F.col("doc_id"),
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+            ).alias("w"),
+        )
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    unit = (
+        kept.join(norms, "doc_id")
+        .filter(F.col("norm") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("norm")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_sim)
+    )

@@ -73,3 +73,58 @@ def test_driver_fusion_ranks_self_document_first(spark, tables):
     # ranking may out-vote it for rank 1, but cannot push it out)
     in_top5 = {r.query_id for r in rows if r.query_id == r.doc_id}
     assert in_top5 == queries
+
+
+def test_tfidf_cosine_pairs_matches_duckdb(spark, tables, duck):
+    """Inverted-index sparse cosine vs a full DuckDB replay of the same
+    tf-idf/normalize/df-fence program on the fixture corpus."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.extensions.retrieval import tfidf_cosine_pairs
+
+    got = tfidf_cosine_pairs(tables["documents"], min_sim=0.2, max_df_frac=0.5)
+    n_docs = duck.execute("SELECT count(DISTINCT doc_id) FROM documents").fetchone()[0]
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        kept AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(({n_docs} + 1)::DOUBLE / (df + 1)) AS w
+          FROM tf JOIN dfq USING (term)
+          WHERE df <= CAST(0.5 * {n_docs} AS BIGINT)),
+        norms AS (
+          SELECT doc_id, sqrt(sum(w * w)) AS norm FROM kept GROUP BY 1),
+        unit AS (
+          SELECT k.doc_id, k.term, k.w / n.norm AS w
+          FROM kept k JOIN norms n USING (doc_id) WHERE n.norm > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(sum(a.w * b.w), 6) AS cosine
+        FROM unit a JOIN unit b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING round(sum(a.w * b.w), 6) >= 0.2
+    """
+    assert_df_equals_oracle(got, duck, sql, tol=1e-5)
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    from hama_spark.extensions.retrieval import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_df_frac=1.0: identical docs share every term -> cosine 1.0
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, min_sim=0.0, max_df_frac=1.0).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) not in got and (2, 3) not in got  # no shared terms
