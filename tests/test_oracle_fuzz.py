@@ -387,3 +387,98 @@ def test_embedding_queries_match_oracle_on_exact_vectors(spark, duck, vecs):
             "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
             f"read_parquet('{cft.SF_DIR}/embeddings.parquet')"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-3: SCD2 over a fuzzed orders changelog, and fuzzy
+# linkage + entity resolution over fuzzed customer names
+# ---------------------------------------------------------------------------
+
+_ORDER_ROW = st.tuples(
+    st.integers(min_value=0, max_value=2999),   # o_orderkey (keys collide mod 1000)
+    st.sampled_from(["O", "F", "P"]),
+    st.integers(min_value=0, max_value=400),    # price in exact quarters
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(raw=st.lists(_ORDER_ROW, min_size=1, max_size=20, unique_by=lambda r: r[0]))
+def test_scd2_matches_oracle_on_random_changelogs(spark, duck, raw):
+    """Version chains, deletes (key%97==0) and re-inserts on random
+    order keys; prices are exact quarters so round(x, 2) is parity-safe
+    across engines."""
+    rows = [(k, s, p / 4.0) for k, s, p in raw]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    # CAST: DuckDB infers DECIMAL for float literals, which _norm would
+    # print as '0.0' vs the double's '0'
+    vals = ", ".join(
+        f"({k}, '{s}', CAST({p!r} AS DOUBLE))" for k, s, p in rows
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+        f"(VALUES {vals}) t(o_orderkey, o_orderstatus, o_totalprice)"
+    )
+    try:
+        df = entry.QUERIES["scd2_orders"](spark, {"orders": orders})
+        cols = sorted(df.columns)
+        got = sorted("|".join(_norm(r[c]) for c in cols) for r in df.collect())
+        cur = duck.execute(entry.oracle_sql()["scd2_orders"])
+        onames = [d[0] for d in cur.description]
+        want = sorted(
+            "|".join(_norm(v) for _, v in sorted(zip(onames, r)))
+            for r in cur.fetchall()
+        )
+        assert sorted(onames) == cols, (onames, cols)
+        assert got == want, (got[:5], want[:5])
+    finally:
+        duck.execute(
+            "CREATE OR REPLACE VIEW orders AS SELECT * FROM "
+            f"read_parquet('{cft.SF_DIR}/orders.parquet')"
+        )
+
+
+_NAME = st.text(alphabet=st.sampled_from("abcd #0"), min_size=0, max_size=8)
+
+
+@settings(max_examples=4, deadline=None)
+@given(names=st.lists(_NAME, min_size=2, max_size=10))
+def test_linkage_and_entity_clusters_match_oracle_on_random_names(
+    spark, duck, names
+):
+    """FastSS candidate generation + levenshtein verify + recursive-CTE
+    CC replay on tiny random alphabets — near-match-dense inputs the
+    customer fixture never shows (empty names, exact dups, #-runs)."""
+    rows = [(i, n, i % 2) for i, n in enumerate(names)]
+    cust = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long"
+    )
+    vals = ", ".join(
+        "(%d, '%s', %d)" % (i, n.replace("'", "''"), nk) for i, n, nk in rows
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW customer AS SELECT * FROM "
+        f"(VALUES {vals}) t(c_custkey, c_name, c_nationkey)"
+    )
+    oracles = entry.oracle_sql()
+    try:
+        for name in ("fuzzy_match_customers", "entity_clusters"):
+            df = entry.QUERIES[name](spark, {"customer": cust})
+            cols = sorted(df.columns)
+            got = sorted(
+                "|".join(_norm(r[c]) for c in cols) for r in df.collect()
+            )
+            cur = duck.execute(oracles[name])
+            onames = [d[0] for d in cur.description]
+            want = sorted(
+                "|".join(_norm(v) for _, v in sorted(zip(onames, r)))
+                for r in cur.fetchall()
+            )
+            assert sorted(onames) == cols, (name, onames, cols)
+            assert got == want, (name, got[:5], want[:5])
+    finally:
+        duck.execute(
+            "CREATE OR REPLACE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{cft.SF_DIR}/customer.parquet')"
+        )
