@@ -335,3 +335,71 @@ def split_dataset(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def bucket_by_length(
+    df: DataFrame,
+    batch_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Length-bucketed dynamic batching: group documents of similar
+    length and cut fixed-capacity batches inside each group, so a
+    training loader pads every sequence in a batch to the group's
+    power-of-two bound instead of the global maximum — the standard
+    padding-waste fix. Adds (length_bucket, pad_len, pos_in_bucket,
+    batch_id):
+
+    - ``length_bucket`` = ceil(log2(len)) (len 0/1 -> bucket 0), so
+      bucket b holds lengths (2^(b-1), 2^b] and ``pad_len`` = 2^b;
+    - batches hold ``capacity = max(1, batch_tokens // pad_len)`` docs,
+      so capacity · pad_len <= batch_tokens for every full batch;
+    - order within a bucket is the seeded md5 shuffle (deterministic,
+      engine-replayable); ``batch_id`` = 'b<bucket>_<chunk>'.
+
+    Scale shape: the per-bucket ordering runs the same TWO-PHASE trick
+    as ``pack_sequences`` with the length bucket as an extra key —
+    a window per (length_bucket, hash-bucket) slice (bounded, parallel)
+    plus an offsets window over the |buckets|·num_buckets count rows —
+    never a single-partition sort, even when one length bucket holds
+    the whole corpus.
+    """
+    ln = F.greatest(F.col(token_col).cast("long"), F.lit(1))
+    lb = F.ceil(F.log2(ln)).cast("int")
+    h = _hash_key(seed, F.col(id_col))
+    base = (
+        df.withColumn("_lb", lb)
+        .withColumn("_h", h)
+        .withColumn("_bkt", F.pmod(F.col("_h"), F.lit(num_buckets)))
+    )
+    w = Window.partitionBy("_lb", "_bkt").orderBy("_h", id_col)
+    base = base.withColumn("_pos_in", F.row_number().over(w))
+    totals = base.groupBy("_lb", "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # offsets frame: |length buckets| x num_buckets rows total
+    woff = (
+        Window.partitionBy("_lb")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_lb", "_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    pad = F.expr("shiftleft(1, _lb)").cast("long")
+    cap = F.greatest(F.floor(F.lit(int(batch_tokens)) / pad), F.lit(1)).cast("long")
+    out = (
+        base.join(F.broadcast(offsets), ["_lb", "_bkt"])
+        .withColumn("pos_in_bucket", (F.col("_off") + F.col("_pos_in")).cast("long"))
+        .select(
+            *df.columns,
+            F.col("_lb").alias("length_bucket"),
+            pad.alias("pad_len"),
+            "pos_in_bucket",
+            F.concat(
+                F.lit("b"), F.col("_lb"), F.lit("_"),
+                F.floor((F.col("_off") + F.col("_pos_in") - 1) / cap).cast("long"),
+            ).alias("batch_id"),
+        )
+    )
+    return out

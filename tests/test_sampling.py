@@ -162,3 +162,68 @@ def test_split_dataset_group_coherence(spark, tables):
     assert per_group.filter(F.col("n_splits") > 1).count() == 0
     # and the groups actually spread over more than one split overall
     assert out.select("split").distinct().count() > 1
+
+
+def test_bucket_by_length_batching_invariants(spark, tables):
+    """Power-of-two buckets, batch capacity honors the token budget,
+    positions are a per-bucket permutation, batches fill in position
+    order and only the LAST batch of a bucket may be short."""
+    from collections import defaultdict
+
+    from hama_spark.extensions.sampling import bucket_by_length
+
+    docs = tables["documents"].select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    out = bucket_by_length(docs, batch_tokens=4096, token_col="n_tokens").collect()
+    assert len(out) == docs.count()
+    per_bucket = defaultdict(list)
+    for r in out:
+        assert r.pad_len == 2 ** r.length_bucket
+        assert max(r.n_tokens, 1) <= r.pad_len
+        if r.length_bucket > 0:
+            assert max(r.n_tokens, 1) > r.pad_len // 2  # tightest bound
+        per_bucket[r.length_bucket].append(r)
+    for b, rows in per_bucket.items():
+        cap = max(1, 4096 // (2 ** b))
+        rows.sort(key=lambda r: r.pos_in_bucket)
+        assert [r.pos_in_bucket for r in rows] == list(range(1, len(rows) + 1))
+        sizes = defaultdict(int)
+        for r in rows:
+            assert r.batch_id == f"b{b}_{(r.pos_in_bucket - 1) // cap}"
+            sizes[r.batch_id] += 1
+        n_batches = len(sizes)
+        for bid, n in sizes.items():
+            assert n <= cap
+            if int(bid.rsplit("_", 1)[1]) < n_batches - 1:
+                assert n == cap  # only the last batch may be short
+
+
+def test_bucket_by_length_matches_duckdb_replay(spark, tables, duck):
+    """The whole assignment (bucket, pad, seeded order, batch ids)
+    replays exactly in SQL — same md5 discipline as global_shuffle."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.extensions.sampling import bucket_by_length
+
+    docs = tables["documents"].select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    got = bucket_by_length(docs, batch_tokens=4096, token_col="n_tokens", seed=42)
+    sql = """
+        WITH d AS (
+          SELECT doc_id, length(text) AS n_tokens,
+                 CAST(ceil(log2(greatest(length(text), 1))) AS INT) AS lb,
+                 ('0x' || substr(md5('42:' || doc_id), 1, 12))::BIGINT AS h
+          FROM documents),
+        p AS (
+          SELECT *, row_number() OVER (PARTITION BY lb ORDER BY h % 64, h, doc_id) AS pos_in_bucket
+          FROM d)
+        SELECT doc_id, n_tokens, lb AS length_bucket,
+               CAST(power(2, lb) AS BIGINT) AS pad_len,
+               CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket,
+               'b' || lb || '_' ||
+                 CAST(floor((pos_in_bucket - 1) / greatest(floor(4096 / power(2, lb)), 1)) AS BIGINT) AS batch_id
+        FROM p
+    """
+    assert_df_equals_oracle(got, duck, sql)
