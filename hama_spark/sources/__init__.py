@@ -13,6 +13,14 @@ from hama_spark.sources.io import (
     write_sequence_file,
     write_text_kv,
 )
+from hama_spark.sources.lake import (
+    current_version,
+    list_snapshots,
+    merge_snapshot,
+    read_snapshot,
+    vacuum_snapshots,
+    write_snapshot,
+)
 from hama_spark.sources.zorder import with_zorder_key, write_zordered
 from hama_spark.sources.readers import (
     read_json_graph,
@@ -42,4 +50,10 @@ __all__ = [
     "write_jsonl_docs",
     "pipe_lines",
     "observed",
+    "write_snapshot",
+    "read_snapshot",
+    "merge_snapshot",
+    "list_snapshots",
+    "current_version",
+    "vacuum_snapshots",
 ]

@@ -1,0 +1,95 @@
+"""Versioned-snapshot lake (sources/lake.py): commit/read/time-travel/
+merge/vacuum lifecycle, crash-invisibility of uncommitted snapshots,
+and merge agreement with apply_changelog."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def test_snapshot_lifecycle_and_time_travel(spark, tmp_path):
+    from hama_spark.sources.lake import (
+        current_version,
+        list_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id long, v string")
+    assert current_version(spark, t) is None
+    assert write_snapshot(df1, t) == 1
+    assert write_snapshot(df2, t) == 2
+    assert list_snapshots(spark, t) == [1, 2]
+    assert {r.v for r in read_snapshot(spark, t).collect()} == {"a2", "c"}
+    assert {r.v for r in read_snapshot(spark, t, version=1).collect()} == {"a", "b"}
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, version=99)
+
+
+def test_uncommitted_snapshot_is_invisible_and_never_blocks(spark, tmp_path):
+    """A version directory without _SUCCESS (crashed write) is skipped
+    by readers, and the next writer mints a version ABOVE it instead of
+    colliding with the debris."""
+    from hama_spark.sources.lake import (
+        list_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    write_snapshot(df, t)
+    # simulate a crashed v=2: directory with data but no marker
+    df.write.parquet(f"{t}/v=2")
+    os.remove(f"{t}/v=2/_SUCCESS")
+    assert list_snapshots(spark, t) == [1]
+    assert read_snapshot(spark, t).count() == 1
+    # next commit skips the debris number
+    assert write_snapshot(df, t) == 3
+    assert list_snapshots(spark, t) == [1, 3]
+
+
+def test_merge_snapshot_matches_apply_changelog(spark, tmp_path):
+    from hama_spark.operators.incremental import apply_changelog
+    from hama_spark.sources.lake import merge_snapshot, read_snapshot
+
+    t = str(tmp_path / "tbl")
+    boot = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 1)], "id long, v string, op string, seq long"
+    )
+    assert merge_snapshot(spark, t, boot, ["id"]) == 1
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 2), (2, None, "D", 2), (3, "c", "I", 2)],
+        "id long, v string, op string, seq long",
+    )
+    assert merge_snapshot(spark, t, changes, ["id"]) == 2
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    want = {r.id: r.v for r in apply_changelog(base, changes, ["id"]).collect()}
+    assert got == want == {1: "a2", 3: "c"}
+    # time travel still sees the pre-merge state
+    assert {r.id for r in read_snapshot(spark, t, version=1).collect()} == {1, 2}
+
+
+def test_vacuum_keeps_newest_and_removes_debris(spark, tmp_path):
+    from hama_spark.sources.lake import (
+        list_snapshots,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    for _ in range(4):
+        write_snapshot(df, t)
+    # crashed debris
+    df.write.parquet(f"{t}/v=9")
+    os.remove(f"{t}/v=9/_SUCCESS")
+    removed = vacuum_snapshots(spark, t, keep_last=2)
+    assert removed == [1, 2, 9]
+    assert list_snapshots(spark, t) == [3, 4]
+    assert not os.path.exists(f"{t}/v=9")
