@@ -155,3 +155,41 @@ def vacuum_snapshots(
             fs.delete(status.getPath(), True)
             removed.append(int(m.group(1)))
     return sorted(removed)
+
+
+def stream_merge_into(
+    stream_changes: DataFrame,
+    table_path: str,
+    keys: list[str],
+    checkpoint_path: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    trigger_available_now: bool = False,
+):
+    """Continuous CDC apply: each micro-batch of I/U/D changes merges
+    into the snapshot table (``merge_snapshot``), so the table's
+    current version always reflects the stream so far and every
+    micro-batch boundary is a time-travelable version. Idempotent under
+    streaming replay in effect: re-merging an already-applied batch
+    re-asserts the same final rows for its keys (I/U overwrite with the
+    same payload, D of an absent key is a no-op) — the snapshot gains a
+    redundant version, not wrong data.
+
+    Returns the StreamingQuery; stop it (or pass
+    ``trigger_available_now`` to drain and stop).
+    """
+    spark = stream_changes.sparkSession
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_snapshot(spark, table_path, batch, keys, op_col, seq_col)
+
+    writer = (
+        stream_changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

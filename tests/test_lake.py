@@ -93,3 +93,37 @@ def test_vacuum_keeps_newest_and_removes_debris(spark, tmp_path):
     assert removed == [1, 2, 9]
     assert list_snapshots(spark, t) == [3, 4]
     assert not os.path.exists(f"{t}/v=9")
+
+
+def test_stream_merge_into_applies_cdc_per_batch(spark, tmp_path):
+    """availableNow drain of a parquet CDC stream: the final snapshot
+    equals the batch merge of all changes, and intermediate versions
+    exist for time travel."""
+    from hama_spark.sources.lake import (
+        current_version,
+        read_snapshot,
+        stream_merge_into,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_snapshot(base, t)
+
+    src = str(tmp_path / "cdc")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U", 2), (2, None, "D", 2), (3, "c", "I", 2)],
+        "id long, v string, op string, seq long",
+    )
+    changes.write.parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    q = stream_merge_into(
+        stream, t, ["id"], str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    assert current_version(spark, t) >= 2
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a2", 3: "c"}
+    # pre-stream state still travelable
+    assert {r.id for r in read_snapshot(spark, t, version=1).collect()} == {1, 2}
