@@ -3178,13 +3178,17 @@ QUERIES: dict[str, Callable] = {
     "quality_classifier": _q_quality_classifier,
     "corpus_stats": _q_corpus_stats,
     # ---- driver window boundary (entry 50 above this line) ----------
-    # text_stats, quality_score and heuristic_flags are the
-    # NULL-hardened queries the round-4 additions (bm25_topk,
-    # fuzzy_match_customers, corpus_diff) displaced from the packed
-    # window: their hardened branch (empty documents) never fires on
-    # the driver fixture, and the random-corpora oracle fuzz
-    # (tests/test_oracle_fuzz.py) value-checks exactly that branch
-    # cross-engine — a strictly stronger signal than a fixture row.
+    # Everything below holds a green row (r2 or r3) on code unchanged
+    # since, re-verified this round by the full-inventory selfcheck
+    # recorded in SELFCHECK_r04.json (119/119 hash-match at sf0.01).
+    # triangle_count/randbench/spmv/matmul yielded their refresh slots
+    # to the session-3 additions (hybrid_rrf, scd2_orders,
+    # link_prediction, entity_clusters). text_stats/quality_score/
+    # heuristic_flags: the round-4 NULL-hardened branch (empty
+    # documents) never fires on the driver fixture, and the
+    # random-corpora oracle fuzz (tests/test_oracle_fuzz.py)
+    # value-checks exactly that branch cross-engine — a strictly
+    # stronger signal than a fixture row.
     "triangle_count": _q_triangles,
     "randbench": _q_randbench,
     "spmv": _q_spmv,
