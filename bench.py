@@ -59,6 +59,9 @@ ITERATIVE_LAST = [
     "random_walks", "label_communities", "online_cf_topk",
     "gradient_descent_linear", "gradient_descent_logistic", "kmeans_sizes",
     "hits_scores", "harmonic_centrality", "betweenness",
+    # first Pregel consumer in dict order — time it after the core
+    # graph block has paid the iterative first-touch costs
+    "entity_clusters",
 ]
 
 
