@@ -141,7 +141,10 @@ def _hits_sql(edges_sql: str, iters: int) -> str:
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
         "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),",
-        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM v)",
+        "h0 AS (SELECT id, 1.0::DOUBLE AS hub FROM v),",
+        # a0 exists so the iters=0 replay is valid SQL (Spark's hits()
+        # normalizes the all-ones initial state at iterations=0 too)
+        "a0 AS (SELECT id, 1.0::DOUBLE AS authority FROM v)",
     ]
     for t in range(iters):
         parts.append(f""", a{t + 1} AS MATERIALIZED (

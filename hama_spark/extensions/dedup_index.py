@@ -185,12 +185,20 @@ def stream_dedup_against_index(
 ):
     """Continuous-ingest near-dedup: each micro-batch is deduplicated
     against the persistent MinHash index (cross-corpus AND within the
-    batch itself), survivors land in ``output_path`` parquet, and —
-    with ``extend_index`` — the index absorbs them so the NEXT batch
-    dedups against everything seen so far. This is the foreachBatch
-    composition of ``dedup_against_index`` + ``append_to_minhash_index``
-    (exactly-once per batch via the streaming checkpoint: a replayed
-    batch re-runs the same deterministic dedup).
+    batch itself), survivors land under ``output_path/batch=<id>``, and
+    — with ``extend_index`` — the index absorbs them so the NEXT batch
+    dedups against everything seen so far.
+
+    Replay semantics (crash between the sink write and the index
+    append, or any checkpoint replay): the survivor computation is
+    deterministic, the sink writes each batch to its OWN
+    ``batch=<batch_id>`` directory with overwrite — so a replayed batch
+    rewrites identical files instead of appending duplicates — and a
+    replayed index append adds duplicate band/sig rows, which is
+    correctness-benign for probes (candidates are ``distinct``-ed and
+    the duplicate signatures agree) at a small storage cost. The output
+    is therefore idempotent; the index is at-least-once with idempotent
+    EFFECT on dedup decisions.
 
     Within-batch duplicates collapse to the lowest id (the in-session
     self-join pair finder + connected components from
@@ -225,7 +233,10 @@ def stream_dedup_against_index(
             text_col=text_col,
         ).select(id_col)
         survivors = survivors.join(keep_ids, id_col).localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(output_path)
+        # per-batch directory + overwrite = idempotent under replay
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/batch={batch_id}"
+        )
         if extend_index:
             append_to_minhash_index(survivors, index_path, id_col, text_col)
 

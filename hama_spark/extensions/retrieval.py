@@ -177,6 +177,8 @@ def rrf_fuse(
     one bounded per-query window — the fused relation is ≤ Σ|lists|
     rows regardless of corpus size; the corpus itself is never touched.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     parts = [
         r.select(
             _c(query_id_col).alias("query_id"),

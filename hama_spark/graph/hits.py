@@ -82,7 +82,7 @@ def hits(
             .localCheckpoint(eager=False)
         )
 
-    if a is None:  # iterations=0: the initial all-ones state, unnormalized
+    if a is None:  # iterations=0: the all-ones state (normalized below)
         a = verts.select("id", F.lit(1.0).alias("authority"))
 
     def _normalized(scores: DataFrame, col: str) -> DataFrame:

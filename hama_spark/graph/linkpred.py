@@ -60,11 +60,23 @@ def link_prediction(
             )
         e = e.distinct().localCheckpoint(eager=True)
 
-    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # two degree views — identical on an undirected (symmetrized) graph,
+    # and the correct pair on a directed one: centers fan out along
+    # OUT-edges (out-degree caps the wedge cost and discounts the AA
+    # weight), while a pair's common neighbors are common PREDECESSORS,
+    # so the Jaccard denominator needs the endpoints' IN-degrees (every
+    # endpoint has >=1 in-edge by construction, so the joins below can
+    # never drop a pair)
+    deg_out = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    deg_in = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
     # wedge legs: (center w, endpoint, deg of w), hubs excluded as centers
     legs = (
         e.join(
-            deg.filter(F.col("deg") <= max_neighbor_degree),
+            deg_out.filter(F.col("deg") <= max_neighbor_degree),
             e.src == F.col("id"),
         )
         .select(F.col("src").alias("w"), F.col("dst").alias("v"), "deg")
@@ -83,8 +95,8 @@ def link_prediction(
         .filter(F.col("common_neighbors") >= min_common)
     )
     out = (
-        pairs.join(deg.select(F.col("id").alias("id_a"), F.col("deg").alias("_da")), "id_a")
-        .join(deg.select(F.col("id").alias("id_b"), F.col("deg").alias("_db")), "id_b")
+        pairs.join(deg_in.select(F.col("id").alias("id_a"), F.col("deg").alias("_da")), "id_a")
+        .join(deg_in.select(F.col("id").alias("id_b"), F.col("deg").alias("_db")), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -236,22 +236,29 @@ def scd2_asof_join(
     Keys hold few versions each; a pathological hot key is a skew
     problem for the equi-join exactly like any other join (salt via
     operators/skew.py if needed).
+
+    History columns whose names collide with fact columns come back
+    suffixed ``_dim`` (the golden-record convention ``fuzzy_join`` also
+    uses), so the output never holds duplicate column names.
     """
+    taken = set(facts.columns)
     hist = history.select(
         *[F.col(k).alias(f"_h_{k}") for k in keys],
         *[
-            F.col(c)
+            F.col(c).alias(f"{c}_dim" if c in taken else c)
             for c in history.columns
             if c not in keys
         ],
     )
+    vf = "valid_from_dim" if "valid_from" in taken else "valid_from"
+    vt = "valid_to_dim" if "valid_to" in taken else "valid_to"
     cond = F.lit(True)
     for k in keys:
         cond = cond & (facts[k] == hist[f"_h_{k}"])
     cond = (
         cond
-        & (hist["valid_from"] <= facts[ts_col])
-        & (hist["valid_to"].isNull() | (facts[ts_col] < hist["valid_to"]))
+        & (hist[vf] <= facts[ts_col])
+        & (hist[vt].isNull() | (facts[ts_col] < hist[vt]))
     )
     out = facts.join(hist, cond, how)
     return out.drop(*[f"_h_{k}" for k in keys])

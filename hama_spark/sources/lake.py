@@ -134,26 +134,41 @@ def merge_snapshot(
 
 
 def vacuum_snapshots(
-    spark: SparkSession, table_path: str, keep_last: int = 2
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 2,
+    delete_debris: bool = False,
 ) -> list[int]:
-    """Delete all but the newest ``keep_last`` committed snapshots
-    (plus any uncommitted debris directories). Returns the versions
-    removed. Readers of removed versions lose time travel — that is
-    the retention trade every format exposes."""
+    """Delete all but the newest ``keep_last`` COMMITTED snapshots.
+    Returns the versions removed. Readers of removed versions lose time
+    travel — that is the retention trade every format exposes.
+
+    ``delete_debris`` additionally removes uncommitted ``v=N``
+    directories (no _SUCCESS). Default OFF because an uncommitted
+    directory is indistinguishable from a writer's IN-PROGRESS
+    snapshot — deleting it under a live writer would silently drop that
+    writer's already-committed task files. Only pass True when you know
+    no writer is running (the same no-concurrent-writer window every
+    table format requires for its aggressive vacuum)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, jpath, jvm = _fs_and_path(spark, table_path)
-    committed = list_snapshots(spark, table_path)
-    keep = set(committed[-keep_last:])
+    committed = set(list_snapshots(spark, table_path))
+    keep = set(sorted(committed)[-keep_last:])
     removed = []
     if not fs.exists(jpath):
         return removed
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         m = re.fullmatch(r"v=(\d+)", name)
-        if m and int(m.group(1)) not in keep:
-            fs.delete(status.getPath(), True)
-            removed.append(int(m.group(1)))
+        if not m:
+            continue
+        v = int(m.group(1))
+        is_committed = v in committed
+        if v in keep or (not is_committed and not delete_debris):
+            continue
+        fs.delete(status.getPath(), True)
+        removed.append(v)
     return sorted(removed)
 
 

@@ -42,3 +42,22 @@ def test_hits_star_topology(spark):
     for leaf in ("v1", "v2", "v3"):
         assert abs(got[leaf][1] - 1 / math.sqrt(3)) < 1e-6
         assert got[leaf][0] == 0.0
+
+
+def test_hits_iterations_zero_matches_oracle(spark, tables, duck):
+    """iterations=0 replays too: the normalized all-ones initial state
+    (code-review r4 #5 — the rewritten SQL must define a0)."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.graph.hits import hits
+    from pyspark.sql import functions as F
+
+    edges = tables["lineitem"].select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    sql = _hits_sql(
+        "SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM lineitem",
+        0,
+    )
+    assert_df_equals_oracle(hits(edges, iterations=0), duck, sql, tol=1e-6)

@@ -303,3 +303,21 @@ def test_scd2_asof_join_point_in_time(spark):
         (1, 35): None, (1, 99): "v3", (2, 15): "w1", (3, 50): None,
     }
     assert out.count() == facts.count()  # no amplification
+
+
+def test_scd2_asof_join_suffixes_colliding_columns(spark):
+    """A history payload column sharing a fact column's name comes back
+    as <name>_dim instead of a duplicate column (code-review r4 #4)."""
+    from hama_spark.operators.incremental import scd2_asof_join, scd2_history
+
+    ch = spark.createDataFrame(
+        [(1, "new", "I", 10)], "id long, status string, op string, seq long"
+    )
+    hist = scd2_history(ch, ["id"])
+    facts = spark.createDataFrame(
+        [(1, 15, "fact-status")], "id long, ts long, status string"
+    )
+    out = scd2_asof_join(facts, hist, ["id"], "ts")
+    assert out.columns.count("status") == 1
+    row = out.collect()[0]
+    assert row.status == "fact-status" and row.status_dim == "new"

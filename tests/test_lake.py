@@ -89,9 +89,14 @@ def test_vacuum_keeps_newest_and_removes_debris(spark, tmp_path):
     # crashed debris
     df.write.parquet(f"{t}/v=9")
     os.remove(f"{t}/v=9/_SUCCESS")
+    # default vacuum NEVER touches uncommitted dirs — they could be a
+    # live writer's in-progress snapshot
     removed = vacuum_snapshots(spark, t, keep_last=2)
-    assert removed == [1, 2, 9]
+    assert removed == [1, 2]
     assert list_snapshots(spark, t) == [3, 4]
+    assert os.path.exists(f"{t}/v=9")
+    # explicit debris sweep (caller asserts no concurrent writers)
+    assert vacuum_snapshots(spark, t, keep_last=2, delete_debris=True) == [9]
     assert not os.path.exists(f"{t}/v=9")
 
 

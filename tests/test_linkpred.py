@@ -63,3 +63,21 @@ def test_min_common_and_topk(spark):
     # the two degree-2 centers a and b, beating (a, b)'s 1/ln2 + 1/ln3
     top1 = link_prediction(e, max_neighbor_degree=10, min_common=1, topk=1).collect()
     assert len(top1) == 1 and (top1[0].id_a, top1[0].id_b) == ("w1", "w2")
+
+
+def test_directed_graph_uses_in_degrees_and_keeps_sink_endpoints(spark):
+    """symmetrize=False: endpoints with NO out-edges must still pair
+    (their degrees come from in-edges), and Jaccard uses in-degrees
+    against the common-predecessor intersection (code-review r4 #1)."""
+    from hama_spark.graph.linkpred import link_prediction
+
+    # w1, w2 both point at sinks a and b; nothing leaves a or b
+    e = _edges(spark, [("w1", "a"), ("w1", "b"), ("w2", "a"), ("w2", "b")])
+    got = {
+        (r.id_a, r.id_b): (r.common_neighbors, r.jaccard)
+        for r in link_prediction(
+            e, max_neighbor_degree=10, min_common=1, symmetrize=False
+        ).collect()
+    }
+    # in-deg(a) = in-deg(b) = 2, common predecessors = 2 -> jaccard 1.0
+    assert got == {("a", "b"): (2, 1.0)}

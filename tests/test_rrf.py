@@ -128,3 +128,10 @@ def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
     }
     assert got.get((1, 2)) == 1.0
     assert (1, 3) not in got and (2, 3) not in got  # no shared terms
+
+
+def test_rrf_fuse_rejects_empty_input(spark):
+    from hama_spark.extensions.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
