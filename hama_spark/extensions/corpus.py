@@ -254,3 +254,81 @@ def snapshot_diff(
         .alias("status"),
         F.coalesce("new_fp", "old_fp").alias("fingerprint"),
     )
+
+
+def strip_domain_boilerplate(
+    df: DataFrame,
+    domain_col: str = "source",
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-domain boilerplate line removal: a line is boilerplate for a
+    domain when it appears in >= ``min_frac`` of that domain's
+    documents (and at least ``min_docs`` of them — tiny domains cannot
+    vote a line boilerplate). Removes every occurrence within the
+    domain and rebuilds documents in order; the nav/footer/cookie-bar
+    filter crawl pipelines run per site, which global
+    ``dedup_lines`` cannot express (a line ubiquitous on one site but
+    absent elsewhere never reaches a global threshold).
+
+    Returns (id_col, domain_col, text, n_kept, n_dropped); documents
+    reduced to zero lines are dropped.
+
+    Scale shape mirrors ``dedup_lines``: line votes shuffle 16-byte
+    md5 hashes keyed by (domain, hash) with a distinct-doc count
+    (partial-aggregated), domain sizes are a |domains|-row relation
+    joined back, and reassembly is the same array_sort-of-structs —
+    no windows, no text in any shuffle except the final rebuild's own
+    lines.
+    """
+    lines = df.select(
+        _c(id_col).alias("id"),
+        _c(domain_col).alias("domain"),
+        F.posexplode(F.split(_c(text_col), sep)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line").cast("binary")))
+    domain_docs = df.groupBy(_c(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    votes = lines.groupBy("domain", "h").agg(
+        F.count_distinct("id").alias("in_docs")
+    )
+    boiler = (
+        votes.join(domain_docs, "domain")
+        .filter(
+            (F.col("in_docs") >= min_docs)
+            & (F.col("in_docs") >= F.col("n_docs") * F.lit(min_frac))
+        )
+        .select("domain", "h", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, ["domain", "h"], "left").select(
+        "id",
+        "domain",
+        "pos",
+        "line",
+        F.coalesce("_boiler", F.lit(False)).alias("dup"),
+    )
+    rebuilt = flagged.groupBy("id", "domain").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dup"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+        F.sum(F.when(~F.col("dup"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    return rebuilt.filter(F.col("n_kept") > 0).select(
+        F.col("id").alias(id_col),
+        F.col("domain").alias(domain_col),
+        "text",
+        "n_kept",
+        "n_dropped",
+    )

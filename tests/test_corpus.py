@@ -134,3 +134,45 @@ def test_snapshot_diff_fingerprint_prefers_new_side(spark):
     row = snapshot_diff(old, new).collect()[0]
     want = new.select(F.md5("text")).collect()[0][0]
     assert row.fingerprint == want and row.status == "changed"
+
+
+def test_strip_domain_boilerplate_per_site_votes(spark):
+    """A footer ubiquitous on site A is stripped from A only; the same
+    line on a single B page survives (B's vote is below min_docs), and
+    tiny-domain lines never qualify."""
+    from hama_spark.extensions.corpus import strip_domain_boilerplate
+
+    foot = "(c) example footer"
+    rows = [
+        (1, "A", f"alpha\n{foot}"),
+        (2, "A", f"beta\n{foot}"),
+        (3, "A", f"gamma\n{foot}"),
+        (4, "A", "delta only"),
+        (5, "B", f"unique stuff\n{foot}"),
+        (6, "B", "other page"),
+        (7, "C", foot),  # whole doc is the line; domain size 1 < min_docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_dropped)
+        for r in strip_domain_boilerplate(
+            df, min_frac=0.5, min_docs=3
+        ).collect()
+    }
+    assert got[1] == ("alpha", 1, 1)
+    assert got[2] == ("beta", 1, 1)
+    assert got[3] == ("gamma", 1, 1)
+    assert got[4] == ("delta only", 1, 0)
+    assert got[5] == (f"unique stuff\n{foot}", 2, 0)
+    assert got[6] == ("other page", 1, 0)
+    assert got[7] == (foot, 1, 0)
+
+
+def test_strip_domain_boilerplate_drops_emptied_docs(spark):
+    from hama_spark.extensions.corpus import strip_domain_boilerplate
+
+    rows = [(i, "A", "same line") for i in range(4)] + [(9, "A", "keep\nsame line")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = strip_domain_boilerplate(df, min_frac=0.5, min_docs=3)
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {9: "keep"}
