@@ -101,3 +101,11 @@ def test_no_plan_antipatterns(spark, name):
     if name not in NESTED_LOOP_OK:
         assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join\n{plan}"
+    # the public audit API's single-partition-window funnel detector
+    # must stay clean across the whole inventory (top-k queries use the
+    # limit-then-rank shape; prefix sums use the two-phase bucketed
+    # windows) — swept here so a regression surfaces as a named failure
+    from hama_spark.plans.audit import audit_plan
+
+    findings = audit_plan(df, allow_nested_loop=True, allow_python=True)
+    assert not findings, f"{name}: {findings}\n{plan}"
