@@ -226,7 +226,11 @@ def tfidf_cosine_pairs(
     dropping terms appearing in more than that fraction of documents
     (the stop-word fence: ubiquitous terms contribute near-zero idf
     weight but quadratic join output, so dropping them is both the
-    quality and the scale move; replayed identically by any SQL twin).
+    quality and the scale move). The threshold is
+    ``int(max_df_frac * N)`` — Python TRUNCATION; a SQL twin must embed
+    the truncated integer, not ``CAST(frac * N AS BIGINT)``, because
+    DuckDB's cast rounds-to-nearest (fuzz-found boundary at N=3,
+    frac=0.6: int() gives 1, CAST gives 2).
     No |docs|² stage anywhere; the corpus text is scanned once into the
     postings aggregate.
     """

@@ -95,7 +95,7 @@ def test_tfidf_cosine_pairs_matches_duckdb(spark, tables, duck):
           SELECT tf.doc_id, tf.term,
                  tf.tf * ln(({n_docs} + 1)::DOUBLE / (df + 1)) AS w
           FROM tf JOIN dfq USING (term)
-          WHERE df <= CAST(0.5 * {n_docs} AS BIGINT)),
+          WHERE df <= {int(0.5 * n_docs)}),
         norms AS (
           SELECT doc_id, sqrt(sum(w * w)) AS norm FROM kept GROUP BY 1),
         unit AS (
@@ -135,3 +135,57 @@ def test_rrf_fuse_rejects_empty_input(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_tfidf_cosine_pairs_fuzz_random_corpora(spark, duck):
+    """Random corpora with empty docs, whitespace runs and exact dups —
+    the token boundaries that caught bm25's ''-term bug — must agree
+    with the DuckDB replay exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hama_spark.extensions.retrieval import tfidf_cosine_pairs
+
+    text = st.text(alphabet=st.sampled_from("ab c\t\n"), min_size=0, max_size=30)
+
+    @settings(max_examples=5, deadline=None)
+    @given(texts=st.lists(text, min_size=2, max_size=8))
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r.id_a, r.id_b, f"{r.cosine:.9g}")
+            for r in tfidf_cosine_pairs(docs, min_sim=0.0, max_df_frac=0.6).collect()
+        )
+        vals = ", ".join(
+            "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in rows
+        )
+        n = len(rows)
+        want = sorted(
+            (a, b, f"{c:.9g}")
+            for a, b, c in duck.execute(f"""
+                WITH docs AS (SELECT * FROM (VALUES {vals}) t(doc_id, text)),
+                toks AS (
+                  SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+                  FROM docs),
+                tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+                dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+                kept AS (
+                  SELECT tf.doc_id, tf.term,
+                         tf.tf * ln(({n} + 1)::DOUBLE / (df + 1)) AS w
+                  FROM tf JOIN dfq USING (term)
+                  WHERE df <= {int(0.6 * n)}),
+                norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM kept GROUP BY 1),
+                unit AS (
+                  SELECT k.doc_id, k.term, k.w / n.norm AS w
+                  FROM kept k JOIN norms n USING (doc_id) WHERE n.norm > 0)
+                SELECT a.doc_id, b.doc_id, round(sum(a.w * b.w), 6)
+                FROM unit a JOIN unit b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING round(sum(a.w * b.w), 6) >= 0.0
+            """).fetchall()
+        )
+        assert got == want, (got, want, texts)
+
+    run()
