@@ -146,3 +146,93 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         F.round("mean", 6).alias("mean"),
         F.round("stddev", 6).alias("stddev"),
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-stability report for a numeric column between two
+    corpus versions (snapshots, ingestion runs, before/after a filter):
+    equi-width buckets spanning the COMBINED min/max, each with both
+    sides' share and its PSI term; total PSI rides every row. The
+    standard reading: PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    population shift.
+
+    Returns (bucket, lo, hi, old_frac, new_frac, psi_term, psi_total)
+    — ``bucket`` 0 holds NULLs (their share shift is drift too), 1..n
+    the value range. Shares are Laplace-smoothed by half a count per
+    bucket so an empty bucket on one side yields a finite term.
+
+    Scale shape: one O(1) min/max aggregate over each side (collected
+    as plan literals), then ONE map-side-combined bucket count per side
+    and a ``2·(n_buckets+1)``-row join — nothing wider than the bucket
+    table ever shuffles, and neither corpus is scanned more than twice
+    (once for bounds, once for counts); at petabyte scale feed
+    pre-computed bounds by passing already-filtered frames.
+    """
+    c = F.col(col).cast("double")
+    bounds = (
+        old.select(c.alias("v"))
+        .unionByName(new.select(c.alias("v")))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()[0]
+    )
+    lo = float(bounds["lo"]) if bounds["lo"] is not None else 0.0
+    hi = float(bounds["hi"]) if bounds["hi"] is not None else 0.0
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        b = F.when(c.isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.floor((c - F.lit(lo)) / F.lit(width)).cast("int") + 1,
+                F.lit(n_buckets),
+            )
+        )
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+
+    grid = old.sparkSession.range(0, n_buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    counts = (
+        grid.join(bucketed(old, "old"), "bucket", "left")
+        .join(bucketed(new, "new"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    ).collect()[0]
+    t_old, t_new = max(int(tot["t_old"]), 1), max(int(tot["t_new"]), 1)
+    k = n_buckets + 1
+    old_frac = (F.col("n_old") + F.lit(0.5)) / F.lit(float(t_old + 0.5 * k))
+    new_frac = (F.col("n_new") + F.lit(0.5)) / F.lit(float(t_new + 0.5 * k))
+    terms = counts.select(
+        "bucket",
+        F.round(
+            F.when(F.col("bucket") == 0, F.lit(None).cast("double")).otherwise(
+                F.lit(lo) + (F.col("bucket") - 1) * F.lit(width)
+            ),
+            9,
+        ).alias("lo"),
+        F.round(
+            F.when(F.col("bucket") == 0, F.lit(None).cast("double")).otherwise(
+                F.lit(lo) + F.col("bucket") * F.lit(width)
+            ),
+            9,
+        ).alias("hi"),
+        F.round(old_frac, 9).alias("old_frac"),
+        F.round(new_frac, 9).alias("new_frac"),
+        F.round((new_frac - old_frac) * F.log(new_frac / old_frac), 9).alias(
+            "psi_term"
+        ),
+    ).localCheckpoint(eager=True)
+    total = terms.agg(F.round(F.sum("psi_term"), 9).alias("t")).collect()[0]["t"]
+    return terms.withColumn("psi_total", F.lit(float(total)))

@@ -578,3 +578,40 @@ def test_column_profile_null_accounting(spark):
     # plan stays one aggregation, no python
     from hama_spark.plans.audit import audit_plan
     assert audit_plan(column_profile(df)) == []
+
+
+def test_distribution_drift_psi(spark):
+    """Identical distributions score PSI ~0; a shifted one scores
+    high; NULL share changes register in bucket 0; PSI matches a
+    NumPy-by-hand computation of the same smoothing."""
+    import math
+
+    from hama_spark.extensions.expectations import distribution_drift
+
+    old = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "x double")
+    same = spark.createDataFrame([(float(i % 10),) for i in range(500)], "x double")
+    rows = distribution_drift(old, same, "x", n_buckets=5).collect()
+    assert len(rows) == 6
+    assert all(r.psi_total == rows[0].psi_total for r in rows)
+    assert abs(rows[0].psi_total) < 0.01  # same shape -> stable
+
+    shifted = spark.createDataFrame(
+        [(float(i % 10) + 7.0,) for i in range(1000)], "x double"
+    )
+    drift = distribution_drift(old, shifted, "x", n_buckets=5).collect()
+    assert drift[0].psi_total > 0.25  # population shift
+
+    # hand-check one report: old = {0:600, nulls:400}, new = {0:1000}
+    o = spark.createDataFrame([(0.0,)] * 600 + [(None,)] * 400, "x double")
+    n = spark.createDataFrame([(0.0,)] * 1000, "x double")
+    rep = {r.bucket: r for r in distribution_drift(o, n, "x", n_buckets=2).collect()}
+    k = 3
+    of0, nf0 = (400 + 0.5) / (1000 + 0.5 * k), (0 + 0.5) / (1000 + 0.5 * k)
+    want0 = (nf0 - of0) * math.log(nf0 / of0)
+    assert rep[0].psi_term == pytest.approx(round(want0, 9), abs=1e-9)
+    assert rep[0].old_frac == pytest.approx(round(of0, 9))
+    # value buckets: all non-null mass in bucket 1 (single value 0.0)
+    assert rep[1].new_frac > rep[1].old_frac
+    assert rep[2].old_frac == rep[2].new_frac == pytest.approx(
+        round(0.5 / (1000 + 0.5 * k), 9)
+    )
