@@ -659,3 +659,49 @@ def resample_gapfill(
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("gap_filled"),
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user gap sessions via Spark's NATIVE ``session_window``
+    stateful operator: (user_id, session_start, session_end, n_events,
+    total_value). The built-in complement to the two hand-rolled
+    formulations (``sessionize``'s lag+cumsum batch plan and
+    ``sessionize_stateful``'s GroupState loop): the engine merges
+    overlapping gap windows in state, emitting a session only once its
+    gap expires past the watermark — set ``watermark`` on streams to
+    bound that state.
+
+    Works identically on batch frames (state machinery skipped). Same
+    session definition as ``sessionize``: events within ``gap`` of each
+    other share a session.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )

@@ -315,3 +315,46 @@ def test_retention_cohorts_day_zero_covers_all_users(spark, tables):
     n_users = tables["events"].select("user_id").distinct().count()
     # every user is active on their own cohort day, exactly once
     assert day0 == n_users
+
+
+def test_session_window_stats_matches_sessionize(spark, tables):
+    """The native session_window operator produces the same session
+    partitioning as the lag+cumsum batch formulation: same number of
+    sessions per user and same per-session event counts."""
+    from collections import Counter
+
+    from hama_spark.streaming.events import session_window_stats, sessionize
+
+    ev = tables["events"]
+    native = session_window_stats(ev, gap="30 minutes").collect()
+    handrolled = sessionize(ev, gap_minutes=30).collect()
+    n_native = Counter((r.user_id, r.n_events) for r in native)
+    n_hand = Counter((r.user_id, r.n_events) for r in handrolled)
+    assert n_native == n_hand
+
+
+def test_session_window_stats_streaming_matches_batch(spark, tables, tmp_path):
+    from hama_spark.streaming.events import session_window_stats
+
+    ev = tables["events"]
+    src = str(tmp_path / "ev")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = session_window_stats(stream, gap="30 minutes", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("swtest")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM swtest").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.total_value)
+        for r in session_window_stats(ev, gap="30 minutes").collect()
+    }
+    assert got == want and len(got) > 0
