@@ -145,12 +145,6 @@ def preference_pairs(
 
     One shuffle on the prompt key; both extreme picks ride the same
     window partitioning."""
-    w_best = Window.partitionBy(prompt_col).orderBy(
-        F.desc(score_col), F.asc(response_col)
-    )
-    w_worst = Window.partitionBy(prompt_col).orderBy(
-        F.asc(score_col), F.desc(response_col)
-    )
     ranked = responses.select(
         _c(prompt_col).alias(prompt_col),
         _c(response_col).alias("_resp"),

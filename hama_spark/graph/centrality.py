@@ -59,15 +59,9 @@ def harmonic_centrality(
     one graph (this and ``betweenness_centrality``) pays the edge-set
     build once instead of per call; ``symmetrize`` is ignored.
     """
-    if prepared:
-        e = edges.select("src", "dst")
-    else:
-        e = edges.select("src", "dst")
-        if symmetrize:
-            e = e.union(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-        e = e.distinct().localCheckpoint(eager=True)
+    from hama_spark.graph.prep import edge_relation
+
+    e = edge_relation(edges, symmetrize, prepared)
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

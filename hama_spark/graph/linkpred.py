@@ -50,15 +50,9 @@ def link_prediction(
     ignored), sharing one graph build across centrality/link-analysis
     passes (see ``harmonic_centrality``).
     """
-    if prepared:
-        e = edges.select("src", "dst")
-    else:
-        e = edges.select("src", "dst")
-        if symmetrize:
-            e = e.union(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-        e = e.distinct().localCheckpoint(eager=True)
+    from hama_spark.graph.prep import edge_relation
+
+    e = edge_relation(edges, symmetrize, prepared)
 
     # two degree views — identical on an undirected (symmetrized) graph,
     # and the correct pair on a directed one: centers fan out along
