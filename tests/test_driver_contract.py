@@ -37,7 +37,7 @@ assert rows >= 0 and len(df.schema) > 0, (rows, df.schema)
 qs = e.queries()
 # one timestamp-heavy query (events parquet is TIMESTAMP(NANOS) — the
 # exact r1 failure) and one iterative one
-for name in ("events_window", "inlink_count"):
+for name in ("events_window", "inlink_count", "scd2_orders"):
     out = qs[name](spark, "/root/testdata/sf0.001")
     assert out.count() > 0, name
 print("BARE_SESSION_OK", rows)
