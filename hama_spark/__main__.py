@@ -1,0 +1,156 @@
+"""Command-line entry point: the engine's most common end-to-end jobs
+as one-liners, for operators who drive pipelines from a scheduler
+rather than a notebook. Each subcommand prints ONE JSON summary line
+to stdout (machine-parseable; everything else goes to stderr).
+
+    python -m hama_spark profile  --input corpus/ [--columns a,b]
+    python -m hama_spark prepare  --input corpus/ --output clean/
+                                  [--benchmark bench/] [--min-quality Q]
+    python -m hama_spark dedup    --input corpus/ --output deduped/
+                                  [--threshold T]
+    python -m hama_spark drift    --old v1/ --new v2/ --column n_chars
+
+Inputs/outputs are parquet paths (any Hadoop-FS scheme the session
+resolves). The session comes from ``hama_spark.get_spark`` — override
+parallelism with SPARK_GRAFT_CPUS as in bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from hama_spark import get_spark
+
+    return get_spark(app_name="hama_spark_cli")
+
+
+def _read(spark, path):
+    return spark.read.parquet(path)
+
+
+def cmd_profile(args) -> dict:
+    from hama_spark.extensions.expectations import column_profile
+
+    spark = _spark()
+    df = _read(spark, args.input)
+    cols = args.columns.split(",") if args.columns else None
+    rows = [r.asDict() for r in column_profile(df, cols).collect()]
+    return {"command": "profile", "input": args.input, "columns": rows}
+
+
+def cmd_prepare(args) -> dict:
+    from hama_spark.extensions.pipeline import prepare_training_corpus
+
+    spark = _spark()
+    docs = _read(spark, args.input)
+    benchmark = _read(spark, args.benchmark) if args.benchmark else None
+    corpus, report = prepare_training_corpus(
+        docs,
+        benchmark,
+        min_quality=args.min_quality,
+        near_threshold=args.threshold,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    corpus.write.mode(args.mode).parquet(args.output)
+    funnel = [r.asDict() for r in report.collect()]
+    return {
+        "command": "prepare",
+        "input": args.input,
+        "output": args.output,
+        "funnel": funnel,
+    }
+
+
+def cmd_dedup(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.dedup import dedup_near
+
+    spark = _spark()
+    docs = _read(spark, args.input)
+    survivors = dedup_near(
+        docs, threshold=args.threshold, id_col=args.id_col, text_col=args.text_col
+    )
+    kept = docs.join(survivors.select(args.id_col), args.id_col)
+    kept.write.mode(args.mode).parquet(args.output)
+    n_in, n_out = docs.count(), kept.count()
+    return {
+        "command": "dedup",
+        "input": args.input,
+        "output": args.output,
+        "docs_in": n_in,
+        "docs_kept": n_out,
+        "docs_removed": n_in - n_out,
+    }
+
+
+def cmd_drift(args) -> dict:
+    from hama_spark.extensions.expectations import distribution_drift
+
+    spark = _spark()
+    rows = [
+        r.asDict()
+        for r in distribution_drift(
+            _read(spark, args.old),
+            _read(spark, args.new),
+            args.column,
+            n_buckets=args.buckets,
+        ).collect()
+    ]
+    return {
+        "command": "drift",
+        "column": args.column,
+        "psi_total": rows[0]["psi_total"] if rows else None,
+        "buckets": rows,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="hama_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("profile", help="one-pass per-column profile")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--columns", default=None)
+    sp.set_defaults(fn=cmd_profile)
+
+    sp = sub.add_parser("prepare", help="end-to-end corpus preparation")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--benchmark", default=None)
+    sp.add_argument("--min-quality", type=float, default=0.3)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--mode", default="error")
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("dedup", help="near-dup collapse, keep survivors")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--mode", default="error")
+    sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("drift", help="PSI drift between two snapshots")
+    sp.add_argument("--old", required=True)
+    sp.add_argument("--new", required=True)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--buckets", type=int, default=10)
+    sp.set_defaults(fn=cmd_drift)
+
+    args = p.parse_args(argv)
+    out = args.fn(args)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

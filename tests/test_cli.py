@@ -1,0 +1,65 @@
+"""CLI entry point (python -m hama_spark): each subcommand runs end to
+end on fixture parquet in a fresh interpreter and prints one parseable
+JSON line whose numbers agree with the underlying operators."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(*args: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "hama_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_profile():
+    out = _run(
+        "profile", "--input", f"{SF}/documents.parquet", "--columns", "doc_id,n_chars"
+    )
+    cols = {c["column"]: c for c in out["columns"]}
+    assert set(cols) == {"doc_id", "n_chars"}
+    assert cols["doc_id"]["n_rows"] == 500 and cols["doc_id"]["n_nulls"] == 0
+
+
+def test_cli_dedup_and_drift(tmp_path):
+    out = _run(
+        "dedup",
+        "--input", f"{SF}/documents.parquet",
+        "--output", str(tmp_path / "deduped"),
+        "--threshold", "0.5",
+    )
+    # matches the driver query's known survivor count on this fixture
+    assert out["docs_in"] == 500 and out["docs_kept"] == 476
+    drift = _run(
+        "drift",
+        "--old", f"{SF}/documents.parquet",
+        "--new", f"{SF}/documents.parquet",
+        "--column", "n_chars",
+        "--buckets", "4",
+    )
+    assert drift["psi_total"] == 0.0  # identical snapshots
+
+
+def test_cli_prepare(tmp_path):
+    out = _run(
+        "prepare",
+        "--input", f"{SF}/documents.parquet",
+        "--output", str(tmp_path / "clean"),
+        "--min-quality", "0.0",
+    )
+    stages = {r["stage"]: r for r in out["funnel"]}
+    assert "near_dedup" in stages or len(stages) >= 3
+    assert os.path.isdir(str(tmp_path / "clean"))
