@@ -22,6 +22,7 @@ from hama_spark.sources.lake import (
     vacuum_snapshots,
     write_snapshot,
 )
+from hama_spark.sources.warc import read_warc_records
 from hama_spark.sources.zorder import with_zorder_key, write_zordered
 from hama_spark.sources.readers import (
     read_json_graph,
@@ -58,4 +59,5 @@ __all__ = [
     "current_version",
     "vacuum_snapshots",
     "stream_merge_into",
+    "read_warc_records",
 ]
