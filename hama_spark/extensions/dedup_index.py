@@ -132,6 +132,10 @@ def near_dups_vs_index(
             ),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        # distinct over the tiny matched relation: duplicate index rows
+        # (at-least-once appends before a compaction) must not multiply
+        # probe output
+        .distinct()
     )
 
 
@@ -248,3 +252,21 @@ def stream_dedup_against_index(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Rewrite ``bands/`` and ``sigs/`` deduplicated. Streaming replays
+    append duplicate rows (at-least-once by design — see
+    ``stream_dedup_against_index``); duplicates never change a dedup
+    decision, but they cost storage and probe-join input, so run this
+    periodically like any compaction. Not concurrency-safe with an
+    in-flight probe or append (same external-serialization contract as
+    the snapshot lake's vacuum)."""
+    bands = spark.read.parquet(f"{path}/bands").distinct().localCheckpoint(
+        eager=True
+    )
+    sigs = spark.read.parquet(f"{path}/sigs").distinct().localCheckpoint(
+        eager=True
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")

@@ -113,3 +113,53 @@ def normalize_text(text) -> Column:
     t = F.replace(t, F.lit("…"), F.lit("..."))
     t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def canonicalize_url(url) -> Column:
+    """Crawl-frontier URL canonicalization: lowercase scheme+host, drop
+    the fragment, default ports (:80 for http, :443 for https) and any
+    trailing slash on a bare path, and strip common tracking query
+    parameters (utm_*, fbclid, gclid, ref) while keeping the remaining
+    query in its original order. Two URLs that canonicalize equal are
+    the same fetch — the dedup key a frontier uses before enqueueing.
+
+    Pure JVM string expressions (parse_url + regexp), so frontier
+    dedup stays a hash-groupBy on the canonical form.
+    """
+    u = _c(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    port = F.parse_url(u, F.lit("AUTHORITY"))
+    # keep an explicit NON-default port from the authority (host:port)
+    port_part = F.regexp_extract(port, r":(\d+)$", 1)
+    keep_port = F.when(
+        (port_part != "")
+        & ~(
+            ((scheme == "http") & (port_part == "80"))
+            | ((scheme == "https") & (port_part == "443"))
+        ),
+        F.concat(F.lit(":"), port_part),
+    ).otherwise(F.lit(""))
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path.isin("", "/"), F.lit("/")).otherwise(
+        F.regexp_replace(path, r"/$", "")
+    )
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "")
+            & ~kv.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+        ),
+        "&",
+    )
+    return F.when(host.isNull(), u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            keep_port,
+            path,
+            F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
+        )
+    )

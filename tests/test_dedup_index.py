@@ -160,3 +160,38 @@ def test_stream_dedup_against_index(spark, split_docs, tmp_path):
     # dedups to nothing (survivors self-match at 1.0, collapsed docs
     # match their cluster's surviving representative)
     assert dedup_against_index(new, idx, threshold=0.5).count() == 0
+
+
+def test_compact_minhash_index_dedups_replayed_appends(spark, split_docs, tmp_path):
+    """Appending the same docs twice leaves duplicate rows (at-least-
+    once by design); compaction removes them without changing any probe
+    result."""
+    from hama_spark.extensions.dedup_index import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        near_dups_vs_index,
+        save_minhash_index,
+    )
+
+    old, new = split_docs
+    path = str(tmp_path / "mh_c")
+    save_minhash_index(old, path, num_hashes=16, bands=4, k=3)
+    append_to_minhash_index(new, path)
+    append_to_minhash_index(new, path)  # replayed append
+
+    before = spark.read.parquet(f"{path}/sigs").count()
+    probe_before = sorted(
+        (r.new_id, r.index_id, r.est_jaccard)
+        for r in near_dups_vs_index(new, path, threshold=0.5).collect()
+    )
+    compact_minhash_index(spark, path)
+    after = spark.read.parquet(f"{path}/sigs").count()
+    assert before == after + new.count()  # one duplicate copy removed
+    probe_after = sorted(
+        (r.new_id, r.index_id, r.est_jaccard)
+        for r in near_dups_vs_index(new, path, threshold=0.5).collect()
+    )
+    assert probe_after == probe_before
+    assert spark.read.parquet(f"{path}/bands").count() == spark.read.parquet(
+        f"{path}/bands"
+    ).distinct().count()

@@ -68,3 +68,37 @@ def test_normalized_fingerprints_converge(spark):
         doc_fingerprint(normalize_text(F.col("text"))).alias("fp")
     ).collect()
     assert fps[0].fp == fps[1].fp
+
+
+def test_canonicalize_url(spark):
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.web import canonicalize_url
+
+    cases = [
+        # fragment dropped, host lowercased, default port removed
+        ("HTTP://Example.COM:80/a/b#frag", "http://example.com/a/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        # non-default port kept
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # trailing slash trimmed on a non-root path; root stays "/"
+        ("http://example.com/a/", "http://example.com/a"),
+        ("http://example.com", "http://example.com/"),
+        # tracking params stripped, real ones kept in order
+        (
+            "http://example.com/p?utm_source=x&id=7&fbclid=abc&q=z",
+            "http://example.com/p?id=7&q=z",
+        ),
+        # all params tracking -> no query at all
+        ("http://example.com/p?utm_campaign=a&gclid=b", "http://example.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # equal canonical forms = same fetch
+    dups = spark.createDataFrame(
+        [("http://A.example/x?utm_source=1",), ("http://a.example/x",)],
+        "url string",
+    )
+    forms = {r.c for r in dups.select(canonicalize_url("url").alias("c")).collect()}
+    assert len(forms) == 1
