@@ -163,3 +163,36 @@ def canonicalize_url(url) -> Column:
             F.when(kept_q != "", F.concat(F.lit("?"), kept_q)).otherwise(F.lit("")),
         )
     )
+
+
+def extract_links(html, base_url=None) -> Column:
+    """array<string> of href targets from an HTML column — the step
+    that turns crawl pages into a LINK GRAPH for the analytics family
+    (``canonicalize_url`` the endpoints, then PageRank/HITS/centrality
+    over (page, link) edges). Pure ``regexp_extract_all``: matches
+    href='...' / href="..." in anchor tags, skips fragment-only,
+    javascript: and mailto: targets. With ``base_url``, protocol- and
+    root-relative targets resolve against it (scheme + host only — the
+    common crawl-graph case; full RFC 3986 path merging is out of scope
+    and documented so)."""
+    h = _c(html)
+    links = F.regexp_extract_all(
+        h, F.lit(r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["']"""), F.lit(1)
+    )
+    links = F.filter(
+        links,
+        lambda u: ~F.lower(u).rlike(r"^(javascript:|mailto:|data:)"),
+    )
+    if base_url is None:
+        return links
+    b = _c(base_url)
+    scheme = F.lower(F.parse_url(b, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(b, F.lit("HOST")))
+    origin = F.concat(scheme, F.lit("://"), host)
+    return F.transform(
+        links,
+        lambda u: F.when(u.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), u)
+        .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
+        .when(u.startswith("/"), F.concat(origin, u))
+        .otherwise(u),
+    )

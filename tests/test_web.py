@@ -102,3 +102,43 @@ def test_canonicalize_url(spark):
     )
     forms = {r.c for r in dups.select(canonicalize_url("url").alias("c")).collect()}
     assert len(forms) == 1
+
+
+def test_extract_links_builds_a_link_graph(spark):
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.web import canonicalize_url, extract_links
+
+    html = (
+        '<p><a href="http://b.example/page">x</a>'
+        "<a href='/rel'>y</a>"
+        '<a href="//cdn.example/lib.js">z</a>'
+        '<a href="#frag">skip</a>'
+        '<a href="javascript:void(0)">skip</a>'
+        '<a href="mailto:a@b.c">skip</a></p>'
+    )
+    df = spark.createDataFrame(
+        [("https://A.example/dir/page", html)], "url string, html string"
+    )
+    rows = df.select(
+        extract_links("html", base_url="url").alias("links")
+    ).collect()
+    assert rows[0].links == [
+        "http://b.example/page",
+        "https://a.example/rel",
+        "https://cdn.example/lib.js",
+    ]
+    # the crawl-graph chain: explode + canonicalize -> (src, dst) edges
+    edges = (
+        df.select(
+            canonicalize_url("url").alias("src"),
+            F.explode(extract_links("html", base_url="url")).alias("dst"),
+        )
+        .select("src", canonicalize_url("dst").alias("dst"))
+        .collect()
+    )
+    assert {(r.src, r.dst) for r in edges} == {
+        ("https://a.example/dir/page", "http://b.example/page"),
+        ("https://a.example/dir/page", "https://a.example/rel"),
+        ("https://a.example/dir/page", "https://cdn.example/lib.js"),
+    }
