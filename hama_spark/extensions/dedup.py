@@ -511,6 +511,89 @@ def contamination_report(
     )
 
 
+def near_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: (corpus_id, bench_id,
+    jaccard) for every corpus document whose shingle set is >= threshold
+    Jaccard-similar to some benchmark document. Catches the leaks
+    :func:`contamination_report`'s exact-shingle fraction understates —
+    a paraphrased or lightly-edited eval question shares few exact
+    k-grams overall but still crosses a 0.5 whole-document Jaccard.
+
+    Same LSH machinery as :func:`minhash_lsh_dup_pairs` (identical
+    seeded hash family, so an index built for self-dedup probes here
+    too), but a CROSS join between two relations instead of a self-join:
+    candidates agree on all rows of >= 1 band, then exact shingle
+    Jaccard verifies each candidate.
+
+    Scale shape: the benchmark is an eval set — tiny next to a 100 TB
+    corpus — so its band rows and shingle rows are BROADCAST; corpus
+    shingles stream map-side through both hash joins and corpus text
+    never shuffles. Candidate cost is Σ per (band, key) bucket of
+    |corpus_b|·|bench_b|, never |C|·|B|.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+
+    sig_c = minhash_signatures(corpus, num_hashes, k, id_col, text_col)
+    sig_b = minhash_signatures(
+        benchmark, num_hashes, k, bench_id_col, bench_text_col
+    ).localCheckpoint(eager=True)
+    bands_c = minhash_band_rows(sig_c, num_hashes, bands)
+    bands_b = minhash_band_rows(sig_b, num_hashes, bands)
+
+    candidates = (
+        bands_c.join(
+            F.broadcast(
+                bands_b.select(
+                    F.col("id").alias("_bid"), "band", "key"
+                )
+            ),
+            on=["band", "key"],
+        )
+        .select(F.col("id").alias("corpus_id"), F.col("_bid").alias("bench_id"))
+        .distinct()
+    )
+
+    sh_c = _shingle_rows(corpus, id_col, text_col, k)
+    sh_b = _shingle_rows(benchmark, bench_id_col, bench_text_col, k).localCheckpoint(
+        eager=True
+    )
+    sz_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz_c"))
+    sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        sh_c.join(F.broadcast(sh_b.select(F.col("id").alias("_bid"), "sh")), "sh")
+        .join(
+            # no broadcast hint: candidate count is bench-bounded in the
+            # typical case but corpus-bounded when contamination is
+            # pervasive — let AQE pick from the runtime size
+            candidates,
+            (F.col("id") == F.col("corpus_id")) & (F.col("_bid") == F.col("bench_id")),
+        )
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_c") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_c.select(F.col("id").alias("corpus_id"), "sz_c"), "corpus_id")
+        .join(
+            F.broadcast(sz_b.select(F.col("id").alias("bench_id"), "sz_b")), "bench_id"
+        )
+        .select("corpus_id", "bench_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ----------------------------------------------- exact shared spans
 def _positional_shingles(
     docs: DataFrame, k: int, id_col: str, text_col: str

@@ -236,3 +236,67 @@ def distribution_drift(
     ).localCheckpoint(eager=True)
     total = terms.agg(F.round(F.sum("psi_term"), 9).alias("t")).collect()[0]["t"]
     return terms.withColumn("psi_total", F.lit(float(total)))
+
+
+def corr_matrix(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns, long form:
+    (col_x, col_y, corr, n) with col_x < col_y lexicographically — the
+    feature-redundancy / leakage screen a pipeline runs before training
+    (two features correlating at 0.999 are one feature; a feature
+    correlating with the label suspiciously well is a leak).
+
+    Scale shape: ONE aggregation over one scan — k(k-1)/2 ``corr``
+    aggregates plus one count, all map-side combined (each corr keeps
+    constant running state: n, Σx, Σy, Σxy, Σx², Σy²), then a JVM-side
+    ``stack`` unpivot of the single result row. No driver collect, no
+    per-pair jobs. Width guard: k columns is k(k-1)/2 aggregate
+    expressions — fine for profiling widths (k ≤ ~60, 1770 aggregates);
+    refuse beyond that rather than build a megabyte codegen stage.
+
+    ``corr`` is NULL when either column is constant over the pair's
+    co-non-null rows (zero variance) — surfaced, not dropped. NULLs use
+    pairwise deletion (rows where either side is NULL are ignored for
+    that pair), matching ANSI ``corr``. Built from component aggregates
+    (covar_pop + pairwise-masked stddev_pop, Welford-stable in the JVM)
+    with the division at projection time: Spark's own ``corr`` raises
+    DIVIDE_BY_ZERO on a constant column under ANSI mode instead of
+    returning NULL.
+    """
+    from pyspark.sql.types import NumericType
+
+    if cols is None:
+        cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+        ]
+    if len(cols) < 2:
+        raise ValueError(f"corr_matrix needs >= 2 numeric columns, got {cols}")
+    if len(cols) > 60:
+        raise ValueError(
+            f"corr_matrix: {len(cols)} columns -> {len(cols)*(len(cols)-1)//2} "
+            "pairs; pass an explicit cols subset (<= 60)"
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        aggs += [
+            F.covar_pop(x, y).alias(f"__c{i}"),
+            F.stddev_pop(F.when(both, x)).alias(f"__sx{i}"),
+            F.stddev_pop(F.when(both, y)).alias(f"__sy{i}"),
+            F.count(F.when(both, F.lit(1))).alias(f"__n{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', CASE WHEN __sx{i} > 0 AND __sy{i} > 0 "
+        f"THEN round(__c{i} / (__sx{i} * __sy{i}), 9) END, __n{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_x, col_y, corr, n)")
+    ).select(
+        F.least("col_x", "col_y").alias("col_x"),
+        F.greatest("col_x", "col_y").alias("col_y"),
+        "corr",
+        "n",
+    )

@@ -156,3 +156,70 @@ def band_join(
             f"{c}{suffix}", F.lit(None).cast(dict(rb.dtypes)[f"{c}{suffix}"])
         )
     return joined.drop("_bkt").unionByName(missing)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    on: str | list[str] | None = None,
+    bucket_secs: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-interval containment join: pair each ``points`` row with
+    every ``intervals`` row satisfying ``start <= ts <= end`` (endpoints
+    inclusive), optionally also matching key columns ``on``. The classic
+    lookup shape — event → active promotion window, timestamp → validity
+    interval, measurement → maintenance window — that naive SQL writes
+    as ``ON ts BETWEEN start AND end`` and Spark then executes as a
+    BroadcastNestedLoopJoin (|P|·|I| comparisons, the scale-killer this
+    module exists to avoid; ``band_join`` can't express it because the
+    band there is centered on a point, not an arbitrary [start, end]).
+
+    Implementation: each interval is exploded to the epoch buckets of
+    width ``bucket_secs`` it overlaps (``sequence(floor(start/g),
+    floor(end/g))``), points bucket once, the join is a pure EQUI-join
+    on (bucket[, keys]) and the exact containment predicate filters
+    after the match. Each qualifying pair appears exactly once (a point
+    has one bucket; an interval covers that bucket at most once).
+
+    Scale shape: candidate cost is Σ over buckets of |points_b|·|ivls_b|
+    and interval replication is ceil(len/g)+1 rows — pick ``bucket_secs``
+    near the MEDIAN interval length (replication ~2× while buckets stay
+    selective). A single pathological interval spanning the whole
+    timeline replicates timeline/g times; cap such outliers upstream or
+    route them through a broadcast side. Intervals with end < start are
+    dropped (``sequence`` would raise on a negative step).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    g = int(bucket_secs)
+    if g < 1:
+        raise ValueError(f"bucket_secs must be >= 1, got {bucket_secs}")
+
+    pb = points.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / g).cast("long")
+    )
+    ipay = [c for c in intervals.columns if c not in keys]
+    ib = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start_col)) / g).cast("long"),
+                    F.floor(F.unix_timestamp(F.col(end_col)) / g).cast("long"),
+                )
+            ).alias("_bkt"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in ipay],
+        )
+    )
+    cond = (F.col(point_ts) >= F.col(f"{start_col}{suffix}")) & (
+        F.col(point_ts) <= F.col(f"{end_col}{suffix}")
+    )
+    return (
+        pb.join(ib, on=["_bkt", *keys] if keys else ["_bkt"], how="inner")
+        .filter(cond)
+        .drop("_bkt")
+    )

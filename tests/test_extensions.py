@@ -615,3 +615,38 @@ def test_distribution_drift_psi(spark):
     assert rep[2].old_frac == rep[2].new_frac == pytest.approx(
         round(0.5 / (1000 + 0.5 * k), 9)
     )
+
+
+# ------------------------------------------------------- corr_matrix
+def test_corr_matrix_matches_duckdb(spark, duck, tables):
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.extensions import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = corr_matrix(tables["lineitem"], cols)
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{min(a, b)}' AS col_x, '{max(a, b)}' AS col_y, "
+        f"round(corr({a}, {b}), 9) AS corr, count(*) AS n FROM lineitem"
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    )
+    assert_df_equals_oracle(got, duck, union, tol=1e-6)
+
+
+def test_corr_matrix_guards_and_nulls(spark):
+    import pytest as _pytest
+
+    from hama_spark.extensions import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0)], "a double, b double, c double"
+    )
+    rows = {(r["col_x"], r["col_y"]): r for r in corr_matrix(df).collect()}
+    assert rows[("a", "b")]["corr"] == 1.0 and rows[("a", "b")]["n"] == 3
+    # zero-variance column -> NULL corr, surfaced not dropped
+    assert rows[("a", "c")]["corr"] is None
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+    with _pytest.raises(ValueError):
+        corr_matrix(df, [f"c{i}" for i in range(61)])

@@ -259,3 +259,94 @@ def test_funnel_matches_reference_replay_on_random_events(spark):
         assert [got[i + 1] for i in range(3)] == want, (got, want, rows)
 
     run()
+
+
+# ------------------------------------------------- interval_join
+def test_interval_join_edges(spark):
+    from hama_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),   # exactly at a start
+            (2, _ts("2024-01-01T00:59:59")),   # inside
+            (3, _ts("2024-01-01T01:00:00")),   # exactly at an end
+            (4, _ts("2024-01-01T01:00:01")),   # just past the end
+            (5, _ts("2024-03-05T12:00:00")),   # inside a multi-day interval
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00")),
+            # zero-length interval: matches only the exact instant
+            (11, _ts("2024-01-01T00:59:59"), _ts("2024-01-01T00:59:59")),
+            # end < start: dropped, never raises in sequence()
+            (12, _ts("2024-01-02T00:00:00"), _ts("2024-01-01T00:00:00")),
+            # spans many buckets (multi-day vs 1h buckets)
+            (13, _ts("2024-03-01T00:00:00"), _ts("2024-03-10T00:00:00")),
+        ],
+        "iid long, start timestamp, end timestamp",
+    )
+    out = [
+        (r["pid"], r["iid_r"])
+        for r in interval_join(points, intervals, bucket_secs=3600).collect()
+    ]
+    assert sorted(out) == [(1, 10), (2, 10), (2, 11), (3, 10), (5, 13)]
+    # exactly-once per qualifying pair even when the interval covers
+    # many buckets
+    assert len(out) == len(set(out))
+
+
+def test_interval_join_keyed_and_bucket_invariance(spark):
+    from hama_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01T00:30:00")), (2, 8, _ts("2024-01-01T00:30:00"))],
+        "pid long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, _ts("2024-01-01T00:00:00"), _ts("2024-01-01T01:00:00"))],
+        "k long, start timestamp, end timestamp",
+    )
+    out = interval_join(points, intervals, on="k", bucket_secs=600).collect()
+    assert [(r["pid"], r["k"]) for r in out] == [(1, 7)]
+    # result is bucket-granularity-invariant
+    for g in (1, 59, 3600, 86400 * 30):
+        assert interval_join(points, intervals, on="k", bucket_secs=g).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(points, intervals, bucket_secs=0)
+
+
+def test_interval_join_matches_duckdb(spark, duck, tables):
+    """Keyless containment join on fixture events: every 20th event
+    opens a 90-minute window; count (point, window) containments the
+    naive BETWEEN theta-join way in DuckDB."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.operators.temporal import interval_join
+
+    ev = tables["events"]
+    ivl = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .select(
+            F.col("event_id").alias("iid"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+        )
+    )
+    got = interval_join(
+        ev.select("event_id", "ts"), ivl, bucket_secs=1800
+    ).select("event_id", "iid_r")
+    assert_df_equals_oracle(
+        got,
+        duck,
+        """
+        SELECT p.event_id, i.event_id AS iid_r
+        FROM events p
+        JOIN (SELECT event_id, ts AS s, ts + INTERVAL 90 MINUTE AS e
+              FROM events WHERE event_id % 20 = 0) i
+          ON p.ts >= i.s AND p.ts <= i.e
+        """,
+    )
