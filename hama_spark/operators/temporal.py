@@ -192,14 +192,28 @@ def interval_join(
     timeline replicates timeline/g times; cap such outliers upstream or
     route them through a broadcast side. Intervals with end < start are
     dropped (``sequence`` would raise on a negative step).
+
+    Columns may be timestamps OR plain numerics (an IP → ASN-range or
+    row-offset → shard lookup is the same join; ``bucket_secs`` is then
+    just the bucket width in the column's own units).
     """
+    from pyspark.sql.types import NumericType
+
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     g = int(bucket_secs)
     if g < 1:
         raise ValueError(f"bucket_secs must be >= 1, got {bucket_secs}")
 
+    numeric = isinstance(points.schema[point_ts].dataType, NumericType)
+    if numeric != isinstance(intervals.schema[start_col].dataType, NumericType):
+        raise ValueError(
+            f"point column {point_ts!r} and interval bounds must both be "
+            "timestamps or both numeric"
+        )
+    _epoch = (lambda c: c) if numeric else F.unix_timestamp
+
     pb = points.withColumn(
-        "_bkt", F.floor(F.unix_timestamp(F.col(point_ts)) / g).cast("long")
+        "_bkt", F.floor(_epoch(F.col(point_ts)) / g).cast("long")
     )
     ipay = [c for c in intervals.columns if c not in keys]
     ib = (
@@ -208,8 +222,8 @@ def interval_join(
             *keys,
             F.explode(
                 F.sequence(
-                    F.floor(F.unix_timestamp(F.col(start_col)) / g).cast("long"),
-                    F.floor(F.unix_timestamp(F.col(end_col)) / g).cast("long"),
+                    F.floor(_epoch(F.col(start_col)) / g).cast("long"),
+                    F.floor(_epoch(F.col(end_col)) / g).cast("long"),
                 )
             ).alias("_bkt"),
             *[F.col(c).alias(f"{c}{suffix}") for c in ipay],

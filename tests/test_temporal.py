@@ -350,3 +350,35 @@ def test_interval_join_matches_duckdb(spark, duck, tables):
           ON p.ts >= i.s AND p.ts <= i.e
         """,
     )
+
+
+def test_interval_join_numeric_ranges(spark):
+    """IP-to-range style numeric lookup: same bucketed join, bounds in
+    the column's own units."""
+    import pytest as _pytest
+
+    from hama_spark.operators.temporal import interval_join
+
+    ips = spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 255), (4, 256), (5, 1000)], "pid long, ip long"
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0, 255), ("b", 200, 300), ("c", 999, 999)],
+        "asn string, start long, end long",
+    )
+    out = sorted(
+        (r["pid"], r["asn_r"])
+        for r in interval_join(
+            ips, ranges, point_ts="ip", bucket_secs=64
+        ).collect()
+    )
+    assert out == [(1, "a"), (2, "a"), (3, "a"), (3, "b"), (4, "b")]
+    with _pytest.raises(ValueError):
+        interval_join(
+            ips,
+            spark.createDataFrame(
+                [("a", _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"))],
+                "asn string, start timestamp, end timestamp",
+            ),
+            point_ts="ip",
+        )
