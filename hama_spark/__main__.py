@@ -8,6 +8,8 @@ to stdout (machine-parseable; everything else goes to stderr).
                                   [--benchmark bench/] [--min-quality Q]
     python -m hama_spark dedup    --input corpus/ --output deduped/
                                   [--threshold T]
+    python -m hama_spark decontam --input corpus/ --benchmark bench/
+                                  [--output clean/] [--threshold T]
     python -m hama_spark drift    --old v1/ --new v2/ --column n_chars
 
 Inputs/outputs are parquet paths (any Hadoop-FS scheme the session
@@ -89,6 +91,48 @@ def cmd_dedup(args) -> dict:
     }
 
 
+def cmd_decontam(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.dedup import (
+        contamination_report,
+        near_contamination_pairs,
+    )
+
+    spark = _spark()
+    corpus = _read(spark, args.input)
+    bench = _read(spark, args.benchmark)
+    exact = contamination_report(
+        corpus, bench, id_col=args.id_col, text_col=args.text_col
+    ).filter(F.col("contamination") >= args.max_overlap)
+    near = near_contamination_pairs(
+        corpus,
+        bench,
+        threshold=args.threshold,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    flagged = (
+        exact.select(F.col(args.id_col).alias("flagged_id"))
+        .union(near.select(F.col("corpus_id").alias("flagged_id")))
+        .distinct()
+    )
+    if args.output:
+        kept = corpus.join(
+            flagged, corpus[args.id_col] == flagged["flagged_id"], "left_anti"
+        )
+        kept.write.mode(args.mode).parquet(args.output)
+    return {
+        "command": "decontam",
+        "input": args.input,
+        "benchmark": args.benchmark,
+        "exact_flagged": exact.count(),
+        "near_flagged": near.select("corpus_id").distinct().count(),
+        "total_flagged": flagged.count(),
+        "output": args.output,
+    }
+
+
 def cmd_drift(args) -> dict:
     from hama_spark.extensions.expectations import distribution_drift
 
@@ -138,6 +182,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--mode", default="error")
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser(
+        "decontam", help="flag/drop train docs leaking eval benchmark content"
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--benchmark", required=True)
+    sp.add_argument("--output", default=None)
+    sp.add_argument("--max-overlap", type=float, default=0.8,
+                    help="exact shingle-overlap fraction that flags a doc")
+    sp.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup whole-doc Jaccard that flags a doc")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--mode", default="error")
+    sp.set_defaults(fn=cmd_decontam)
 
     sp = sub.add_parser("drift", help="PSI drift between two snapshots")
     sp.add_argument("--old", required=True)

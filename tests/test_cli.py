@@ -63,3 +63,31 @@ def test_cli_prepare(tmp_path):
     stages = {r["stage"]: r for r in out["funnel"]}
     assert "near_dedup" in stages or len(stages) >= 3
     assert os.path.isdir(str(tmp_path / "clean"))
+
+
+def test_cli_decontam(tmp_path):
+    """Corpus decontaminated against a benchmark slice of itself: every
+    benchmark twin (plus its near-dups) must be flagged and dropped."""
+    import duckdb
+
+    bench = str(tmp_path / "bench")
+    duckdb.connect().execute(
+        f"""COPY (SELECT doc_id + 100000 AS doc_id, text
+               FROM read_parquet('{SF}/documents.parquet')
+               WHERE doc_id % 37 = 0)
+            TO '{bench}' (FORMAT PARQUET)"""
+    )
+    out = _run(
+        "decontam",
+        "--input", f"{SF}/documents.parquet",
+        "--benchmark", bench,
+        "--output", str(tmp_path / "clean"),
+        "--threshold", "0.5",
+    )
+    # the 14 verbatim twins are all caught (near side >= exact side)
+    assert out["near_flagged"] >= 14
+    assert out["total_flagged"] >= out["exact_flagged"]
+    n_kept = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{tmp_path}/clean/*.parquet')"
+    ).fetchone()[0]
+    assert n_kept == 500 - out["total_flagged"]
