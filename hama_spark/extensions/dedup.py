@@ -404,6 +404,63 @@ def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def collapse_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware cluster collapse: same connected-components
+    machinery as :func:`_collapse_pairs`, but the survivor of each
+    duplicate cluster is the row with the HIGHEST ``score_col`` (ties →
+    lowest id, deterministic) instead of the lowest id — what a
+    production pipeline actually keeps (the longest / highest-quality /
+    most-recent copy), composed with any pair finder in this module
+    (``minhash_lsh_dup_pairs``, ``simhash_dup_pairs``,
+    ``lsh_cosine_dup_pairs``, precomputed index probes).
+
+    Returns (id_col, score_col, n_dups): one row per cluster, n_dups =
+    cluster size (1 = unique document).
+
+    Scale shape: the per-cluster argmax is ONE ``max_by`` aggregation on
+    the component label (map-side combined, constant state per group) —
+    no window over the corpus, no second join against the text.
+    """
+    from hama_spark.graph import mindist_search
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
+
+    ids = df.select(F.col(id_col), F.col(score_col), pad(id_col).alias("_pid"))
+    labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(
+        F.col(id_col),
+        F.col(score_col),
+        F.coalesce(F.col("component"), F.col("_pid")).alias("_comp"),
+    )
+    # max_by on a (score, -id) struct: greatest score wins, lowest id
+    # breaks exact score ties (negated via string order on the padded
+    # complement would be fragile — use a two-field struct ordering:
+    # Spark compares structs field-by-field, and the id field is
+    # inverted by subtracting from the pad ceiling)
+    ranked = F.struct(
+        F.col(score_col).alias("s"),
+        (F.lit(10**15) - F.col(id_col).cast("long")).alias("inv_id"),
+    )
+    return (
+        labeled.groupBy("_comp")
+        .agg(
+            F.max_by(F.struct(F.col(id_col), F.col(score_col)), ranked).alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col(f"_w.{score_col}").alias(score_col),
+            "n_dups",
+        )
+    )
+
+
 def dedup_embedding(
     df: DataFrame,
     threshold: float = 0.9,

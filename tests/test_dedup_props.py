@@ -184,3 +184,55 @@ def test_scrub_boilerplate_regime(spark):
         for r in scrub_shared_spans(docs, k=8, min_df=2, max_df=50).collect()
     }
     assert dedup[10] == 9 and dedup[11] == 9
+
+
+def test_collapse_keep_best_picks_argmax_and_breaks_ties(spark):
+    """Quality-aware collapse: highest score survives its cluster;
+    exact score ties go to the lowest id; singletons pass through."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.dedup import collapse_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3} via chain 1-2, 2-3: 2 has the best score
+            (1, 0.2), (2, 0.9), (3, 0.5),
+            # cluster {10,11}: tied scores -> lowest id (10) wins
+            (10, 0.7), (11, 0.7),
+            # singleton
+            (20, 0.1),
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["quality"], r["n_dups"])
+        for r in collapse_keep_best(docs, pairs, "quality").collect()
+    }
+    assert out == {2: (0.9, 3), 10: (0.7, 2), 20: (0.1, 1)}
+
+
+def test_collapse_keep_best_agrees_with_min_id_on_constant_score(spark):
+    """With a constant score the argmax tie-break (lowest id) must
+    reproduce _collapse_pairs' min-id survivors on real fixture pairs."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.dedup import (
+        collapse_keep_best,
+        dedup_near,
+        minhash_lsh_dup_pairs,
+    )
+    from hama_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"].select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_dup_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    best = collapse_keep_best(
+        docs.withColumn("c", F.lit(1.0)), pairs, "c"
+    ).select("doc_id", "n_dups")
+    minid = dedup_near(docs, threshold=0.5, pairs=pairs).select("doc_id", "n_dups")
+    assert best.exceptAll(minid).count() == 0
+    assert minid.exceptAll(best).count() == 0
