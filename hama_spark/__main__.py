@@ -55,6 +55,7 @@ def cmd_prepare(args) -> dict:
         benchmark,
         min_quality=args.min_quality,
         near_threshold=args.threshold,
+        keep_best_by=args.keep_best_by,
         id_col=args.id_col,
         text_col=args.text_col,
     )
@@ -169,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--benchmark", default=None)
     sp.add_argument("--min-quality", type=float, default=0.3)
     sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--keep-best-by", default=None,
+                    help="numeric column whose argmax survives each near-dup cluster")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--mode", default="error")

@@ -146,6 +146,7 @@ def prepare_training_corpus(
     min_quality: float = 0.3,
     langs: list[str] | None = None,
     near_threshold: float = 0.5,
+    keep_best_by: str | None = None,
     max_contamination: float = 0.2,
     split_weights: dict[str, float] | None = None,
     split_col: str | None = None,
@@ -158,7 +159,10 @@ def prepare_training_corpus(
 
     1. quality + language gate   (map-only column expressions)
     2. exact dedup               (one fingerprint shuffle)
-    3. near-dup cluster collapse (MinHash-LSH bands + Pregel CC)
+    3. near-dup cluster collapse (MinHash-LSH bands + Pregel CC);
+       ``keep_best_by`` names a numeric column on ``docs`` and the
+       survivor of each cluster is its argmax (collapse_keep_best —
+       keep the longest/highest-quality copy) instead of the lowest id
     4. benchmark decontamination (broadcast shingle overlap; optional)
     5. train/val/test assignment (md5 bands; ``split_col`` groups —
        pass a domain/source column for leakage-safe group splits)
@@ -173,7 +177,13 @@ def prepare_training_corpus(
     joined back exactly once at the end. The driver sees only the five
     funnel counts (O(1) aggregates each).
     """
-    from hama_spark.extensions.dedup import contamination_report, dedup_exact, dedup_near
+    from hama_spark.extensions.dedup import (
+        collapse_keep_best,
+        contamination_report,
+        dedup_exact,
+        dedup_near,
+        minhash_lsh_dup_pairs,
+    )
     from hama_spark.extensions.sampling import split_dataset
 
     spark = docs.sparkSession
@@ -197,11 +207,17 @@ def prepare_training_corpus(
     exact = gated.join(exact_ids, id_col)
     funnel.append(("exact_dedup", exact_ids.count()))
 
-    near_ids = (
-        dedup_near(exact, threshold=near_threshold, id_col=id_col, text_col=text_col)
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    if keep_best_by is None:
+        near_survivors = dedup_near(
+            exact, threshold=near_threshold, id_col=id_col, text_col=text_col
+        )
+    else:
+        pairs = minhash_lsh_dup_pairs(
+            exact, threshold=near_threshold, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        scored = exact.join(docs.select(id_col, keep_best_by), id_col)
+        near_survivors = collapse_keep_best(scored, pairs, keep_best_by, id_col)
+    near_ids = near_survivors.select(id_col).localCheckpoint(eager=True)
     near = exact.join(near_ids, id_col)
     funnel.append(("near_dedup", near_ids.count()))
 

@@ -284,3 +284,37 @@ def test_prepare_training_corpus_funnel(spark, tables):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert 100000 not in ids and 1 not in ids and 0 in ids
     assert "split" in out.columns and set(out.columns) >= set(corpus.columns)
+
+
+def test_prepare_training_corpus_keep_best(spark, tables):
+    """keep_best_by: the near-dup cluster's survivor is the argmax of
+    the named column, not the lowest id — a planted higher-quality
+    twin must displace the original."""
+    from pyspark.sql import functions as F
+
+    from hama_spark.extensions.pipeline import prepare_training_corpus
+
+    docs = (
+        tables["documents"]
+        .limit(40)
+        .select("doc_id", "text", F.length("text").alias("prio"))
+        .localCheckpoint(eager=True)
+    )
+    # plant a NEAR dup of doc 0 (same text + one extra word, so exact
+    # dedup keeps both) with a strictly higher priority
+    twin = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        (F.col("prio") + 1000).alias("prio"),
+    )
+    corpus = docs.unionByName(twin)
+
+    out, _ = prepare_training_corpus(
+        corpus, min_quality=0.0, keep_best_by="prio"
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 999999 in ids and 0 not in ids
+    # default min-id collapse keeps the original instead
+    out2, _ = prepare_training_corpus(corpus, min_quality=0.0)
+    ids2 = {r.doc_id for r in out2.select("doc_id").collect()}
+    assert 0 in ids2 and 999999 not in ids2
