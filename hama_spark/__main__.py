@@ -103,21 +103,28 @@ def cmd_decontam(args) -> dict:
     spark = _spark()
     corpus = _read(spark, args.input)
     bench = _read(spark, args.benchmark)
-    exact = contamination_report(
-        corpus, bench, id_col=args.id_col, text_col=args.text_col
-    ).filter(F.col("contamination") >= args.max_overlap)
-    near = near_contamination_pairs(
-        corpus,
-        bench,
-        threshold=args.threshold,
-        id_col=args.id_col,
-        text_col=args.text_col,
+    # checkpoint the ID relations (ids only, never text) so the write
+    # and the three summary counts don't each re-shingle the corpus —
+    # same survivor-ID discipline as cmd_dedup / prepare_training_corpus
+    exact = (
+        contamination_report(corpus, bench, id_col=args.id_col, text_col=args.text_col)
+        .filter(F.col("contamination") >= args.max_overlap)
+        .select(F.col(args.id_col).alias("flagged_id"))
+        .localCheckpoint(eager=True)
     )
-    flagged = (
-        exact.select(F.col(args.id_col).alias("flagged_id"))
-        .union(near.select(F.col("corpus_id").alias("flagged_id")))
+    near = (
+        near_contamination_pairs(
+            corpus,
+            bench,
+            threshold=args.threshold,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        .select(F.col("corpus_id").alias("flagged_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    flagged = exact.union(near).distinct().localCheckpoint(eager=True)
     if args.output:
         kept = corpus.join(
             flagged, corpus[args.id_col] == flagged["flagged_id"], "left_anti"
@@ -128,7 +135,7 @@ def cmd_decontam(args) -> dict:
         "input": args.input,
         "benchmark": args.benchmark,
         "exact_flagged": exact.count(),
-        "near_flagged": near.select("corpus_id").distinct().count(),
+        "near_flagged": near.count(),
         "total_flagged": flagged.count(),
         "output": args.output,
     }

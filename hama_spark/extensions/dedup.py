@@ -144,7 +144,13 @@ def minhash_signatures(
     """(id, sig array<long>) — the scale path: explode shingles, md5
     each ONCE, one shuffle with ``num_hashes`` min-aggregates (map-side
     partial agg keeps shuffle volume at num_hashes longs per doc)."""
-    sh = _shingle_rows(df, id_col, text_col, k)
+    return _signatures_from_shingles(_shingle_rows(df, id_col, text_col, k), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Signature derivation from a prebuilt (id, sh) relation, so
+    callers that also need the shingle rows (size/intersection math)
+    can checkpoint them once and feed both consumers."""
     h = sh.select(
         "id",
         F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 8), 16, 10)
@@ -372,12 +378,15 @@ def dedup_near(
     return _collapse_pairs(df, pairs, id_col)
 
 
-def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    """Shared cluster-collapse tail: duplicate pairs (id_a, id_b) ->
-    connected components via Pregel min-label propagation (SURVEY §7
-    Phase 6: dedup clustering reuses the graph layer) -> keep the lowest
-    id per component. Returns (id_col, n_dups); n_dups = component size
-    (1 = unique row).
+def _label_components(
+    df: DataFrame, pairs: DataFrame, id_col: str, extra_cols: list[str] = ()
+) -> DataFrame:
+    """Shared cluster-labeling preamble for both survivor rules:
+    duplicate pairs (id_a, id_b) -> connected components via Pregel
+    min-label propagation (SURVEY §7 Phase 6: dedup clustering reuses
+    the graph layer). Returns (id_col, *extra_cols, _comp, _pid) — one
+    row per df row, labeled with its component (own padded id when
+    unpaired).
 
     ids propagate as zero-padded strings so the string-min label equals
     the numeric min (mindist_search compares lexicographically, A3)."""
@@ -389,13 +398,22 @@ def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     # rounds) but the halt check still batches 3 supersteps per job
     comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
 
-    ids = df.select(F.col(id_col), pad(id_col).alias("_pid"))
-    labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(
+    ids = df.select(F.col(id_col), *extra_cols, pad(id_col).alias("_pid"))
+    return ids.join(comp, ids["_pid"] == comp["id"], "left").select(
         F.col(id_col),
+        *extra_cols,
         F.coalesce(F.col("component"), F.col("_pid")).alias("_comp"),
+        "_pid",
     )
+
+
+def _collapse_pairs(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Min-id cluster-collapse tail: keep the lowest id per component.
+    Returns (id_col, n_dups); n_dups = component size (1 = unique
+    row)."""
     return (
-        labeled.groupBy("_comp")
+        _label_components(df, pairs, id_col)
+        .groupBy("_comp")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
@@ -422,35 +440,22 @@ def collapse_keep_best(
     Returns (id_col, score_col, n_dups): one row per cluster, n_dups =
     cluster size (1 = unique document).
 
-    Scale shape: the per-cluster argmax is ONE ``max_by`` aggregation on
+    Scale shape: the per-cluster argmax is ONE ``min_by`` aggregation on
     the component label (map-side combined, constant state per group) —
     no window over the corpus, no second join against the text.
     """
-    from hama_spark.graph import mindist_search
-
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
-    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
-    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
-
-    ids = df.select(F.col(id_col), F.col(score_col), pad(id_col).alias("_pid"))
-    labeled = ids.join(comp, ids["_pid"] == comp["id"], "left").select(
-        F.col(id_col),
-        F.col(score_col),
-        F.coalesce(F.col("component"), F.col("_pid")).alias("_comp"),
-    )
-    # max_by on a (score, -id) struct: greatest score wins, lowest id
-    # breaks exact score ties (negated via string order on the padded
-    # complement would be fragile — use a two-field struct ordering:
-    # Spark compares structs field-by-field, and the id field is
-    # inverted by subtracting from the pad ceiling)
+    labeled = _label_components(df, pairs, id_col, extra_cols=[score_col])
+    # min_by on a (-score, padded_id) struct: greatest score wins and
+    # the lexicographic min of the zero-padded id breaks exact score
+    # ties — id-type-agnostic (numeric or string ids), same padding the
+    # CC labels themselves use. Struct comparison is field-by-field.
     ranked = F.struct(
-        F.col(score_col).alias("s"),
-        (F.lit(10**15) - F.col(id_col).cast("long")).alias("inv_id"),
+        (-F.col(score_col)).alias("ns"), F.col("_pid").alias("pid")
     )
     return (
         labeled.groupBy("_comp")
         .agg(
-            F.max_by(F.struct(F.col(id_col), F.col(score_col)), ranked).alias("_w"),
+            F.min_by(F.struct(F.col(id_col), F.col(score_col)), ranked).alias("_w"),
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
         .select(
@@ -596,16 +601,21 @@ def near_contamination_pairs(
     Scale shape: the benchmark is an eval set — tiny next to a 100 TB
     corpus — so its band rows and shingle rows are BROADCAST; corpus
     shingles stream map-side through both hash joins and corpus text
-    never shuffles. Candidate cost is Σ per (band, key) bucket of
-    |corpus_b|·|bench_b|, never |C|·|B|.
+    never shuffles. The corpus shingle relation is locally checkpointed
+    ONCE and feeds signatures, sizes, and the intersection join (the
+    corpus is tokenized a single time — same discipline as
+    ``minhash_lsh_dup_pairs``). Candidate cost is Σ per (band, key)
+    bucket of |corpus_b|·|bench_b|, never |C|·|B|.
     """
     bench_id_col = bench_id_col or id_col
     bench_text_col = bench_text_col or text_col
 
-    sig_c = minhash_signatures(corpus, num_hashes, k, id_col, text_col)
-    sig_b = minhash_signatures(
-        benchmark, num_hashes, k, bench_id_col, bench_text_col
-    ).localCheckpoint(eager=True)
+    sh_c = _shingle_rows(corpus, id_col, text_col, k).localCheckpoint(eager=True)
+    sh_b = _shingle_rows(benchmark, bench_id_col, bench_text_col, k).localCheckpoint(
+        eager=True
+    )
+    sig_c = _signatures_from_shingles(sh_c, num_hashes)
+    sig_b = _signatures_from_shingles(sh_b, num_hashes)
     bands_c = minhash_band_rows(sig_c, num_hashes, bands)
     bands_b = minhash_band_rows(sig_b, num_hashes, bands)
 
@@ -622,10 +632,6 @@ def near_contamination_pairs(
         .distinct()
     )
 
-    sh_c = _shingle_rows(corpus, id_col, text_col, k)
-    sh_b = _shingle_rows(benchmark, bench_id_col, bench_text_col, k).localCheckpoint(
-        eager=True
-    )
     sz_c = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz_c"))
     sz_b = sh_b.groupBy("id").agg(F.count(F.lit(1)).alias("sz_b"))
     inter = (

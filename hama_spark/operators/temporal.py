@@ -205,11 +205,12 @@ def interval_join(
         raise ValueError(f"bucket_secs must be >= 1, got {bucket_secs}")
 
     numeric = isinstance(points.schema[point_ts].dataType, NumericType)
-    if numeric != isinstance(intervals.schema[start_col].dataType, NumericType):
-        raise ValueError(
-            f"point column {point_ts!r} and interval bounds must both be "
-            "timestamps or both numeric"
-        )
+    for bound in (start_col, end_col):
+        if numeric != isinstance(intervals.schema[bound].dataType, NumericType):
+            raise ValueError(
+                f"point column {point_ts!r} and interval bound {bound!r} must "
+                "both be timestamps or both numeric"
+            )
     _epoch = (lambda c: c) if numeric else F.unix_timestamp
 
     pb = points.withColumn(

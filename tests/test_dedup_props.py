@@ -236,3 +236,22 @@ def test_collapse_keep_best_agrees_with_min_id_on_constant_score(spark):
     minid = dedup_near(docs, threshold=0.5, pairs=pairs).select("doc_id", "n_dups")
     assert best.exceptAll(minid).count() == 0
     assert minid.exceptAll(best).count() == 0
+
+
+def test_collapse_keep_best_string_ids(spark):
+    """The tie-break must be id-type-agnostic: string doc ids collapse
+    with the same argmax/lowest-id semantics (no numeric cast)."""
+    from hama_spark.extensions.dedup import collapse_keep_best
+
+    docs = spark.createDataFrame(
+        [("a1", 0.3), ("a2", 0.9), ("b1", 0.5), ("b2", 0.5)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("b1", "b2")], "id_a string, id_b string"
+    )
+    out = {
+        r["doc_id"]: (r["q"], r["n_dups"])
+        for r in collapse_keep_best(docs, pairs, "q").collect()
+    }
+    assert out == {"a2": (0.9, 2), "b1": (0.5, 2)}
