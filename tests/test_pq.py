@@ -1,0 +1,81 @@
+"""Product quantization (extensions/pq.py): deterministic training,
+exact self-retrieval, recall floor vs the brute-force twin, code-range
+and shape invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.extensions.pq import pq_encode, pq_topk, train_pq
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from hama_spark.session import load_tables
+
+    return load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+
+
+def test_train_is_deterministic_and_shaped(spark, emb):
+    b1 = train_pq(emb, m=4, nbits=4, kmeans_iter=3)
+    b2 = train_pq(emb, m=4, nbits=4, kmeans_iter=3)
+    assert b1 == b2
+    assert len(b1) == 4 and all(len(book) == 16 for book in b1)
+    assert all(len(c) == 16 for book in b1 for c in book)  # dsub = 64/4
+    with pytest.raises(ValueError):
+        train_pq(emb, m=7)  # 64 % 7 != 0
+
+
+def test_codes_in_range_and_compressed_width(spark, emb):
+    books = train_pq(emb, m=8, nbits=4, kmeans_iter=2)
+    codes = pq_encode(emb, books)
+    row = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("w"),
+    ).collect()[0]
+    assert row["n"] == 500 and row["w"] == 8
+    assert 0 <= row["lo"] and row["hi"] <= 15
+
+
+def test_self_query_found_at_rank_one(spark, emb):
+    """Exact re-rank guarantees a corpus vector queried against its own
+    corpus surfaces itself first (cosine 1.0, lowest-id tiebreak)."""
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    top = pq_topk(emb, q, k=10)
+    firsts = {
+        r["query_id"]: r["vec_id"] for r in top.filter(F.col("rank") == 1).collect()
+    }
+    assert len(firsts) == 10
+    assert all(qid == vid for qid, vid in firsts.items())
+
+
+def test_recall_floor_vs_brute_force(spark, emb):
+    """Measured 0.83 at the defaults on this fixture; assert a
+    conservative floor so codebook-math regressions (wrong subspace
+    slice, off-by-one in the ADC lookup) fail loudly."""
+    from hama_spark.extensions.similarity import cosine_topk
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, q, k=10).select("query_id", "vec_id")
+    approx = pq_topk(emb, q, k=10).select("query_id", "vec_id")
+    hits = approx.intersect(exact).count()
+    assert hits / exact.count() >= 0.65
+
+
+def test_orthogonal_vectors_encode_to_their_own_seed(spark):
+    """With k seed rows forming the initial codebooks and orthogonal
+    subvectors, Lloyd leaves every seed in place and each seed row
+    encodes to its own index in every subspace."""
+    rows = []
+    for i in range(4):
+        v = [0.0] * 8
+        v[i] = 1.0        # m=2, dsub=4: dims 0-3 are subspace 0
+        v[4 + i] = 1.0    # dims 4-7 are subspace 1
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_pq(df, m=2, nbits=2, kmeans_iter=3)
+    codes = {r["id"]: r["codes"] for r in pq_encode(df, books).collect()}
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [2, 2], 3: [3, 3]}
