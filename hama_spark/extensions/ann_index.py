@@ -88,3 +88,109 @@ def ivf_topk_indexed(
         vec_col=vec_col,
         cells=cells,
     )
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> None:
+    """Persist a full IVF-PQ index: the IVF layout of
+    :func:`save_ivf_index` (centroids + cell-partitioned normalized
+    assignments, reused for coarse probe AND exact re-rank) plus
+
+    - ``codebooks/`` — (subspace, code, centroid array<double>),
+      m * 2^nbits rows.
+    - ``codes/``     — (id, codes array<int>, cell), parquet PARTITIONED
+      BY cell so the ADC scan reads only probed slices.
+
+    The serving asymmetry is the point: ``codes/`` is the hot relation
+    (m small ints a row); ``assignments/`` holds the raw vectors and is
+    touched only for rerank*k candidate ids per query."""
+    from hama_spark.extensions.pq import pq_encode, train_pq
+    from hama_spark.extensions.similarity import _kmeans_cells
+
+    spark = corpus.sparkSession
+    cb, centers = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
+    cb = cb.localCheckpoint(eager=True)  # shared by assignments + codes joins
+    cb.write.mode(mode).partitionBy("cell").parquet(f"{path}/assignments")
+    (
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cell int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{path}/centroids")
+    )
+    books = train_pq(corpus, m, nbits, kmeans_iter, id_col, vec_col)
+    (
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in ctr])
+                for j, book in enumerate(books)
+                for c, ctr in enumerate(book)
+            ],
+            "subspace int, code int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode(mode)
+        .parquet(f"{path}/codebooks")
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col).join(
+        cb.select("id", "cell"), "id"
+    )
+    codes.write.mode(mode).partitionBy("cell").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark: SparkSession, path: str):
+    """(cells_pair, codebooks, codes) ready for
+    ``ivfpq_topk(..., cells=..., codebooks=..., codes=...)``: centroids
+    and codebooks come back as driver state (plan literals /
+    broadcast), assignments and codes stay lazy partitioned scans."""
+    assigned, centers = load_ivf_index(spark, path)
+    rows = (
+        spark.read.parquet(f"{path}/codebooks").orderBy("subspace", "code").collect()
+    )
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    books = [[None] * k for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    codes = spark.read.parquet(f"{path}/codes").select("id", "codes", "cell")
+    return (assigned, centers), books, codes
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a saved IVF-PQ index: load + search in one call (the
+    :func:`ivf_topk_indexed` twin for the compressed path)."""
+    from hama_spark.extensions.pq import ivfpq_topk
+
+    cells, books, codes = load_pq_index(spark, index_path)
+    return ivfpq_topk(
+        cells[0],
+        queries,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        cells=cells,
+        codebooks=books,
+        codes=codes,
+    )

@@ -248,3 +248,109 @@ def pq_topk(
             F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank"
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    kmeans_iter: int = 5,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells=None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means cells bound WHICH corpus slice each query
+    scans (``nprobe`` of ``n_cells``); PQ codes bound WHAT the scan
+    reads per row (m small ints, not dim floats); exact re-rank on the
+    surviving ``rerank*k`` candidates restores true cosines. The
+    production serving layout — both levers compose multiplicatively:
+    at n_cells=1024/nprobe=8 and 768→96-byte codes, a query batch
+    touches ~1/128 of the rows at ~1/32 of the bytes per row.
+
+    ``cells``/``codebooks``/``codes`` accept pretrained artifacts
+    (``_kmeans_cells`` pair, :func:`train_pq`, :func:`pq_encode`) so an
+    index is trained once and probed many times.
+    """
+    from hama_spark.extensions.similarity import _kmeans_cells
+    from hama_spark.functions.distance import MEASURES
+
+    assigned, centers = cells or _kmeans_cells(
+        corpus, n_cells, kmeans_iter, id_col, vec_col
+    )
+    if codebooks is None:
+        codebooks = train_pq(corpus, m, nbits, kmeans_iter, id_col, vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    # a persisted code relation (load_pq_index) already carries cell
+    coded = (
+        codes
+        if "cell" in codes.columns
+        else codes.join(assigned.select("id", "cell"), "id")
+    )
+
+    measure = MEASURES["euclidean"]
+    q = _normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                measure(F.col("qv"), F.array(*[F.lit(x) for x in ctr])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    qcells = q.select(
+        "qid",
+        "qv",
+        F.explode(F.slice(F.array_sort(dists), 1, nprobe)).alias("dc"),
+    ).select("qid", "qv", F.col("dc.cell").alias("cell"))
+    qcells = qcells.crossJoin(
+        F.broadcast(_codebook_df(corpus.sparkSession, codebooks))
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), j * F.lit(dsub) + 1, dsub),
+                F.element_at(
+                    F.element_at(F.col("cb"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc2, x: acc2 + x,
+        ),
+    )
+    cand_w = Window.partitionBy("qid").orderBy(F.desc("_adc"), F.asc("id"))
+    candidates = (
+        coded.join(F.broadcast(qcells), "cell")
+        .select("qid", "qv", "id", adc.alias("_adc"))
+        .withColumn("_r", F.row_number().over(cand_w))
+        .filter(F.col("_r") <= rerank * k)
+        .select("qid", "qv", "id")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        candidates.join(assigned.select("id", "v"), "id")
+        .select("qid", "id", F.round(_dot(F.col("v"), F.col("qv")), 9).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"), F.col("id").alias(id_col), "cosine", "rank"
+        )
+    )

@@ -79,3 +79,38 @@ def test_orthogonal_vectors_encode_to_their_own_seed(spark):
     books = train_pq(df, m=2, nbits=2, kmeans_iter=3)
     codes = {r["id"]: r["codes"] for r in pq_encode(df, books).collect()}
     assert codes == {0: [0, 0], 1: [1, 1], 2: [2, 2], 3: [3, 3]}
+
+
+def test_ivfpq_matches_pq_family_invariants(spark, emb):
+    """IVF-PQ: self-retrieval still holds when the self cell is probed
+    (nprobe=all guarantees it) and results agree with plain pq_topk at
+    full probe width (cells only restrict candidates)."""
+    from hama_spark.extensions.pq import ivfpq_topk
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    full = ivfpq_topk(emb, q, k=5, n_cells=8, nprobe=8)
+    firsts = {
+        r["query_id"]: r["vec_id"] for r in full.filter(F.col("rank") == 1).collect()
+    }
+    assert all(qid == vid for qid, vid in firsts.items()) and len(firsts) == 5
+    pq_only = pq_topk(emb, q, k=5)
+    same = full.select("query_id", "vec_id").intersect(
+        pq_only.select("query_id", "vec_id")
+    ).count()
+    assert same == full.count()  # full probe == unrestricted PQ search
+
+
+def test_pq_index_round_trip(spark, emb, tmp_path):
+    """save -> load -> probe equals the in-session search bit-for-bit
+    (same seeds, same Lloyd schedule, same codes)."""
+    from hama_spark.extensions.ann_index import pq_topk_indexed, save_pq_index
+    from hama_spark.extensions.pq import ivfpq_topk
+
+    path = str(tmp_path / "pqidx")
+    save_pq_index(emb, path, n_cells=8)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    served = pq_topk_indexed(spark, path, q, k=5, nprobe=4)
+    fresh = ivfpq_topk(emb, q, k=5, n_cells=8, nprobe=4)
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in fresh.collect())
+    assert got == want
