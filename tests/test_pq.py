@@ -114,3 +114,35 @@ def test_pq_index_round_trip(spark, emb, tmp_path):
     got = sorted(tuple(r) for r in served.collect())
     want = sorted(tuple(r) for r in fresh.collect())
     assert got == want
+
+
+def test_pq_and_interval_plans_are_scale_clean(spark, emb):
+    """Repo plan-audit discipline extended to the session's operators:
+    no Python UDFs anywhere; the only nested-loop joins are the 1-row
+    broadcast codebook relation (the kmeans codegen-stability pattern,
+    intentionally whitelisted); interval_join and
+    near_contamination_pairs stay pure equi-joins."""
+    from hama_spark.extensions.dedup import near_contamination_pairs
+    from hama_spark.operators.temporal import interval_join
+    from hama_spark.plans.audit import assert_scalable_plan, audit_plan
+    from hama_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    # PQ: the codebook crossJoin is a one-row broadcast — allow nested
+    # loop, but Python UDFs and global windows stay forbidden
+    assert_scalable_plan(pq_topk(emb, q, k=5), allow_nested_loop=True)
+    findings = audit_plan(pq_topk(emb, q, k=5))
+    assert all("BroadcastNestedLoopJoin" in f or "Cartesian" in f for f in findings)
+
+    ev = t["events"].select("event_id", "ts")
+    ivl = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("end"),
+    )
+    assert_scalable_plan(interval_join(ev, ivl, bucket_secs=1800))
+
+    docs = t["documents"].select("doc_id", "text")
+    bench = docs.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    assert_scalable_plan(near_contamination_pairs(docs, bench))
