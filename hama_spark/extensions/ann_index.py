@@ -21,6 +21,7 @@ dim) driver state by design, same as the in-session searcher.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hama_spark.extensions.similarity import _kmeans_cells
 
@@ -194,3 +195,99 @@ def pq_topk_indexed(
         codebooks=books,
         codes=codes,
     )
+
+
+def append_to_pq_index(
+    vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb new vectors into a saved IVF-PQ index with the FROZEN
+    quantizers: cells from the saved centroids, codes from the saved
+    codebooks (retraining would silently invalidate every previously
+    stored code — the standard additive-index contract). Appends to the
+    cell-partitioned ``assignments/`` and ``codes/`` relations; probe
+    results for older vectors are unchanged."""
+    from hama_spark.extensions.pq import pq_encode
+    from hama_spark.extensions.similarity import _normalized
+    from hama_spark.functions.distance import MEASURES
+    from hama_spark.ml.kmeans import _assign_expr
+
+    spark = vectors.sparkSession
+    (_, centers), books, _ = load_pq_index(spark, index_path)
+    nv = _normalized(vectors, id_col, vec_col).localCheckpoint(eager=True)
+    assigned = nv.select(
+        "id", "v", _assign_expr(centers, MEASURES["euclidean"], feat="v").alias("cell")
+    ).localCheckpoint(eager=True)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{index_path}/assignments"
+    )
+    codes = pq_encode(nv.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+                      books, id_col, vec_col)
+    codes.join(assigned.select("id", "cell"), "id").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{index_path}/codes")
+
+
+def stream_dedup_against_pq_index(
+    stream: DataFrame,
+    index_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extend_index: bool = True,
+    trigger_available_now: bool = False,
+):
+    """Continuous-ingest EMBEDDING near-dedup — the vector twin of
+    ``dedup_index.stream_dedup_against_index``: each micro-batch probes
+    the persistent IVF-PQ index (top-1 neighbor; cosine >= threshold =
+    duplicate, dropped), collapses within-batch near-dups
+    (``dedup_embedding``'s LSH + CC, lowest id survives), writes
+    survivors to ``output_path/batch=<id>`` (overwrite — idempotent
+    under checkpoint replay), and with ``extend_index`` absorbs them so
+    the next batch dedups against everything seen so far.
+
+    Same replay semantics as the MinHash twin: deterministic survivor
+    computation + per-batch overwrite sink = idempotent output; a
+    replayed index append stores duplicate rows whose probe EFFECT is
+    idempotent (identical codes, candidates distinct-ed at re-rank by
+    rank-1 selection)."""
+    from hama_spark.extensions.dedup import dedup_embedding
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        if batch.rdd.isEmpty():
+            return
+        hits = (
+            pq_topk_indexed(
+                spark, index_path, batch, k=1, nprobe=nprobe,
+                id_col=id_col, vec_col=vec_col,
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("query_id").alias("_dup_id"))
+            .distinct()
+        )
+        survivors = batch.join(
+            hits, batch[id_col] == hits["_dup_id"], "left_anti"
+        )
+        keep = dedup_embedding(
+            survivors, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ).select(id_col)
+        survivors = survivors.join(keep, id_col).localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+        if extend_index:
+            append_to_pq_index(survivors, index_path, id_col, vec_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

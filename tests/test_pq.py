@@ -146,3 +146,92 @@ def test_pq_and_interval_plans_are_scale_clean(spark, emb):
     docs = t["documents"].select("doc_id", "text")
     bench = docs.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     assert_scalable_plan(near_contamination_pairs(docs, bench))
+
+
+def test_append_to_pq_index_frozen_quantizers(spark, emb, tmp_path):
+    """Appending new vectors must not move codebooks/centroids: old
+    vectors' probe results are unchanged, new vectors become findable."""
+    from hama_spark.extensions.ann_index import (
+        append_to_pq_index,
+        load_pq_index,
+        pq_topk_indexed,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    old = emb.filter(F.col("vec_id") < 400)
+    save_pq_index(old, path, n_cells=8)
+    books_before = load_pq_index(spark, path)[1]
+
+    q_old = emb.filter(F.col("vec_id") == 100)
+    before = sorted(tuple(r) for r in
+                    pq_topk_indexed(spark, path, q_old, k=5, nprobe=8).collect())
+
+    new = emb.filter(F.col("vec_id") >= 400)
+    append_to_pq_index(new, path)
+    assert load_pq_index(spark, path)[1] == books_before  # frozen
+    after = sorted(tuple(r) for r in
+                   pq_topk_indexed(spark, path, q_old, k=5, nprobe=8).collect())
+    # frozen quantizers: the query still self-hits at rank 1 / cosine 1,
+    # and every old id surviving the wider candidate pool reports the
+    # SAME exact cosine as before (scores can't drift; only candidate
+    # membership may change as new vectors enter the ADC cut)
+    b_scores = {t[1]: t[2] for t in before}
+    a_rank1 = [t for t in after if t[3] == 1][0]
+    assert a_rank1[1] == 100 and a_rank1[2] == 1.0
+    for t in after:
+        if t[1] in b_scores:
+            assert t[2] == b_scores[t[1]], t
+    # a new vector queried against the index finds itself at rank 1
+    q_new = emb.filter(F.col("vec_id") == 450)
+    top = pq_topk_indexed(spark, path, q_new, k=1, nprobe=8).collect()
+    assert top and top[0]["vec_id"] == 450 and top[0]["rank"] == 1
+
+
+def test_stream_dedup_against_pq_index(spark, emb, tmp_path):
+    """availableNow drain: batch rows near-duplicating indexed vectors
+    are dropped, novel rows survive and (extend_index) become findable."""
+    import os
+
+    from hama_spark.extensions.ann_index import (
+        pq_topk_indexed,
+        save_pq_index,
+        stream_dedup_against_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 300)
+    save_pq_index(base, path, n_cells=8)
+
+    # incoming: 3 exact copies of indexed vectors (id+10000) + 3 novel
+    src = str(tmp_path / "incoming")
+    incoming = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+        .unionByName(emb.filter(F.col("vec_id").isin(400, 401, 402)))
+    )
+    incoming.write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    q = stream_dedup_against_pq_index(
+        stream,
+        path,
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.99,
+        nprobe=8,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    out_dirs = [d for d in os.listdir(tmp_path / "out") if d.startswith("batch=")]
+    survivors = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "out") + "/batch=*").collect()
+    }
+    assert out_dirs and survivors == {400, 401, 402}
+    # the survivors were absorbed: querying 401 now self-hits at cosine 1
+    top = pq_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") == 401), k=1, nprobe=8
+    ).collect()
+    assert top[0]["vec_id"] == 401 and top[0]["cosine"] == 1.0
