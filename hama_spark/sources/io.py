@@ -288,3 +288,42 @@ def compact_parquet(
     return sum(
         1 for i in range(len(it)) if it[i].getPath().getName().endswith(".parquet")
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = False,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingestion with bad-row quarantine: returns ``(good, bad)``
+    where ``good`` has exactly ``schema`` and ``bad`` is (raw_line) —
+    every malformed input row (wrong arity, type-cast failure) captured
+    verbatim instead of silently nulled (PERMISSIVE's default) or
+    aborting the whole job (FAILFAST). The standard ingest contract for
+    a pipeline fed by external dumps: load what parses, park the rest
+    for inspection, let row counts reconcile (|input| = |good| + |bad|).
+
+    Implementation: PERMISSIVE mode with ``columnNameOfCorruptRecord``
+    — Spark's native malformed-row capture, one pass, no second parse.
+    The corrupt-record column must be selected before filtering (Spark
+    refuses a corrupt-only projection on CSV otherwise), hence the
+    cache-free double filter on one scan.
+    """
+    corrupt = "_corrupt_record"
+    full_schema = f"{schema}, {corrupt} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .option("header", header)
+        .option("sep", sep)
+        .csv(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = raw.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad

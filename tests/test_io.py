@@ -228,3 +228,28 @@ def test_compact_parquet_sorted_variant_clusters(spark, tmp_path):
     w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
     chk = got.select("k", F.lag("k").over(w).alias("prev"))
     assert chk.filter(F.col("prev") > F.col("k")).count() == 0
+
+
+def test_read_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Arity and type failures land in quarantine verbatim; counts
+    reconcile: |input| = |good| + |bad|."""
+    from hama_spark.sources.io import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    lines = [
+        "1,alice,3.5",
+        "2,bob,not_a_number",   # type failure
+        "3,carol",              # arity failure (missing column)
+        "4,dave,2.0",
+        "oops",                 # everything wrong
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_csv_quarantine(
+        spark, str(p), "id long, name string, score double"
+    )
+    g = {(r["id"], r["name"], r["score"]) for r in good.collect()}
+    b = {r["raw_line"] for r in bad.collect()}
+    assert g == {(1, "alice", 3.5), (4, "dave", 2.0)}
+    assert b == {"2,bob,not_a_number", "3,carol", "oops"}
+    assert good.count() + bad.count() == len(lines)
+    assert good.columns == ["id", "name", "score"]

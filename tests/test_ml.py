@@ -123,3 +123,59 @@ def test_pi(spark):
     # deterministic across runs
     pi2 = estimate_pi(spark, samples=200_000, seed=42).collect()[0]["pi"]
     assert pi == pi2
+
+
+# ------------------------------------------------ classifier evaluation
+def test_classification_report_matches_duckdb(spark, duck):
+    """P/R/F1 vs a DuckDB replay on a label/prediction relation with an
+    unpredicted class, a label-less predicted class, and ties."""
+    from tests.conftest import assert_df_equals_oracle
+
+    from hama_spark.ml.eval import classification_report
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "a"),
+        ("c", "a"),            # class c never predicted -> precision NULL
+        # class d never appears as label but is predicted
+        ("a", "d"), ("b", "d"),
+    ]
+    df = spark.createDataFrame(rows, "label string, prediction string")
+    vals = ", ".join(f"('{l}', '{p}')" for l, p in rows)
+    assert_df_equals_oracle(
+        classification_report(df),
+        duck,
+        f"""
+        WITH t AS (SELECT * FROM (VALUES {vals}) v(label, prediction)),
+        bl AS (SELECT label AS class, count(*) AS support,
+                      sum(CASE WHEN label = prediction THEN 1 ELSE 0 END) AS tp_l
+               FROM t GROUP BY 1),
+        bp AS (SELECT prediction AS class, count(*) AS n_pred,
+                      sum(CASE WHEN label = prediction THEN 1 ELSE 0 END) AS tp_p
+               FROM t GROUP BY 1),
+        j AS (SELECT coalesce(bl.class, bp.class) AS class,
+                     coalesce(support, 0) AS support,
+                     coalesce(n_pred, 0) AS n_pred,
+                     coalesce(tp_l, tp_p, 0) AS tp,
+                     CASE WHEN n_pred > 0 THEN tp_p * 1.0 / n_pred END AS p,
+                     CASE WHEN support > 0 THEN tp_l * 1.0 / support END AS r
+              FROM bl FULL OUTER JOIN bp ON bl.class = bp.class)
+        SELECT class, support::BIGINT AS support, n_pred::BIGINT AS n_pred,
+               tp::BIGINT AS tp, round(p, 6) AS precision, round(r, 6) AS recall,
+               CASE WHEN p + r > 0 THEN round(2 * p * r / (p + r), 6) END AS f1
+        FROM j
+        """,
+    )
+
+
+def test_classification_report_null_semantics(spark):
+    from hama_spark.ml.eval import classification_report
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("y", "x")], "label string, prediction string"
+    )
+    rep = {r["class"]: r for r in classification_report(df).collect()}
+    # y never predicted: precision NULL; x fully recalled
+    assert rep["y"]["precision"] is None and rep["y"]["recall"] == 0.0
+    assert rep["y"]["f1"] is None
+    assert rep["x"]["recall"] == 1.0 and rep["x"]["precision"] == 0.5
