@@ -35,13 +35,19 @@ def _read(spark, path):
 
 
 def cmd_profile(args) -> dict:
-    from hama_spark.extensions.expectations import column_profile
+    from hama_spark.extensions.expectations import column_profile, corr_matrix
 
     spark = _spark()
     df = _read(spark, args.input)
     cols = args.columns.split(",") if args.columns else None
     rows = [r.asDict() for r in column_profile(df, cols).collect()]
-    return {"command": "profile", "input": args.input, "columns": rows}
+    out = {"command": "profile", "input": args.input, "columns": rows}
+    if args.corr:
+        out["correlations"] = [
+            r.asDict()
+            for r in corr_matrix(df, cols if cols and len(cols) > 1 else None).collect()
+        ]
+    return out
 
 
 def cmd_prepare(args) -> dict:
@@ -169,6 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("profile", help="one-pass per-column profile")
     sp.add_argument("--input", required=True)
     sp.add_argument("--columns", default=None)
+    sp.add_argument("--corr", action="store_true",
+                    help="also emit the pairwise numeric correlation matrix")
     sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("prepare", help="end-to-end corpus preparation")
