@@ -14,6 +14,7 @@ from hama_spark.graph.semiclustering import semi_clustering
 from hama_spark.graph.sssp import sssp
 from hama_spark.graph.triangles import triangle_count
 from hama_spark.graph.walks import random_walks
+from hama_spark.graph.features import aggregate_neighbors, propagate_features
 
 __all__ = [
     "hits",
@@ -31,4 +32,6 @@ __all__ = [
     "degree_histogram",
     "label_propagation",
     "random_walks",
+    "aggregate_neighbors",
+    "propagate_features",
 ]
