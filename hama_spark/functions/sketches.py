@@ -59,6 +59,143 @@ def approx_group_profile(
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches with SET ALGEBRA.
+#
+# HLL++ answers "how many distinct" but two HLL sketches cannot be
+# INTERSECTED, and corpus work constantly needs overlap: how much of
+# snapshot B is already in snapshot A, how similar are two domains'
+# vocabularies, does the eval benchmark leak into a training slice. The
+# KMV sketch (Bar-Yossef et al., "Counting distinct elements in a data
+# stream") keeps the k smallest hash values of a set; it is mergeable
+# (union = k smallest of the concatenation) and supports Jaccard /
+# intersection estimates (fraction of the union sketch that belongs to
+# both sides). Hashing uses the repo-wide cross-engine md5 pattern
+# (48-bit conv(substr(md5))), so sketches are deterministic across
+# runs, partitionings, and engines — unlike HLL, a KMV sketch IS
+# hash-checkable.
+#
+# Scale: per-group sketches use a keyed window (sort-based top-k,
+# spillable, never a single-partition window); the global path uses
+# sort+limit, which Spark executes as per-partition top-k merged on the
+# driver (TakeOrderedAndProject), shuffle-free. Merging and estimation
+# are pure JVM array expressions over <= k-element arrays. 48-bit
+# hash collisions merge values (~n^2/2^49 expected pairs — at n=1e9
+# about 2k collisions, noise far below the sketch's own 1/sqrt(k)
+# relative error).
+# ---------------------------------------------------------------------------
+
+_KMV_SPACE = float(2**48)
+
+
+def _kmv_hash(col: Column, seed: int) -> Column:
+    """48-bit md5 draw; DuckDB twin:
+    ('0x' || substr(md5(seed || ':' || v), 1, 12))::BIGINT."""
+    s = F.concat_ws(":", F.lit(str(seed)), col.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 12), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    keys: str | list[str] | None = None,
+    k: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """Build a KMV sketch of the distinct values of ``col`` — per group
+    when ``keys`` is given, else one global row. Output:
+    (keys..., kmv array<bigint> ascending, len <= k).
+
+    NULL values are excluded (matching COUNT(DISTINCT col) semantics).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = _kmv_hash(F.col(col), seed).alias("_h")
+    if keys is None:
+        vals = df.where(F.col(col).isNotNull()).select(h).distinct()
+        topk = vals.orderBy("_h").limit(k)  # TakeOrderedAndProject
+        return topk.agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    kl = [keys] if isinstance(keys, str) else list(keys)
+    vals = (
+        df.where(F.col(col).isNotNull())
+        .select(*[F.col(c) for c in kl], h)
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*kl).orderBy("_h")
+    ranked = vals.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return ranked.groupBy(*kl).agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+
+
+def kmv_distinct(sketch: str | Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact when the
+    sketch is not full (fewer than k distinct values existed), else the
+    unbiased (k-1) / F(k-th smallest) estimator."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    kth = F.element_at(s, k).cast("double")
+    est = F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth
+    return F.when(F.size(s) < k, F.size(s).cast("double")).otherwise(est)
+
+
+def kmv_union(a: str | Column, b: str | Column, k: int) -> Column:
+    """Merge two KMV sketches: k smallest of the deduplicated union —
+    exactly the sketch of the union of the underlying sets, which is
+    what makes KMV partial-aggregatable."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_jaccard(a: str | Column, b: str | Column, k: int) -> Column:
+    """Jaccard estimate: the fraction of the UNION sketch's values that
+    appear in both input sketches (each union-sketch value is a uniform
+    draw from the union set, so membership in A∩B is a Bernoulli
+    sample of the true Jaccard)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_union(ca, cb, k)
+    both = F.array_intersect(ca, cb)
+    matches = F.size(F.array_intersect(u, both))
+    return matches.cast("double") / F.size(u).cast("double")
+
+
+def kmv_overlap_matrix(
+    df: DataFrame,
+    col: str,
+    keys: str,
+    k: int = 256,
+    seed: int = 1,
+) -> DataFrame:
+    """Pairwise distinct-value overlap between every two slices of the
+    corpus (domains, sources, snapshot versions): one sketch-building
+    pass, then an all-pairs join over the per-slice SKETCHES — the
+    joined relation is (#slices)^2 rows of <= k-element arrays, never
+    the data itself. Output per (slice_a < slice_b): estimated Jaccard,
+    estimated intersection size, and each side's distinct estimate.
+    """
+    sk = kmv_sketch(df, col, keys=keys, k=k, seed=seed).localCheckpoint(
+        eager=True
+    )
+    a = sk.select(
+        F.col(keys).alias("slice_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sk.select(
+        F.col(keys).alias("slice_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("slice_a") < F.col("slice_b"))
+    jacc = kmv_jaccard("kmv_a", "kmv_b", k)
+    union_est = kmv_distinct(kmv_union("kmv_a", "kmv_b", k), k)
+    return pairs.select(
+        "slice_a",
+        "slice_b",
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(jacc * union_est, 2).alias("intersect_est"),
+        F.round(kmv_distinct("kmv_a", k), 2).alias("distinct_a_est"),
+        F.round(kmv_distinct("kmv_b", k), 2).alias("distinct_b_est"),
+    )
+
+
 def exact_group_quantiles(
     df: DataFrame,
     keys: str | list[str],

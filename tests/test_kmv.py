@@ -1,0 +1,137 @@
+"""KMV distinct sketches (functions/sketches.py): exact below k,
+bounded error above k, union-merge == sketch-of-union, Jaccard estimate
+accuracy, and a DuckDB replay of the sketch array itself (KMV is
+md5-deterministic, so unlike HLL the sketch IS cross-engine
+hash-checkable)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.functions import (
+    kmv_distinct,
+    kmv_jaccard,
+    kmv_overlap_matrix,
+    kmv_sketch,
+    kmv_union,
+)
+
+
+def _vals(spark, values, extra=None):
+    rows = [(v,) if extra is None else (v, extra(v)) for v in values]
+    schema = "v string" if extra is None else "v string, g string"
+    return spark.createDataFrame(rows, schema)
+
+
+def test_exact_when_under_k(spark):
+    df = _vals(spark, [f"x{i}" for i in range(40)] * 3)  # 40 distinct, dup x3
+    (row,) = kmv_sketch(df, "v", k=64).collect()
+    assert len(row["kmv"]) == 40
+    assert row["kmv"] == sorted(row["kmv"])
+    (est,) = (
+        kmv_sketch(df, "v", k=64).select(kmv_distinct("kmv", 64).alias("d")).collect()
+    )
+    assert est["d"] == 40.0
+
+
+def test_estimate_error_bound(spark):
+    n, k = 20_000, 512
+    df = spark.range(n).select(F.concat(F.lit("doc"), F.col("id")).alias("v"))
+    (est,) = (
+        kmv_sketch(df, "v", k=k).select(kmv_distinct("kmv", k).alias("d")).collect()
+    )
+    # KMV relative std error ~ 1/sqrt(k-2) ≈ 4.4%; allow 4 sigma
+    assert est["d"] == pytest.approx(n, rel=0.18)
+
+
+def test_nulls_excluded(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",), (None,)], "v string")
+    (row,) = kmv_sketch(df, "v", k=8).collect()
+    assert len(row["kmv"]) == 2
+
+
+def test_union_merge_equals_sketch_of_union(spark):
+    """The algebraic property that makes KMV partial-aggregatable."""
+    a_vals = [f"a{i}" for i in range(300)] + [f"s{i}" for i in range(100)]
+    b_vals = [f"b{i}" for i in range(200)] + [f"s{i}" for i in range(100)]
+    k = 128
+    sa = kmv_sketch(_vals(spark, a_vals), "v", k=k).collect()[0]["kmv"]
+    sb = kmv_sketch(_vals(spark, b_vals), "v", k=k).collect()[0]["kmv"]
+    su = kmv_sketch(_vals(spark, a_vals + b_vals), "v", k=k).collect()[0]["kmv"]
+    merged = (
+        spark.createDataFrame([(sa, sb)], "kmv_a array<bigint>, kmv_b array<bigint>")
+        .select(kmv_union("kmv_a", "kmv_b", k).alias("u"))
+        .collect()[0]["u"]
+    )
+    assert merged == su
+
+
+def test_jaccard_estimate(spark):
+    # |A|=600, |B|=600, |A∩B|=300, |A∪B|=900 -> J = 1/3
+    shared = [f"s{i}" for i in range(300)]
+    a_vals = [f"a{i}" for i in range(300)] + shared
+    b_vals = [f"b{i}" for i in range(300)] + shared
+    k = 256
+    sa = kmv_sketch(_vals(spark, a_vals), "v", k=k).collect()[0]["kmv"]
+    sb = kmv_sketch(_vals(spark, b_vals), "v", k=k).collect()[0]["kmv"]
+    (row,) = (
+        spark.createDataFrame([(sa, sb)], "kmv_a array<bigint>, kmv_b array<bigint>")
+        .select(kmv_jaccard("kmv_a", "kmv_b", k).alias("j"))
+        .collect()
+    )
+    assert row["j"] == pytest.approx(1 / 3, abs=0.12)
+
+
+def test_grouped_sketch_matches_duckdb_replay(spark):
+    """Cross-engine: per-group k-smallest md5 draws replayed in SQL."""
+    values = [(f"g{i % 3}", f"v{i % 57}") for i in range(500)]
+    df = spark.createDataFrame(values, "g string, v string")
+    k, seed = 16, 9
+    got = {
+        r["g"]: list(r["kmv"]) for r in kmv_sketch(df, "v", keys="g", k=k, seed=seed).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", values)
+    want = {
+        g: hs
+        for g, hs in con.execute(
+            f"""
+            WITH hashed AS (
+              SELECT DISTINCT g,
+                ('0x' || substr(md5('{seed}' || ':' || v), 1, 12))::BIGINT AS h
+              FROM t WHERE v IS NOT NULL
+            ), ranked AS (
+              SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+              FROM hashed
+            )
+            SELECT g, list(h ORDER BY h) FROM ranked WHERE rn <= {k} GROUP BY g
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+
+def test_overlap_matrix_on_documents(spark, tables):
+    """Slice overlap on real driver data: token sets per language."""
+    docs = tables["documents"]
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    out = kmv_overlap_matrix(toks, "tok", keys="lang", k=128).collect()
+    langs = {r["slice_a"] for r in out} | {r["slice_b"] for r in out}
+    assert len(out) == len(langs) * (len(langs) - 1) // 2
+    for r in out:
+        assert r["slice_a"] < r["slice_b"]
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert r["intersect_est"] >= 0.0
+        assert r["distinct_a_est"] > 0 and r["distinct_b_est"] > 0
+
+
+def test_k_validation(spark):
+    df = _vals(spark, ["a"])
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "v", k=1)
