@@ -1,3 +1,10 @@
+from hama_spark.operators.anomaly import (
+    hourly_counts,
+    robust_zscores,
+    seasonal_baseline,
+    seasonal_outliers,
+    stream_seasonal_outliers,
+)
 from hama_spark.operators.bucketing import co_located_join, write_bucketed
 from hama_spark.operators.join_expr import parse_join_expr
 from hama_spark.operators.joins import composite_join, override_join
@@ -24,6 +31,11 @@ from hama_spark.operators.skew import (
 )
 
 __all__ = [
+    "hourly_counts",
+    "seasonal_baseline",
+    "seasonal_outliers",
+    "stream_seasonal_outliers",
+    "robust_zscores",
     "composite_join",
     "override_join",
     "parse_join_expr",
