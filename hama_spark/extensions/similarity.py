@@ -131,6 +131,88 @@ def _with_buckets(df: DataFrame, vcol: str, dim: int, planes: int, tables: int, 
     )
 
 
+def _with_probe_buckets(
+    df: DataFrame, vcol: str, dim: int, planes: int, tables: int, seed: int, probes: int
+) -> DataFrame:
+    """Query-side multi-probe buckets (Lv et al., multi-probe LSH): per
+    table, the base signature bucket PLUS the ``probes - 1`` buckets
+    reached by flipping the lowest-|projection| hyperplane bits — the
+    planes the vector sits closest to, hence the likeliest sign
+    disagreements with a true near neighbor. Recall rises with
+    ``probes`` at the cost of probes× candidate-join rows on the QUERY
+    side only; the corpus keeps one bucket row per table, so the index
+    side (the 100 TB side) does not grow the way adding tables would.
+
+    The per-plane projections are computed once per row (fenced with
+    once_per_row — both the sign and the |margin| ranking read the same
+    materialized array; CollapseProject would otherwise re-evaluate the
+    dot products per use)."""
+    proj_cols = {}
+    for t in range(tables):
+        projs = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vcol),
+                        F.array(*[F.lit(c) for c in _plane(seed, t, p, dim)]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                for p in range(planes)
+            ]
+        )
+        proj_cols[f"_pr{t}"] = projs
+    s = df.select("*", *[c.alias(n) for n, c in proj_cols.items()])
+    for n in proj_cols:
+        s = once_per_row(s, n)
+
+    def _base(pr: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for p in range(planes):
+            out = out.bitwiseOR(
+                F.when(
+                    F.element_at(pr, p + 1) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    buckets = []
+    for t in range(tables):
+        pr = F.col(f"_pr{t}")
+        base = _base(pr)
+        # planes ranked by |projection| ascending; flip the closest ones
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.element_at(pr, p + 1)).alias("m"),
+                        F.lit(1 << p).cast("long").alias("mask"),
+                    )
+                    for p in range(planes)
+                ]
+            )
+        )
+        flips = F.slice(ranked, 1, min(probes - 1, planes))
+        probe_bkts = F.concat(
+            F.array(base),
+            F.transform(flips, lambda f: base.bitwiseXOR(f["mask"])),
+        )
+        buckets.append(
+            F.transform(
+                probe_bkts,
+                lambda b: F.struct(F.lit(t).alias("tbl"), b.alias("bkt")),
+            )
+        )
+    out = (
+        s.select("*", F.explode(F.flatten(F.array(*buckets))).alias("_b"))
+        .select("*", F.col("_b.tbl").alias("tbl"), F.col("_b.bkt").alias("bkt"))
+        .drop("_b", *proj_cols.keys())
+    )
+    return out
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -141,11 +223,19 @@ def lsh_cosine_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket corpus+queries by random-hyperplane
     signatures in ``tables`` independent tables, join on (table, bucket),
     exact-cosine re-rank candidates. Recall grows with tables; cost is
-    per-bucket, never corpus×queries."""
+    per-bucket, never corpus×queries.
+
+    ``probes > 1`` turns on query-side multi-probe: each query also
+    searches the probes-1 neighboring buckets per table reached by
+    flipping its lowest-margin signature bits. More recall WITHOUT
+    growing the corpus-side index — at 100 TB, adding a table re-buckets
+    the whole corpus, adding a probe only multiplies the (tiny,
+    broadcast) query side."""
     if dim is None:
         dim = corpus.select(F.size(vec_col)).first()[0]
     c = _normalized(corpus, id_col, vec_col)
@@ -154,7 +244,10 @@ def lsh_cosine_topk(
     )
 
     cb = _with_buckets(c, "v", dim, planes, tables, seed)
-    qb = _with_buckets(q, "qv", dim, planes, tables, seed)
+    if probes > 1:
+        qb = _with_probe_buckets(q, "qv", dim, planes, tables, seed, probes)
+    else:
+        qb = _with_buckets(q, "qv", dim, planes, tables, seed)
     cand = (
         cb.join(qb, ["tbl", "bkt"])
         .select("qid", "id", "v", "qv")
