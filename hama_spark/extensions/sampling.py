@@ -255,6 +255,67 @@ def pack_sequences(
     )
 
 
+def select_under_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    descending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy prefix selection under a global weight budget: walk the
+    rows in priority order (``order_cols``, default first column,
+    ``descending`` — quality-score-desc is the usual call) and keep each
+    row while the running total of ``weight_col`` stays ≤ ``budget``.
+    The training-data sizing op: "the best documents up to N tokens".
+
+    Selection STOPS at the first row that would overflow — it is a
+    strict prefix, not a knapsack — so the result is deterministic and
+    replayable in plain SQL (cumsum ≤ budget over the same order).
+    Order ties MUST be broken by the caller's order_cols (append an id
+    column) or the prefix is not well-defined.
+
+    Scale shape: range-repartition on the priority key, per-partition
+    running sums in parallel windows, one partition-count aggregate
+    broadcast back for global offsets — the same two-phase prefix-sum
+    pattern as pack_sequences, never a single-partition window. Adds
+    ``cum_weight`` (inclusive prefix sum)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    order_cols = order_cols or df.columns[:1]
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = [
+        (F.col(c).desc() if descending else F.col(c).asc()) for c in order_cols
+    ]
+    arranged = df.repartitionByRange(n_part, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = arranged.withColumn(
+        "_w", F.col(weight_col).cast("long")
+    ).withColumn("_cum_in", F.sum("_w").over(w))
+    totals = local.groupBy("_pid").agg(F.sum("_w").alias("_wsum"))
+    woff = (
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_wsum").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_weight", (F.col("_off") + F.col("_cum_in")).cast("long"))
+        .where(F.col("cum_weight") <= budget)
+        .drop("_pid", "_w", "_cum_in", "_off")
+    )
+
+
 def mix_weights(
     df: DataFrame,
     group_col: str = "source",

@@ -227,3 +227,58 @@ def test_bucket_by_length_matches_duckdb_replay(spark, tables, duck):
         FROM p
     """
     assert_df_equals_oracle(got, duck, sql)
+
+
+def test_select_under_budget_oracle(spark, tables, duck):
+    """Budget prefix == DuckDB cumsum-over-same-order prefix, including
+    the cum_weight column. Order: n_chars desc, doc_id desc tie-break."""
+    from hama_spark.extensions.sampling import select_under_budget
+    from tests.conftest import assert_df_equals_oracle
+
+    got = select_under_budget(
+        tables["documents"].select("doc_id", "n_chars"),
+        budget=40_000,
+        weight_col="n_chars",
+        order_cols=["n_chars", "doc_id"],
+        descending=True,
+    )
+    assert_df_equals_oracle(
+        got,
+        duck,
+        """
+        SELECT doc_id, n_chars,
+               sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id DESC
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
+        FROM documents
+        QUALIFY cum_weight <= 40000
+        """,
+    )
+
+
+def test_select_under_budget_properties(spark, tables):
+    from hama_spark.extensions.sampling import select_under_budget
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    sel = select_under_budget(
+        docs, budget=25_000, weight_col="n_chars",
+        order_cols=["n_chars", "doc_id"],
+    ).collect()
+    total = sum(r["n_chars"] for r in sel)
+    assert total <= 25_000
+    assert max(r["cum_weight"] for r in sel) == total
+    # strict prefix in priority order: the excluded best row would overflow
+    kept = {r["doc_id"] for r in sel}
+    ranked = sorted(
+        docs.collect(), key=lambda r: (-r["n_chars"], -r["doc_id"])
+    )
+    for r in ranked:
+        if r["doc_id"] in kept:
+            continue
+        assert total + r["n_chars"] > 25_000
+        break
+    # budget 0 or tiny keeps nothing / raises on negative
+    assert select_under_budget(docs, budget=0, weight_col="n_chars").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        select_under_budget(docs, budget=-1, weight_col="n_chars")
