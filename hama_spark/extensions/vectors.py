@@ -130,3 +130,72 @@ def random_projection(
         ) / math.sqrt(out_dim)
         outs.append(F.round(proj, 9).alias(f"p{j}"))
     return df.select(id_col, *outs)
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus versions — the vector
+    companion to ``expectations.distribution_drift`` (PSI on scalars).
+    One row: (n_old, n_new, centroid_cosine, centroid_shift, norm_old,
+    norm_new). centroid_cosine near 1 = the embedding space still points
+    the same way; centroid_shift is the L2 distance between mean
+    vectors; a norm_* jump flags a re-scaled or re-trained encoder whose
+    vectors should NOT be mixed in one ANN index (see README Limits on
+    frozen quantizers).
+
+    Scale shape: per-dimension centroid sums via posexplode + groupBy(dim)
+    (map-side partial agg, dim-row result), row-norm averages one
+    aggregation per table; the centroid join is dim×dim-rows tiny. Two
+    scans per table, no data-sized shuffle."""
+
+    def centroid(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+
+    def norms(df: DataFrame) -> DataFrame:
+        n = F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg(n).alias("norm"),
+        )
+
+    co = centroid(old).withColumnRenamed("m", "mo")
+    cn = centroid(new).withColumnRenamed("m", "mn")
+    cent = (
+        co.join(cn, "dim")
+        .agg(
+            F.sum(F.col("mo") * F.col("mn")).alias("_dot"),
+            F.sqrt(F.sum(F.col("mo") * F.col("mo"))).alias("_no"),
+            F.sqrt(F.sum(F.col("mn") * F.col("mn"))).alias("_nn"),
+            F.sqrt(F.sum(F.pow(F.col("mo") - F.col("mn"), 2))).alias("_shift"),
+        )
+        .select(
+            F.round(
+                F.when(
+                    (F.col("_no") > 0) & (F.col("_nn") > 0),
+                    F.col("_dot") / (F.col("_no") * F.col("_nn")),
+                ),
+                9,
+            ).alias("centroid_cosine"),
+            F.round("_shift", 9).alias("centroid_shift"),
+        )
+    )
+    so = norms(old).select(
+        F.col("n").alias("n_old"), F.round("norm", 9).alias("norm_old")
+    )
+    sn = norms(new).select(
+        F.col("n").alias("n_new"), F.round("norm", 9).alias("norm_new")
+    )
+    return so.crossJoin(sn).crossJoin(cent).select(
+        "n_old", "n_new", "centroid_cosine", "centroid_shift", "norm_old", "norm_new"
+    )

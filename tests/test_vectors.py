@@ -90,3 +90,54 @@ def test_random_projection_preserves_distinctness(spark, tables):
 
     out = random_projection(tables["embeddings"]).collect()
     assert len({(r["p0"], r["p1"], r["p2"], r["p3"]) for r in out}) == len(out)
+
+
+def test_embedding_drift_oracle(spark, tables, duck):
+    """Drift between the first/second half of the fixture embeddings vs
+    a DuckDB replay of the same centroid/norm math."""
+    from hama_spark.extensions.vectors import embedding_drift
+    from tests.conftest import assert_df_equals_oracle
+
+    emb = tables["embeddings"]
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    got = embedding_drift(old, new)
+    assert_df_equals_oracle(
+        got,
+        duck,
+        """
+        WITH o AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+        n AS (SELECT * FROM embeddings WHERE vec_id % 2 = 1),
+        oc AS (
+          SELECT t.i - 1 AS dim, avg(embedding[t.i]::DOUBLE) AS m
+          FROM o, generate_series(1, 64) AS t(i) GROUP BY 1),
+        nc AS (
+          SELECT t.i - 1 AS dim, avg(embedding[t.i]::DOUBLE) AS m
+          FROM n, generate_series(1, 64) AS t(i) GROUP BY 1),
+        cent AS (
+          SELECT round(sum(oc.m * nc.m) / (sqrt(sum(oc.m * oc.m)) * sqrt(sum(nc.m * nc.m))), 9)
+                   AS centroid_cosine,
+                 round(sqrt(sum((oc.m - nc.m)^2)), 9) AS centroid_shift
+          FROM oc JOIN nc USING (dim)),
+        so AS (SELECT count(*)::BIGINT AS n_old,
+                      round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'))), 9)
+                        AS norm_old FROM o),
+        sn AS (SELECT count(*)::BIGINT AS n_new,
+                      round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum'))), 9)
+                        AS norm_new FROM n)
+        SELECT n_old, n_new, centroid_cosine, centroid_shift, norm_old, norm_new
+        FROM so, sn, cent
+        """,
+        tol=1e-6,
+    )
+
+
+def test_embedding_drift_self_is_zero(spark, tables):
+    from hama_spark.extensions.vectors import embedding_drift
+
+    emb = tables["embeddings"]
+    row = embedding_drift(emb, emb).first()
+    assert row["n_old"] == row["n_new"]
+    assert abs(row["centroid_cosine"] - 1.0) < 1e-9
+    assert row["centroid_shift"] < 1e-9
+    assert abs(row["norm_old"] - row["norm_new"]) < 1e-12
