@@ -150,21 +150,74 @@ def cmd_decontam(args) -> dict:
 def cmd_drift(args) -> dict:
     from hama_spark.extensions.expectations import distribution_drift
 
+    if not args.column and not args.vector_column:
+        raise SystemExit("drift: pass --column and/or --vector-column")
     spark = _spark()
-    rows = [
-        r.asDict()
-        for r in distribution_drift(
-            _read(spark, args.old),
-            _read(spark, args.new),
-            args.column,
-            n_buckets=args.buckets,
-        ).collect()
-    ]
+    old, new = _read(spark, args.old), _read(spark, args.new)
+    out: dict = {"command": "drift"}
+    if args.column:
+        rows = [
+            r.asDict()
+            for r in distribution_drift(
+                old, new, args.column, n_buckets=args.buckets
+            ).collect()
+        ]
+        out |= {
+            "column": args.column,
+            "psi_total": rows[0]["psi_total"] if rows else None,
+            "buckets": rows,
+        }
+    if args.vector_column:
+        from hama_spark.extensions.vectors import embedding_drift
+
+        out["embedding"] = embedding_drift(
+            old, new, vec_col=args.vector_column
+        ).first().asDict()
+    return out
+
+
+def cmd_lshplan(args) -> dict:
+    """Driver-side math only — no Spark session."""
+    from hama_spark.extensions.lsh_plan import plan_cosine, plan_minhash
+
+    if args.cosine:
+        plan = plan_cosine(
+            args.threshold,
+            target_recall=args.target_recall,
+            max_planes=args.max_planes,
+            max_tables=args.max_tables,
+            probes=args.probes,
+        )
+    else:
+        plan = plan_minhash(
+            args.threshold,
+            max_hashes=args.max_hashes,
+            fp_weight=args.fp_weight,
+            fn_weight=args.fn_weight,
+        )
+    return {"command": "lshplan", "cosine": bool(args.cosine), **plan}
+
+
+def cmd_scaling(args) -> dict:
+    from hama_spark.extensions.scaling import heaps_curve, heaps_fit, zipf_fit
+
+    spark = _spark()
+    docs = _read(spark, args.input)
+    zipf = zipf_fit(
+        docs, top_n=args.top_n, skip_top=args.skip_top, text_col=args.text_col
+    ).first()
+    curve = heaps_curve(docs, points=args.points, text_col=args.text_col)
+    curve_rows = [r.asDict() for r in curve.collect()]
+    try:
+        heaps = heaps_fit(curve)
+    except ValueError as e:  # degenerate corpora still get the curve
+        heaps = {"error": str(e)}
     return {
-        "command": "drift",
-        "column": args.column,
-        "psi_total": rows[0]["psi_total"] if rows else None,
-        "buckets": rows,
+        "command": "scaling",
+        "input": args.input,
+        "zipf": zipf.asDict() if zipf else None,
+        "heaps": heaps,
+        "curve": curve_rows,
     }
 
 
@@ -216,12 +269,37 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--mode", default="error")
     sp.set_defaults(fn=cmd_decontam)
 
-    sp = sub.add_parser("drift", help="PSI drift between two snapshots")
+    sp = sub.add_parser("drift", help="PSI / embedding drift between two snapshots")
     sp.add_argument("--old", required=True)
     sp.add_argument("--new", required=True)
-    sp.add_argument("--column", required=True)
+    sp.add_argument("--column", default=None)
     sp.add_argument("--buckets", type=int, default=10)
+    sp.add_argument("--vector-column", default=None,
+                    help="embedding column: also emit centroid/norm drift")
     sp.set_defaults(fn=cmd_drift)
+
+    sp = sub.add_parser(
+        "lshplan", help="pick LSH parameters from a similarity threshold (no Spark)"
+    )
+    sp.add_argument("--threshold", type=float, required=True)
+    sp.add_argument("--cosine", action="store_true",
+                    help="plan hyperplane LSH (planes/tables) instead of MinHash")
+    sp.add_argument("--max-hashes", type=int, default=128)
+    sp.add_argument("--fp-weight", type=float, default=1.0)
+    sp.add_argument("--fn-weight", type=float, default=1.0)
+    sp.add_argument("--target-recall", type=float, default=0.9)
+    sp.add_argument("--max-planes", type=int, default=24)
+    sp.add_argument("--max-tables", type=int, default=32)
+    sp.add_argument("--probes", type=int, default=1)
+    sp.set_defaults(fn=cmd_lshplan)
+
+    sp = sub.add_parser("scaling", help="Zipf slope + Heaps vocab-growth report")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--top-n", type=int, default=200)
+    sp.add_argument("--skip-top", type=int, default=0)
+    sp.add_argument("--points", type=int, default=20)
+    sp.set_defaults(fn=cmd_scaling)
 
     args = p.parse_args(argv)
     out = args.fn(args)

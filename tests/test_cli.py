@@ -91,3 +91,27 @@ def test_cli_decontam(tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/clean/*.parquet')"
     ).fetchone()[0]
     assert n_kept == 500 - out["total_flagged"]
+
+
+def test_cli_lshplan_no_spark():
+    out = _run("lshplan", "--threshold", "0.8", "--max-hashes", "64")
+    assert out["num_hashes"] <= 64
+    assert out["bands"] * out["rows_per_band"] == out["num_hashes"]
+    cos = _run("lshplan", "--threshold", "0.8", "--cosine", "--target-recall", "0.9")
+    assert cos["recall_at_threshold"] >= 0.9
+
+
+def test_cli_scaling_and_vector_drift():
+    out = _run(
+        "scaling", "--input", f"{SF}/documents.parquet",
+        "--top-n", "50", "--points", "5",
+    )
+    assert out["zipf"]["n_terms"] > 0
+    assert len(out["curve"]) == 5
+    drift = _run(
+        "drift",
+        "--old", f"{SF}/embeddings.parquet",
+        "--new", f"{SF}/embeddings.parquet",
+        "--vector-column", "embedding",
+    )
+    assert abs(drift["embedding"]["centroid_cosine"] - 1.0) < 1e-9
