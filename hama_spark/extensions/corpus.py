@@ -332,3 +332,46 @@ def strip_domain_boilerplate(
         "n_kept",
         "n_dropped",
     )
+
+
+def dedup_paragraphs_within(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """WITHIN-document paragraph dedup (the MassiveText in-doc filter):
+    split each document on ``sep``, keep only the FIRST occurrence of
+    each paragraph, rebuild in order. Complements ``dedup_lines``
+    (corpus-level, drops every copy) — this one is per-document and
+    keeps one copy.
+
+    Returns (id_col, text, n_paragraphs, n_removed).
+
+    ``sep`` is treated as a LITERAL separator (escaped for the split
+    regex) so split and rejoin agree for any separator string.
+
+    Map-only: one projection, no shuffle, no UDF. The first-occurrence
+    test is array_position == own index — O(p²) equality checks per doc
+    where p is the PARAGRAPH count (not characters); documents are
+    bounded-p in practice, and the work stays inside one codegen span.
+    """
+    import re as _re
+
+    parts = F.split(_c(text_col), _re.escape(sep), -1)
+    out = df.select(
+        _c(id_col).alias(id_col), parts.alias("_parts")
+    ).select(
+        id_col,
+        F.filter(
+            F.col("_parts"),
+            lambda x, i: F.array_position(F.col("_parts"), x) == i + 1,
+        ).alias("_kept"),
+        F.size("_parts").alias("n_paragraphs"),
+    )
+    return out.select(
+        id_col,
+        F.array_join("_kept", sep).alias("text"),
+        "n_paragraphs",
+        (F.col("n_paragraphs") - F.size("_kept")).alias("n_removed"),
+    )

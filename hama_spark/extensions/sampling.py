@@ -464,3 +464,77 @@ def bucket_by_length(
         )
     )
     return out
+
+
+def pack_best_fit(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_groups: int = 256,
+) -> DataFrame:
+    """Document-INTACT sequence packing by first-fit-decreasing:
+    ``pack_sequences`` concatenates and splits documents across
+    boundaries (zero padding waste, broken documents); this operator
+    keeps every document whole and bins them, paying bounded padding
+    instead. The training-data trade every packer chooses from.
+
+    Documents are hashed into ``num_groups`` independent packing groups
+    (any doc may share a bin with any other, so grouping is free), and
+    each group runs classic FFD in an Arrow-batched ``applyInPandas``:
+    sort by tokens desc (md5 tie-break), drop each doc into the first
+    bin with room. Bins are (group, bin_id); a document LONGER than
+    ``max_tokens`` gets a bin of its own, flagged ``oversize``.
+
+    Returns df + (group, bin_id, oversize).
+
+    Scale shape: one shuffle on the group key; per-task state is one
+    group's (token, id) pairs — size corpus/num_groups, so pick
+    num_groups to bound executor memory. FFD inside a group is
+    O(d log d + d·b) driver-free pandas. Deterministic: group and order
+    depend only on (seed, id), never on partitioning.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    import pandas as pd
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_tok", "_ord"], ascending=[False, True], kind="mergesort"
+        )
+        ends: list[int] = []  # remaining capacity per bin
+        bins: list[int] = []
+        oversize: list[bool] = []
+        for tok in pdf["_tok"]:
+            t = int(tok)
+            if t > max_tokens:
+                ends.append(0)
+                bins.append(len(ends) - 1)
+                oversize.append(True)
+                continue
+            for b, rem in enumerate(ends):
+                if rem >= t:
+                    ends[b] = rem - t
+                    bins.append(b)
+                    break
+            else:
+                ends.append(max_tokens - t)
+                bins.append(len(ends) - 1)
+            oversize.append(False)
+        pdf = pdf.assign(bin_id=bins, oversize=oversize)
+        return pdf.drop(columns=["_tok", "_ord"])
+
+    keyed = df.withColumn("_ord", _hash_key(seed, F.col(id_col))).withColumn(
+        "group", F.pmod(F.col("_ord"), F.lit(num_groups)).cast("int")
+    ).withColumn("_tok", F.col(token_col).cast("long"))
+
+    out_cols = [f.name for f in df.schema.fields] + ["group", "bin_id", "oversize"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema += ", group int, bin_id int, oversize boolean"
+    return keyed.groupBy("group").applyInPandas(
+        lambda pdf: _ffd(pdf).reindex(columns=out_cols),
+        schema=schema,
+    )

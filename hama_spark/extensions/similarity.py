@@ -392,6 +392,7 @@ def semantic_dup_pairs(
     kmeans_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: coarse-cluster the L2-normalized
     embeddings with k-means (same deterministic Lloyd as ivf_topk —
@@ -403,13 +404,16 @@ def semantic_dup_pairs(
 
     Scale shape: the quadratic compare is fenced inside cells — cost is
     Σ|cell|² not n², exactly the SemDeDup design (k grows with corpus
-    size to keep cells bounded; skewed cells can be re-split by running
-    k-means recursively on any cell above a size cap). Centroids are
+    size to keep cells bounded; ``max_cell_size`` re-splits any cell
+    above that cap via ``resplit_oversized_cells`` — the skew fence for
+    when k alone can't bound the quadratic). Centroids are
     O(n_cells·dim) driver state embedded as plan literals; the
     assignment pass is one map-side projection, the pair join a plain
     equi-join on cell.
     """
     cb, _ = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
+    if max_cell_size is not None:
+        cb = resplit_oversized_cells(cb, max_cell_size, kmeans_iter=kmeans_iter)
     a, b = cb.alias("a"), cb.alias("b")
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
@@ -520,3 +524,119 @@ def hard_negatives(
         cell_offset=1,
         cells=cells,
     )
+
+
+def resplit_oversized_cells(
+    cb: DataFrame,
+    cap: int,
+    kmeans_iter: int = 3,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """Recursively split k-means cells larger than ``cap`` — the scale
+    fence for ``semantic_dup_pairs``, whose within-cell compare is
+    Σ|cell|²: one skewed cell re-introduces the quadratic this design
+    exists to avoid. (SemDeDup grows k with corpus size; this handles
+    the residual skew k can't.)
+
+    ``cb`` is the assigned relation (id, v, cell). Every oversized cell
+    is sub-clustered into ceil(|cell|/cap) parts, and ALL oversized
+    cells train together in ONE Lloyd loop per round: assignment is a
+    per-cell argmin over that cell's own centers (chained plan
+    literals), the update one (cell, sub, dim) aggregation — so the
+    per-round cost is ``kmeans_iter`` corpus-subset passes regardless
+    of how many cells split. Rounds recurse on still-oversized
+    subcells up to ``max_rounds``.
+
+    Driver state: O(Σ k_c · dim) floats per round — same class as the
+    IVF centroids. Cells of (near-)identical vectors are geometrically
+    irreducible: if a round makes no progress on the oversized-size
+    multiset it stops early, and such cells keep their size — their
+    pair OUTPUT is legitimately quadratic (every pair is a true dup),
+    so splitting them would only hide real results.
+
+    New cell ids for split cells are allocated above max(existing id);
+    untouched cells keep their ids."""
+    import math
+
+    from hama_spark.functions.distance import MEASURES
+    from hama_spark.ml.kmeans import _assign_expr
+
+    if cap <= 0:
+        raise ValueError(f"cap must be > 0, got {cap}")
+    measure = MEASURES["euclidean"]
+    prev_oversized: list[int] | None = None
+    for _ in range(max_rounds):
+        sizes = {
+            r["cell"]: r["n"]
+            for r in cb.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        big = {
+            int(c): math.ceil(n / cap) for c, n in sizes.items() if n > cap
+        }
+        oversized_now = sorted(n for c, n in sizes.items() if n > cap)
+        if not big or oversized_now == prev_oversized:
+            break
+        prev_oversized = oversized_now
+
+        bigset = sorted(big)
+        subset = cb.where(F.col("cell").isin(bigset)).localCheckpoint(
+            eager=True
+        )
+        keep = cb.where(~F.col("cell").isin(bigset))
+
+        # seed centers: first k_c rows by id within each oversized cell
+        kc_expr = F.lit(0)
+        for c in bigset:
+            kc_expr = F.when(F.col("cell") == c, F.lit(big[c])).otherwise(kc_expr)
+        wnd = Window.partitionBy("cell").orderBy("id")
+        seed_rows = (
+            subset.withColumn("_rk", F.row_number().over(wnd))
+            .where(F.col("_rk") <= kc_expr)
+            .select("cell", "_rk", "v")
+            .collect()
+        )
+        centers: dict[int, list[list[float]]] = {c: [None] * big[c] for c in bigset}
+        for r in seed_rows:
+            centers[r["cell"]][r["_rk"] - 1] = [float(x) for x in r["v"]]
+
+        def _sub_assign():
+            expr = F.lit(0)
+            for c in bigset:
+                expr = F.when(
+                    F.col("cell") == c, _assign_expr(centers[c], measure, feat="v")
+                ).otherwise(expr)
+            return expr
+
+        for _it in range(kmeans_iter):
+            upd = (
+                subset.select("cell", _sub_assign().alias("_sub"), "v")
+                .select("cell", "_sub", F.posexplode("v").alias("_dim", "_x"))
+                .groupBy("cell", "_sub", "_dim")
+                .agg(F.avg("_x").alias("_m"))
+                .collect()
+            )
+            fresh: dict[tuple[int, int], dict[int, float]] = {}
+            for r in upd:
+                fresh.setdefault((r["cell"], r["_sub"]), {})[r["_dim"]] = r["_m"]
+            for (c, s), dims in fresh.items():
+                centers[c][s] = [dims[d] for d in sorted(dims)]
+            # empty subcells keep their previous center
+
+        # remap: split cells get fresh ids above every existing id
+        base = max(sizes) + 1
+        offsets = {}
+        for c in bigset:
+            offsets[c] = base
+            base += big[c]
+        off_expr = F.lit(0)
+        for c in bigset:
+            off_expr = F.when(F.col("cell") == c, F.lit(offsets[c])).otherwise(off_expr)
+        split = subset.select(
+            "id", "v", (off_expr + _sub_assign()).cast("int").alias("cell")
+        )
+        cb = keep.select("id", "v", F.col("cell").cast("int")).unionByName(
+            split
+        ).localCheckpoint(eager=True)
+    return cb

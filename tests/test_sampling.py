@@ -282,3 +282,56 @@ def test_select_under_budget_properties(spark, tables):
 
     with _pt.raises(ValueError):
         select_under_budget(docs, budget=-1, weight_col="n_chars")
+
+
+def test_pack_best_fit_invariants(spark, tables):
+    """FFD packing: capacity respected, docs intact, oversize flagged,
+    deterministic under repartitioning, and waste beats one-doc-per-bin."""
+    from hama_spark.extensions.sampling import pack_best_fit
+
+    docs = tables["documents"].select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    cap = 4000
+    packed = pack_best_fit(docs, cap, num_groups=8)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in rows:
+        if r["oversize"]:
+            assert r["n_tokens"] > cap
+            continue
+        fill[(r["group"], r["bin_id"])] += r["n_tokens"]
+    assert all(v <= cap for v in fill.values()), "bin over capacity"
+
+    # oversize bins hold exactly one doc
+    from collections import Counter
+
+    over_bins = Counter(
+        (r["group"], r["bin_id"]) for r in rows if r["oversize"]
+    )
+    normal_bins = {(r["group"], r["bin_id"]) for r in rows if not r["oversize"]}
+    assert all(c == 1 for c in over_bins.values())
+    assert not (set(over_bins) & normal_bins)
+
+    # better than the no-packing baseline
+    n_bins = len(fill) + len(over_bins)
+    assert n_bins < len(rows)
+
+    # determinism: same assignment regardless of input partitioning
+    again = pack_best_fit(docs.repartition(13), cap, num_groups=8).collect()
+    key = lambda r: (r["doc_id"], r["group"], r["bin_id"], r["oversize"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_pack_best_fit_validates(spark, tables):
+    from hama_spark.extensions.sampling import pack_best_fit
+
+    import pytest as _pt
+
+    docs = tables["documents"].select("doc_id", F.col("n_chars").alias("n_tokens"))
+    with _pt.raises(ValueError):
+        pack_best_fit(docs, 0)
