@@ -153,3 +153,61 @@ def scan_report(df: DataFrame) -> list[dict]:
             elif not s:
                 current = None
     return reports
+
+
+def suggest_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 2000,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> dict:
+    """Size ``spark.sql.shuffle.partitions`` for a relation: estimate
+    the in-flight bytes and divide by a target partition size (default
+    128 MB — the conventional working-set-per-task bound; README
+    "knobs that change on a real cluster").
+
+    Row width is estimated as the mean JSON-rendered length of a
+    deterministic id-ordered head sample times a 1.3 in-memory fudge
+    (UnsafeRow + field overhead vs JSON text roughly cancel; this is a
+    sizing heuristic, not an accountant). Two cheap jobs: one count,
+    one ``sample_rows``-row aggregate.
+
+    Returns {rows, est_row_bytes, est_total_bytes, target_partition_bytes,
+    suggested_partitions}. Pair with AQE coalescing: set the suggestion
+    as the ceiling and let AQE shrink small stages."""
+    from pyspark.sql import functions as F
+
+    rows = df.count()
+    if rows == 0:
+        return {
+            "rows": 0,
+            "est_row_bytes": 0,
+            "est_total_bytes": 0,
+            "target_partition_bytes": target_partition_bytes,
+            "suggested_partitions": min_partitions,
+        }
+    width_row = (
+        df.limit(sample_rows)
+        .select(
+            F.avg(
+                F.length(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+            ).alias("w")
+        )
+        .first()
+    )
+    est_row = float(width_row["w"] or 0.0) * 1.3
+    total = int(est_row * rows)
+    import math
+
+    parts = max(
+        min_partitions,
+        min(max_partitions, math.ceil(total / target_partition_bytes)),
+    )
+    return {
+        "rows": rows,
+        "est_row_bytes": round(est_row, 1),
+        "est_total_bytes": total,
+        "target_partition_bytes": target_partition_bytes,
+        "suggested_partitions": parts,
+    }

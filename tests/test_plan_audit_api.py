@@ -106,3 +106,24 @@ def test_scan_report_one_entry_per_scan(spark, tables):
     assert len(reps) == 2
     cols = {tuple(r["read_columns"]) for r in reps}
     assert ("n_regionkey", "n_name") in cols or ("n_name", "n_regionkey") in cols
+
+
+def test_suggest_shuffle_partitions(spark, tables):
+    from hama_spark.plans.audit import suggest_shuffle_partitions
+
+    docs = tables["documents"]
+    out = suggest_shuffle_partitions(docs, target_partition_bytes=1024)
+    assert out["rows"] == docs.count()
+    assert out["est_row_bytes"] > 0
+    # tiny target -> many partitions; huge target -> 1
+    assert out["suggested_partitions"] > 1
+    big = suggest_shuffle_partitions(docs, target_partition_bytes=1 << 40)
+    assert big["suggested_partitions"] == 1
+    # scales ~linearly with row count (same rows duplicated)
+    double = suggest_shuffle_partitions(
+        docs.unionByName(docs), target_partition_bytes=1024
+    )
+    assert 1.5 < double["suggested_partitions"] / out["suggested_partitions"] < 2.5
+
+    empty = suggest_shuffle_partitions(docs.where("doc_id < 0"))
+    assert empty["suggested_partitions"] == 1 and empty["rows"] == 0
