@@ -4,6 +4,7 @@ from hama_spark.plans.audit import (
     audit_plan,
     plan_text,
     scan_report,
+    suggest_shuffle_partitions,
 )
 from hama_spark.plans.pregel import PregelContext, pregel
 from hama_spark.plans.randbench import rand_bench
@@ -18,5 +19,6 @@ __all__ = [
     "assert_scalable_plan",
     "plan_text",
     "scan_report",
+    "suggest_shuffle_partitions",
     "PlanAuditError",
 ]
