@@ -130,3 +130,77 @@ def test_near_contamination_invariants_on_random_corpora(spark, texts, leak_idx)
         sc = shingles(texts[cid])
         brute = len(sc & sb) / len(sc | sb)
         assert j >= 0.5 and math.isclose(j, brute, rel_tol=1e-9), (cid, j, brute)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    budget=st.integers(min_value=0, max_value=400),
+)
+def test_select_under_budget_matches_cumsum_prefix(spark, duck, weights, budget):
+    """Budget prefix == DuckDB cumsum-over-same-order QUALIFY on random
+    weights, including ties and zero-weight rows."""
+    from hama_spark.extensions.sampling import select_under_budget
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    got = sorted(
+        (r["doc_id"], r["cum_weight"])
+        for r in select_under_budget(
+            df, budget=budget, weight_col="w", order_cols=["w", "doc_id"]
+        ).collect()
+    )
+    vals = ", ".join(f"({i}, {w})" for i, w in enumerate(weights))
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT doc_id, sum(w) OVER (ORDER BY w DESC, doc_id DESC
+              ROWS UNBOUNDED PRECEDING) AS c
+            FROM (VALUES {vals}) t(doc_id, w)
+            QUALIFY c <= {budget}
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+_PARA = st.text(alphabet="abXY ", min_size=0, max_size=6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(st.lists(_PARA, min_size=1, max_size=8), min_size=1, max_size=10))
+def test_dedup_paragraphs_matches_duckdb_lambda(spark, docs):
+    """In-doc paragraph dedup == DuckDB indexed-lambda replay on random
+    paragraph lists (duplicates, empties, single-paragraph docs)."""
+    import duckdb
+    import pandas as pd
+
+    from hama_spark.extensions.corpus import dedup_paragraphs_within
+
+    rows = [(i, "\n\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in dedup_paragraphs_within(df).collect())
+
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH p AS (SELECT doc_id,
+                              string_split(text, chr(10)||chr(10)) AS ps FROM d)
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(ps, (x, i) -> list_position(ps, x) = i),
+                     chr(10)||chr(10)) AS text,
+                   len(ps)::INT AS n_paragraphs,
+                   (len(ps) - len(list_filter(ps, (x, i) -> list_position(ps, x) = i)))::INT
+                     AS n_removed
+            FROM p
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
