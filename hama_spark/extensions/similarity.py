@@ -6,8 +6,9 @@
   components are seeded ±1 derived driver-side from md5(seed:table:
   plane), so signatures are deterministic, partitioning-independent,
   and replayable in the DuckDB oracle. Candidates
-  come from bucket collisions across ``tables`` independent hash tables
-  (multi-probe by table, not by bit flip), then exact re-rank.
+  come from bucket collisions across ``tables`` independent hash tables,
+  optionally widened query-side by bit-flip multi-probe (``probes``),
+  then exact re-rank.
 - ivf_topk: inverted-file index — k-means coarse centroids, probe the
   ``nprobe`` nearest cells, exact re-rank inside. Uses ml.kmeans.
 
