@@ -1,0 +1,123 @@
+"""Neighborhood function and effective diameter via KMV-sketch
+HyperBall (HyperANF: Boldi, Rosa & Vigna — public; HLL registers
+swapped for the repo's KMV sketches, which are deterministic,
+hash-checkable, and already carry union algebra in
+``functions.sketches``).
+
+N(r) = Σ_v |{w : dist(v,w) ≤ r}| — the pair-reachability curve whose
+saturation point is the graph's effective diameter. Exact all-pairs BFS
+is O(V·E); HyperBall keeps ONE bounded sketch per vertex and iterates
+sketch_{r+1}(v) = sketch_r(v) ∪ ⋃_{(v,u)∈E} sketch_r(u), so each round
+is one edge join + one bounded per-vertex top-k — the same shuffle
+shape as a Pregel superstep, runnable on any graph the cluster's joins
+can handle.
+
+Exactness property the tests pin: a KMV sketch that never fills
+(k > |ball|) IS the exact set of reachable-vertex hashes, so with k
+above the vertex count the whole computation is exact, and the DuckDB
+oracle could replay it; at scale k caps memory at k·8 bytes/vertex with
+the standard 1/sqrt(k) relative error.
+
+Reference note: apache/hama has no diameter/ANF analytic; this extends
+the graph package per SURVEY §7's north star, reusing its Pregel-style
+iteration shape (pinned partitioning, per-round lineage cuts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hama_spark.functions.sketches import _kmv_hash, kmv_distinct
+from hama_spark.graph.prep import edge_relation
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_r: int = 16,
+    k: int = 256,
+    seed: int = 1,
+    symmetrize: bool = True,
+    prepared: bool = False,
+) -> DataFrame:
+    """The pair-reachability curve: one row per radius,
+    (r, reachable_pairs) with reachable_pairs ≈ N(r) = Σ_v |ball(v, r)|.
+    r=0 counts each vertex itself. Stops early when a round adds
+    nothing (every ball closed), else at ``max_r``.
+
+    Per round: edge join (neighbor sketches flow along edges) →
+    explode → distinct (v, hash) with map-side partials → keyed-window
+    top-k (spillable sort, bounded state — never a collect_list of
+    unbounded neighbor unions) → localCheckpoint to cut lineage.
+    Driver state per round: ONE float (the N(r) estimate)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e = edge_relation(edges, symmetrize, prepared)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sketch = verts.select(
+        "id", F.array(_kmv_hash(F.col("id"), seed)).alias("kmv")
+    ).localCheckpoint(eager=True)
+
+    def total(s: DataFrame) -> float:
+        return s.agg(
+            F.sum(kmv_distinct(F.col("kmv"), k)).alias("t")
+        ).first()["t"]
+
+    rows = [(0, float(total(sketch)))]
+    w = Window.partitionBy("id").orderBy("h")
+    for r in range(1, max_r + 1):
+        inbound = (
+            e.join(sketch.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), F.explode("kmv").alias("h"))
+        )
+        own = sketch.select("id", F.explode("kmv").alias("h"))
+        merged = (
+            own.unionByName(inbound)
+            .distinct()
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+            .localCheckpoint(eager=True)
+        )
+        sketch.unpersist()
+        sketch = merged
+        t = float(total(sketch))
+        rows.append((r, t))
+        if t <= rows[-2][1] + 1e-9:
+            rows.pop()  # the closed round adds nothing — N is saturated
+            break
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, "r int, reachable_pairs double")
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    max_r: int = 16,
+    k: int = 256,
+    seed: int = 1,
+    symmetrize: bool = True,
+    prepared: bool = False,
+) -> float:
+    """Smallest (interpolated) radius reaching ``q`` of the saturated
+    pair count — HyperANF's effective-diameter definition. Linear
+    interpolation between the bracketing rounds, as in the paper.
+    Driver cost: the O(max_r)-row curve."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0,1], got {q}")
+    curve = neighborhood_function(
+        edges, max_r=max_r, k=k, seed=seed, symmetrize=symmetrize, prepared=prepared
+    ).collect()
+    ns = [(r["r"], r["reachable_pairs"]) for r in curve]
+    target = q * ns[-1][1]
+    for (r0, n0), (r1, n1) in zip(ns, ns[1:]):
+        if n1 >= target:
+            if n1 == n0:
+                return float(r1)
+            return r0 + (target - n0) / (n1 - n0)
+    return float(ns[-1][0])
