@@ -209,7 +209,8 @@ def cmd_scaling(args) -> dict:
     curve = heaps_curve(docs, points=args.points, text_col=args.text_col)
     curve_rows = [r.asDict() for r in curve.collect()]
     try:
-        heaps = heaps_fit(curve)
+        heaps = heaps_fit(curve_rows)  # fit from the collected points —
+        # passing the DataFrame would re-run the corpus DAG
     except ValueError as e:  # degenerate corpora still get the curve
         heaps = {"error": str(e)}
     return {

@@ -13,9 +13,12 @@ Deliberate properties:
 - Each stage reads its predecessor FROM PARQUET, not from lineage — a
   natural lineage cut (no 10-stage DAG recompiled per action) and the
   recovery point. This is the batch analogue of streaming checkpoints.
-- The manifest records the stage's position and name; editing the
+- The manifest records a CHAIN token hashing the stage's (position,
+  name, fingerprint) together with its parent's chain; editing the
   pipeline invalidates the edited stage AND everything after it
-  (results downstream of a changed stage are stale by definition).
+  (results downstream of a changed stage are stale by definition),
+  even across a crash between the upstream recompute and the
+  downstream overwrite.
 - ``fingerprint`` (optional per stage) lets callers invalidate on
   parameter changes too: it is stored in the manifest and compared on
   resume.
@@ -81,11 +84,18 @@ def run_stages(
     {stage, index, path, status: 'ran'|'skipped', rows}.
 
     Resume rule: stage i is skipped iff every stage ≤ i is committed
-    with matching (index, name, fingerprint). The first mismatch or
-    missing manifest recomputes from there on — a changed upstream
-    stage invalidates all downstream results. ``force=True`` recomputes
+    with a matching CHAIN token — a hash over (index, name,
+    fingerprint) AND the parent stage's chain, so a manifest certifies
+    not just "this stage ran with these params" but "…on top of exactly
+    this upstream history". This closes the interrupted-invalidation
+    hole: recompute stage B (new fingerprint), crash before C
+    overwrites, re-run — C's old manifest carries B-v1's chain, cannot
+    match B-v2's, and C recomputes instead of silently serving data
+    derived from the stale upstream. ``force=True`` recomputes
     everything. ``fingerprints`` maps stage name → an opaque string of
     the caller's parameters (hash thresholds, model versions, …)."""
+    import hashlib
+
     if len({n for n, _ in stages}) != len(stages):
         raise ValueError("stage names must be unique")
     spark = source.sparkSession
@@ -93,16 +103,13 @@ def run_stages(
     report: list[dict] = []
     current = source
     resuming = not force
+    chain = "root"
     for i, (name, fn) in enumerate(stages):
         sdir = _stage_dir(workdir, i, name)
         fp = fingerprints.get(name, "")
+        chain = hashlib.sha256(f"{chain}|{i}|{name}|{fp}".encode()).hexdigest()
         manifest = _read_manifest(spark, sdir) if resuming else None
-        if (
-            manifest is not None
-            and manifest.get("index") == i
-            and manifest.get("stage") == name
-            and manifest.get("fingerprint", "") == fp
-        ):
+        if manifest is not None and manifest.get("chain") == chain:
             current = spark.read.parquet(sdir)
             report.append(
                 {
@@ -123,7 +130,13 @@ def run_stages(
         _write_manifest(
             spark,
             sdir,
-            {"index": i, "stage": name, "fingerprint": fp, "rows": rows},
+            {
+                "index": i,
+                "stage": name,
+                "fingerprint": fp,
+                "chain": chain,
+                "rows": rows,
+            },
         )
         current = committed
         report.append(

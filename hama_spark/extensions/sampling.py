@@ -296,9 +296,21 @@ def select_under_budget(
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = arranged.withColumn(
-        "_w", F.col(weight_col).cast("long")
-    ).withColumn("_cum_in", F.sum("_w").over(w))
+    # NULL weights would ride along free (window sums skip NULLs) and
+    # negative ones break the strict-prefix guarantee — reject in-plan,
+    # no extra pass
+    wcol = F.col(weight_col).cast("long")
+    guarded = F.when(wcol >= 0, wcol).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"select_under_budget: NULL or negative {weight_col}: "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    local = arranged.withColumn("_w", guarded).withColumn(
+        "_cum_in", F.sum("_w").over(w)
+    )
     totals = local.groupBy("_pid").agg(F.sum("_w").alias("_wsum"))
     woff = (
         Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
@@ -507,6 +519,11 @@ def pack_best_fit(
         bins: list[int] = []
         oversize: list[bool] = []
         for tok in pdf["_tok"]:
+            if pd.isna(tok):
+                raise ValueError(
+                    "pack_best_fit: NULL token count — clean or drop "
+                    "rows with a NULL weight before packing"
+                )
             t = int(tok)
             if t > max_tokens:
                 ends.append(0)

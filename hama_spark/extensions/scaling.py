@@ -154,13 +154,16 @@ def heaps_curve(
     return stacked.orderBy("n_docs")
 
 
-def heaps_fit(curve: DataFrame) -> dict:
+def heaps_fit(curve) -> dict:
     """Fit V = K·nᵝ by least squares on the log-log curve points.
-    The curve is ``points`` rows — collecting it is O(points) driver
-    state, same class as k-means centroids. Returns {k, beta, r2}."""
+    ``curve`` is the ``heaps_curve`` DataFrame OR its already-collected
+    rows/dicts (pass the latter when you also need the raw points —
+    collecting a curve DataFrame twice re-runs the whole corpus DAG).
+    O(points) driver math. Returns {k, beta, r2}."""
+    rows = curve.collect() if isinstance(curve, DataFrame) else curve
     pts = [
         (math.log(r["n_tokens"]), math.log(r["vocab"]))
-        for r in curve.collect()
+        for r in rows
         if r["n_tokens"] > 0 and r["vocab"] > 0
     ]
     n = len(pts)

@@ -151,6 +151,19 @@ def embedding_drift(
     aggregation per table; the centroid join is dim×dim-rows tiny. Two
     scans per table, no data-sized shuffle."""
 
+    dim_old = old.select(F.size(vec_col)).first()
+    dim_new = new.select(F.size(vec_col)).first()
+    if dim_old is None or dim_new is None:
+        raise ValueError("embedding_drift needs non-empty tables on both sides")
+    if dim_old[0] != dim_new[0]:
+        # the inner centroid join would silently intersect dimension
+        # prefixes — the one case (encoder swap) this report exists to
+        # catch must be loud, not averaged away
+        raise ValueError(
+            f"embedding dimensionality differs: old={dim_old[0]} "
+            f"new={dim_new[0]} — these spaces are not comparable"
+        )
+
     def centroid(df: DataFrame) -> DataFrame:
         return (
             df.select(F.posexplode(vec_col).alias("dim", "x"))

@@ -49,7 +49,12 @@ def neighborhood_function(
     explode → distinct (v, hash) with map-side partials → keyed-window
     top-k (spillable sort, bounded state — never a collect_list of
     unbounded neighbor unions) → localCheckpoint to cut lineage.
-    Driver state per round: ONE float (the N(r) estimate)."""
+    Driver state per round: the N(r) estimate plus an exact integer
+    (Σ size, Σ kth-min) saturation signature — the ESTIMATE is not
+    monotone at the exact-to-estimator transition (a just-filled
+    sketch's unbiased estimate can dip below its prior exact count), so
+    convergence is judged on the signature, which changes iff any
+    sketch changed: sizes only grow, kth-mins only shrink."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     e = edge_relation(edges, symmetrize, prepared)
@@ -58,16 +63,23 @@ def neighborhood_function(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    if verts.isEmpty():
+        raise ValueError("neighborhood_function needs a non-empty edge relation")
     sketch = verts.select(
         "id", F.array(_kmv_hash(F.col("id"), seed)).alias("kmv")
     ).localCheckpoint(eager=True)
 
-    def total(s: DataFrame) -> float:
-        return s.agg(
-            F.sum(kmv_distinct(F.col("kmv"), k)).alias("t")
-        ).first()["t"]
+    def state(s: DataFrame):
+        """(N-estimate, exact integer signature of all sketches)."""
+        row = s.agg(
+            F.sum(kmv_distinct(F.col("kmv"), k)).alias("t"),
+            F.sum(F.size("kmv").cast("decimal(38,0)")).alias("sz"),
+            F.sum(F.element_at("kmv", -1).cast("decimal(38,0)")).alias("kth"),
+        ).first()
+        return float(row["t"]), (str(row["sz"]), str(row["kth"]))
 
-    rows = [(0, float(total(sketch)))]
+    t, sig = state(sketch)
+    rows = [(0, t)]
     w = Window.partitionBy("id").orderBy("h")
     for r in range(1, max_r + 1):
         inbound = (
@@ -86,11 +98,11 @@ def neighborhood_function(
         )
         sketch.unpersist()
         sketch = merged
-        t = float(total(sketch))
+        t, new_sig = state(sketch)
+        if new_sig == sig:
+            break  # no sketch changed anywhere — N is saturated
+        sig = new_sig
         rows.append((r, t))
-        if t <= rows[-2][1] + 1e-9:
-            rows.pop()  # the closed round adds nothing — N is saturated
-            break
     spark = edges.sparkSession
     return spark.createDataFrame(rows, "r int, reachable_pairs double")
 
@@ -115,6 +127,8 @@ def effective_diameter(
     ).collect()
     ns = [(r["r"], r["reachable_pairs"]) for r in curve]
     target = q * ns[-1][1]
+    if target <= ns[0][1]:
+        return 0.0  # already reached by the radius-0 (self) count
     for (r0, n0), (r1, n1) in zip(ns, ns[1:]):
         if n1 >= target:
             if n1 == n0:

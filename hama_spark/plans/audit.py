@@ -167,8 +167,10 @@ def suggest_shuffle_partitions(
     128 MB — the conventional working-set-per-task bound; README
     "knobs that change on a real cluster").
 
-    Row width is estimated as the mean JSON-rendered length of a
-    deterministic id-ordered head sample times a 1.3 in-memory fudge
+    Row width is estimated as the mean JSON-rendered length of an
+    ARBITRARY head sample (``limit`` takes whichever partitions answer
+    first — cheap, but reruns can sample different rows and data sorted
+    by size can skew the estimate) times a 1.3 in-memory fudge
     (UnsafeRow + field overhead vs JSON text roughly cancel; this is a
     sizing heuristic, not an accountant). Two cheap jobs: one count,
     one ``sample_rows``-row aggregate.

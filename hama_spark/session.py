@@ -55,7 +55,9 @@ def get_spark(
         env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
         if env is not None:
             return env or tempfile.gettempdir()
-        shm = "/dev/shm/hama_spark_local"
+        # per-user path: a shared fixed dir would be owned by the first
+        # user and unwritable for the next
+        shm = f"/dev/shm/hama_spark_local_{os.getuid()}"
         if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
             return shm
         return tempfile.gettempdir()

@@ -75,3 +75,17 @@ def test_neighborhood_function_estimates_with_small_k(spark, tables):
     for rows in (exact, approx):
         vals = [r["reachable_pairs"] for r in rows]
         assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_effective_diameter_low_q_clamps_to_zero(spark):
+    star = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(9)], "src string, dst string"
+    )
+    # target 0.05 * 100 = 5 <= N(0) = 10: reached before any hop
+    assert effective_diameter(star, q=0.05, k=64) == 0.0
+
+
+def test_neighborhood_function_empty_graph_raises(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError):
+        neighborhood_function(empty)

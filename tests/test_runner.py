@@ -108,3 +108,29 @@ def test_duplicate_stage_names_rejected(spark, tables):
     docs = tables["documents"].select("doc_id")
     with pytest.raises(ValueError):
         run_stages(docs, [("a", lambda d: d), ("a", lambda d: d)], "/tmp/x")
+
+
+def test_interrupted_invalidation_cannot_serve_stale_downstream(
+    spark, tables, tmp_path
+):
+    """Crash-window regression: recompute an upstream stage (new
+    fingerprint), crash before downstream overwrites, re-run — the
+    downstream stage's old manifest chains to the OLD upstream and must
+    recompute, not skip."""
+    docs = tables["documents"].select("doc_id")
+    wd = str(tmp_path / "wd")
+    calls: list[str] = []
+    run_stages(docs, _stages(calls), wd, fingerprints={"score": "v1"})
+
+    # simulate the interrupted run: only the first two stages execute
+    # (upstream recomputes under v2, then the driver "dies")
+    calls2: list[str] = []
+    partial = _stages(calls2)[:2]
+    run_stages(docs, partial, wd, fingerprints={"score": "v2"})
+    assert calls2 == ["score"]
+
+    # full re-run under v2: select's stale manifest must NOT be trusted
+    calls3: list[str] = []
+    _, rep = run_stages(docs, _stages(calls3), wd, fingerprints={"score": "v2"})
+    assert calls3 == ["select"], f"stale downstream served: {rep}"
+    assert [r["status"] for r in rep] == ["skipped", "skipped", "ran"]

@@ -335,3 +335,33 @@ def test_pack_best_fit_validates(spark, tables):
     docs = tables["documents"].select("doc_id", F.col("n_chars").alias("n_tokens"))
     with _pt.raises(ValueError):
         pack_best_fit(docs, 0)
+
+
+def test_select_under_budget_rejects_bad_weights(spark):
+    import pytest as _pt
+    from pyspark.sql.utils import AnalysisException
+
+    from hama_spark.extensions.sampling import select_under_budget
+
+    bad = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id int, w int"
+    )
+    with _pt.raises(Exception, match="NULL or negative"):
+        select_under_budget(
+            bad, budget=100, weight_col="w", order_cols=["w", "doc_id"]
+        ).collect()
+    neg = spark.createDataFrame([(1, -5)], "doc_id int, w int")
+    with _pt.raises(Exception, match="NULL or negative"):
+        select_under_budget(
+            neg, budget=100, weight_col="w", order_cols=["w", "doc_id"]
+        ).collect()
+
+
+def test_pack_best_fit_rejects_null_tokens(spark):
+    import pytest as _pt
+
+    from hama_spark.extensions.sampling import pack_best_fit
+
+    bad = spark.createDataFrame([(1, 10), (2, None)], "doc_id int, n_tokens int")
+    with _pt.raises(Exception, match="NULL token count"):
+        pack_best_fit(bad, 100).collect()

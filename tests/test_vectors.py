@@ -141,3 +141,18 @@ def test_embedding_drift_self_is_zero(spark, tables):
     assert abs(row["centroid_cosine"] - 1.0) < 1e-9
     assert row["centroid_shift"] < 1e-9
     assert abs(row["norm_old"] - row["norm_new"]) < 1e-12
+
+
+def test_embedding_drift_rejects_dim_mismatch(spark):
+    import pytest as _pt
+
+    from hama_spark.extensions.vectors import embedding_drift
+
+    a = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+    b = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>"
+    )
+    with _pt.raises(ValueError, match="dimensionality differs"):
+        embedding_drift(a, b)
+    with _pt.raises(ValueError, match="non-empty"):
+        embedding_drift(a.where("vec_id < 0"), b)
