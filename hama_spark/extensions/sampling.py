@@ -555,3 +555,66 @@ def pack_best_fit(
         lambda pdf: _ffd(pdf).reindex(columns=out_cols),
         schema=schema,
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    easy_first: bool = True,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Curriculum training order (Bengio et al.): split the corpus into
+    ``n_stages`` difficulty bands by ``score_col`` quantiles and give
+    every row a global ``pos`` that walks the stages in order —
+    easy band shuffled first, then the next, … Within a stage the order
+    is the deterministic md5 shuffle, so the schedule is a pure
+    function of (seed, data) like every sampler here.
+
+    Adds (stage 0-based, pos 1-based global). Scale shape: stage
+    boundaries are ``n_stages - 1`` exact-quantile literals from ONE
+    approx_percentile aggregate (accuracy pinned high enough to be
+    deterministic for the driver's data sizes); positions reuse the
+    two-phase prefix-sum machinery keyed by (stage, hash) — per-stage
+    windows run in parallel, never a single-partition sort."""
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1, got {n_stages}")
+    qs = [i / n_stages for i in range(1, n_stages)]
+    if qs:
+        bounds = df.agg(
+            F.percentile_approx(score_col, qs, 1_000_000).alias("b")
+        ).first()["b"]
+    else:
+        bounds = []
+    stage = F.lit(0)
+    for b in bounds:
+        stage = stage + F.when(F.col(score_col) > F.lit(b), 1).otherwise(0)
+    if not easy_first:
+        stage = F.lit(max(len(bounds), 0)) - stage
+    staged = df.withColumn("stage", stage.cast("int"))
+
+    # global position: exclusive prefix of earlier stages' sizes +
+    # two-phase md5-order position within the stage
+    h = _hash_key(seed, F.col(id_col))
+    base = staged.withColumn("_h", h).withColumn(
+        "_bkt",
+        F.col("stage") * num_buckets + F.pmod(F.col("_h"), F.lit(num_buckets)),
+    )
+    w = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    base = base.withColumn("_pos_in", F.row_number().over(w))
+    totals = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(F.pmod(F.col("_bkt"), F.lit(1)))
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn("pos", (F.col("_off") + F.col("_pos_in")).cast("long"))
+        .drop("_h", "_bkt", "_pos_in", "_off")
+    )

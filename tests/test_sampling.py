@@ -365,3 +365,46 @@ def test_pack_best_fit_rejects_null_tokens(spark):
     bad = spark.createDataFrame([(1, 10), (2, None)], "doc_id int, n_tokens int")
     with _pt.raises(Exception, match="NULL token count"):
         pack_best_fit(bad, 100).collect()
+
+
+def test_curriculum_order_properties(spark, tables):
+    """Stages are score-ordered bands; pos is a permutation that walks
+    stages in order; hard-first reverses the bands. (No DuckDB twin:
+    percentile_approx boundaries are Spark-specific — property-tested
+    instead, which is why this is not a driver query.)"""
+    from hama_spark.extensions.sampling import curriculum_order
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    out = curriculum_order(docs, "n_chars", n_stages=4).collect()
+    n = len(out)
+    assert sorted(r["pos"] for r in out) == list(range(1, n + 1))
+
+    by_stage: dict = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {0, 1, 2, 3}
+    # score bands: max score of stage s <= min score of stage s+1
+    for s in range(3):
+        assert max(r["n_chars"] for r in by_stage[s]) <= min(
+            r["n_chars"] for r in by_stage[s + 1]
+        )
+    # pos walks stages in order
+    for s in range(3):
+        assert max(r["pos"] for r in by_stage[s]) < min(
+            r["pos"] for r in by_stage[s + 1]
+        )
+    # roughly balanced bands
+    sizes = [len(v) for _, v in sorted(by_stage.items())]
+    assert max(sizes) - min(sizes) < n * 0.2
+
+    hard = curriculum_order(docs, "n_chars", n_stages=4, easy_first=False).collect()
+    hb: dict = {}
+    for r in hard:
+        hb.setdefault(r["stage"], []).append(r["n_chars"])
+    # stage 0 now holds the HIGHEST scores
+    assert min(hb[0]) >= max(hb[3])
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        curriculum_order(docs, "n_chars", n_stages=0)
