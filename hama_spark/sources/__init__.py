@@ -1,3 +1,4 @@
+from hama_spark.sources.inspect import clustering_score, parquet_layout_report
 from hama_spark.sources.generators import fast_graph_gen, symmetric_matrix_gen
 from hama_spark.sources.io import (
     compact_parquet,
