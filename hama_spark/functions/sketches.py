@@ -221,3 +221,47 @@ def exact_group_quantiles(
         name = "p" + f"{p * 100:.10g}".replace(".", "_")
         aggs.append(F.round(F.percentile(value_col, F.lit(p)), 6).alias(name))
     return df.groupBy(*kl).agg(*aggs)
+
+
+def key_overlap_report(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    k: int = 1024,
+    seed: int = 1,
+    key_b: str | None = None,
+) -> DataFrame:
+    """Join pre-flight: how much do two relations' KEY SETS overlap?
+    One KMV sketch pass per side (per-partition top-k merged on the
+    driver — no join, no shuffle of the data), then pure array math.
+    Answers "is this join even going to match anything" and "which side
+    is contained in which" BEFORE paying a 100 TB shuffle.
+
+    One row: (distinct_a_est, distinct_b_est, intersect_est,
+    jaccard_est, containment_a_in_b, containment_b_in_a). Containment =
+    |A∩B| / |A| — the fraction of a's keys that will find a partner
+    (row multiplicity is ``operators.skew.join_explosion_report``'s
+    job; this is the cheap distinct-level screen).
+    """
+    sa = kmv_sketch(a, key, k=k, seed=seed).select(F.col("kmv").alias("kmv_a"))
+    sb = kmv_sketch(b, key_b or key, k=k, seed=seed).select(
+        F.col("kmv").alias("kmv_b")
+    )
+    pair = sa.crossJoin(sb)  # 1 row x 1 row
+    jacc = kmv_jaccard("kmv_a", "kmv_b", k)
+    union_est = kmv_distinct(kmv_union("kmv_a", "kmv_b", k), k)
+    da = kmv_distinct("kmv_a", k)
+    db = kmv_distinct("kmv_b", k)
+    inter = jacc * union_est
+    return pair.select(
+        F.round(da, 2).alias("distinct_a_est"),
+        F.round(db, 2).alias("distinct_b_est"),
+        F.round(inter, 2).alias("intersect_est"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(
+            F.when(da > 0, F.least(inter / da, F.lit(1.0))).otherwise(0.0), 6
+        ).alias("containment_a_in_b"),
+        F.round(
+            F.when(db > 0, F.least(inter / db, F.lit(1.0))).otherwise(0.0), 6
+        ).alias("containment_b_in_a"),
+    )

@@ -135,3 +135,37 @@ def test_k_validation(spark):
     df = _vals(spark, ["a"])
     with pytest.raises(ValueError):
         kmv_sketch(df, "v", k=1)
+
+
+def test_key_overlap_report_exact_when_unfilled(spark, tables):
+    """k above both key-set sizes -> every estimate is exact: check the
+    report against Python-set ground truth on orders/customer keys."""
+    from hama_spark.functions.sketches import key_overlap_report
+
+    orders = tables["orders"].select("o_custkey")
+    cust = tables["customer"].select("c_custkey")
+    r = key_overlap_report(
+        orders, cust, "o_custkey", k=65536, key_b="c_custkey"
+    ).first()
+
+    oset = {x["o_custkey"] for x in orders.distinct().collect()}
+    cset = {x["c_custkey"] for x in cust.distinct().collect()}
+    inter = len(oset & cset)
+    assert r["distinct_a_est"] == len(oset)
+    assert r["distinct_b_est"] == len(cset)
+    assert r["intersect_est"] == pytest.approx(inter, abs=0.5)
+    assert r["containment_a_in_b"] == pytest.approx(inter / len(oset), abs=1e-6)
+    assert r["containment_b_in_a"] == pytest.approx(inter / len(cset), abs=1e-6)
+
+
+def test_key_overlap_report_disjoint_and_identical(spark):
+    from hama_spark.functions.sketches import key_overlap_report
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i + 1000,) for i in range(100)], "k long")
+    dj = key_overlap_report(a, b, "k", k=4096).first()
+    assert dj["jaccard_est"] == 0.0 and dj["intersect_est"] == 0.0
+
+    same = key_overlap_report(a, a, "k", k=4096).first()
+    assert same["jaccard_est"] == 1.0
+    assert same["containment_a_in_b"] == 1.0 == same["containment_b_in_a"]
