@@ -222,6 +222,26 @@ def cmd_scaling(args) -> dict:
     }
 
 
+def cmd_card(args) -> dict:
+    from hama_spark.extensions.datacard import dataset_card, write_dataset_card
+
+    spark = _spark()
+    docs = _read(spark, args.input)
+    if args.output:
+        md = write_dataset_card(
+            docs, args.output, name=args.name, text_col=args.text_col
+        )
+    else:
+        md = dataset_card(docs, name=args.name, text_col=args.text_col)
+        print(md, file=sys.stderr)
+    return {
+        "command": "card",
+        "input": args.input,
+        "output": args.output,
+        "chars": len(md),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hama_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -293,6 +313,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-tables", type=int, default=32)
     sp.add_argument("--probes", type=int, default=1)
     sp.set_defaults(fn=cmd_lshplan)
+
+    sp = sub.add_parser("card", help="markdown dataset card for a corpus")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default=None,
+                    help="write the markdown here (any Hadoop-FS scheme); "
+                         "omit to print to stderr")
+    sp.add_argument("--name", default="corpus")
+    sp.add_argument("--text-col", default="text")
+    sp.set_defaults(fn=cmd_card)
 
     sp = sub.add_parser("scaling", help="Zipf slope + Heaps vocab-growth report")
     sp.add_argument("--input", required=True)

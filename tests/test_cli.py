@@ -115,3 +115,12 @@ def test_cli_scaling_and_vector_drift():
         "--vector-column", "embedding",
     )
     assert abs(drift["embedding"]["centroid_cosine"] - 1.0) < 1e-9
+
+
+def test_cli_card(tmp_path):
+    out = str(tmp_path / "card.md")
+    res = _run("card", "--input", f"{SF}/documents.parquet",
+               "--output", out, "--name", "docs")
+    assert res["chars"] > 500
+    md = open(out).read()
+    assert "# Dataset card: docs" in md and "## Duplication" in md

@@ -92,3 +92,33 @@ def test_dedup_paragraphs_noop_on_unique(spark, tables):
         docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
     )
     assert joined.where("text != orig OR n_removed != 0").count() == 0
+
+
+def test_dataset_card_sections_and_numbers(spark, tables, tmp_path):
+    from hama_spark.extensions.datacard import dataset_card, write_dataset_card
+
+    docs = tables["documents"]
+    md = dataset_card(docs, name="fixture-docs")
+    assert "# Dataset card: fixture-docs" in md
+    for section in ("## Overview", "## Columns", "## Distribution: lang",
+                    "## Distribution: source", "## Scaling laws", "## Duplication"):
+        assert section in md, f"missing {section}"
+    n = docs.count()
+    assert f"documents: **{n}**" in md
+    # the fixture corpus has no exact duplicates
+    assert "rate (normalized fingerprint): **0.0000**" in md
+
+    out = str(tmp_path / "card.md")
+    written = write_dataset_card(docs, out, name="fixture-docs")
+    assert written == md
+    assert open(out).read() == md
+
+
+def test_dataset_card_counts_duplicates(spark):
+    from hama_spark.extensions.datacard import dataset_card
+
+    rows = [(1, "same text", "en"), (2, "same text", "en"), (3, "other", "de")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    md = dataset_card(docs, scaling_points=2)
+    assert "(1 of 3 docs)" in md
+    assert "## Distribution: lang" in md
