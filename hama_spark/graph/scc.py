@@ -1,0 +1,192 @@
+"""Strongly connected components for DIRECTED graphs — the coloring
+algorithm (Orzan; also the FW-BW-style decomposition used by
+distributed SCC implementations — public literature), built from two
+Pregel fixpoints per round:
+
+1. FORWARD coloring: propagate the maximum vertex id along out-edges
+   to fixpoint — color(v) = max id that can reach v.
+2. BACKWARD collection: each color ROOT (the vertex that is its own
+   color) walks the REVERSED edges, claiming only same-color vertices.
+   Everything claimed is exactly the root's SCC (reachable both ways),
+   gets scc = root, and leaves the active set.
+
+Rounds repeat on the shrinking remainder; every round settles at least
+each color's root, so termination is guaranteed, and on graphs whose
+ids correlate with topological order one round settles everything.
+Singletons dominate real web/link graphs, so the remainder collapses
+fast; ``max_rounds`` bounds adversarial shapes.
+
+Scale shape: both phases are frontier-style Pregel loops (only changed
+vertices send; empty inbox is a no-op), active edges are re-filtered
+per round through id joins, and vertex state is two columns. The
+complement of the undirected CC operator (components.mindist_search);
+apache/hama ships no SCC example — north-star extension per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hama_spark.plans.pregel import MSG, PregelContext, pregel
+
+
+def _forward_colors(
+    vertices: DataFrame, edges: DataFrame, max_iter: int, num_partitions: int | None
+) -> DataFrame:
+    """(id) + directed (src, dst) -> (id, color = max id reaching it)."""
+    verts = vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("updated"))
+
+    def initial_message(v: DataFrame, ctx: PregelContext) -> DataFrame:
+        return (
+            v.join(edges, v["id"] == edges["src"])
+            .select(edges["dst"].alias("id"), F.col("color").alias(MSG))
+        )
+
+    def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
+        improved = F.col(MSG).isNotNull() & (F.col(MSG) > F.col("color"))
+        return with_inbox.select(
+            "id",
+            F.when(improved, F.col(MSG)).otherwise(F.col("color")).alias("color"),
+            improved.alias("updated"),
+        )
+
+    def send(v: DataFrame, e: DataFrame, ctx: PregelContext) -> DataFrame:
+        return (
+            v.filter("updated")
+            .join(e, v["id"] == e["src"])
+            .select(e["dst"].alias("id"), F.col("color").alias(MSG))
+        )
+
+    return pregel(
+        verts,
+        edges,
+        compute=compute,
+        send=send,
+        combine=F.max,
+        initial_message=initial_message,
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+        # frontier-style: un-improved vertices send nothing
+        halt_check_interval=2,
+    ).select("id", "color")
+
+
+def _backward_collect(
+    colored: DataFrame, edges: DataFrame, max_iter: int, num_partitions: int | None
+) -> DataFrame:
+    """colored(id, color) + edges -> (id, color, scc nullable): scc set
+    for every vertex in a root's SCC, walking reversed edges within the
+    SAME color only."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    verts = colored.select(
+        "id",
+        "color",
+        F.when(F.col("id") == F.col("color"), F.col("color")).alias("scc"),
+        (F.col("id") == F.col("color")).alias("updated"),
+    )
+
+    def _claims(v: DataFrame) -> DataFrame:
+        # Wrong-color messages are filtered at SEND time (join against
+        # the targets' colors): a scalar combiner would otherwise drop
+        # the matching claim when two roots' walks hit one vertex in
+        # the same superstep — the vertex would stay unclaimed while
+        # its SCC-mates get assigned, splitting the component. After
+        # the filter every in-flight message to a vertex EQUALS its
+        # color, so any combiner is safe.
+        m = (
+            v.filter("updated")
+            .join(rev, v["id"] == rev["src"])
+            .select(rev["dst"].alias("_dst"), F.col("scc").alias(MSG))
+        )
+        targets = v.select(F.col("id").alias("_dst"), F.col("color").alias("_tc"))
+        return (
+            m.join(targets, "_dst")
+            .where(F.col(MSG) == F.col("_tc"))
+            .select(F.col("_dst").alias("id"), MSG)
+        )
+
+    def initial_message(v: DataFrame, ctx: PregelContext) -> DataFrame:
+        return _claims(v)
+
+    def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
+        claimed = F.col(MSG).isNotNull() & F.col("scc").isNull()
+        return with_inbox.select(
+            "id",
+            "color",
+            F.when(claimed, F.col(MSG)).otherwise(F.col("scc")).alias("scc"),
+            claimed.alias("updated"),
+        )
+
+    def send(v: DataFrame, e: DataFrame, ctx: PregelContext) -> DataFrame:
+        return _claims(v)
+
+    return pregel(
+        verts,
+        rev,
+        compute=compute,
+        send=send,
+        combine=F.max,  # messages to a vertex are all equal post-filter
+        initial_message=initial_message,
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+        halt_check_interval=2,
+    ).select("id", "color", "scc")
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 20,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Directed edges (src, dst) -> (id, scc) where scc is the maximum
+    vertex id of the component (a canonical, deterministic label).
+
+    Each round colors the active subgraph forward, collects each
+    root's SCC backward, then recurses on the unassigned remainder
+    with edges filtered to active endpoints. Raises if ``max_rounds``
+    rounds leave vertices unassigned (raise it for adversarially
+    ordered deep DAG chains)."""
+    active = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if active.isEmpty():
+        raise ValueError("strongly_connected_components needs a non-empty edge relation")
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    done_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        colored = _forward_colors(active, e, max_iter, num_partitions)
+        collected = _backward_collect(colored, e, max_iter, num_partitions)
+        assigned = collected.where(F.col("scc").isNotNull()).select(
+            "id", F.col("scc")
+        ).localCheckpoint(eager=True)
+        done_parts.append(assigned)
+        active = (
+            collected.where(F.col("scc").isNull())
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        if active.isEmpty():
+            break
+        e = (
+            e.join(active.withColumnRenamed("id", "src"), "src")
+            .join(active.withColumnRenamed("id", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"SCC did not settle within max_rounds={max_rounds}; "
+                f"raise it (deep adversarially-ordered DAG chains need "
+                f"more rounds)"
+            )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), done_parts)

@@ -1,0 +1,119 @@
+"""Directed SCC (coloring algorithm) vs an in-test iterative Tarjan on
+structured and randomized graphs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.graph.scc import strongly_connected_components
+
+
+def _tarjan(edges: list[tuple[str, str]]) -> set[frozenset]:
+    """Iterative Tarjan — ground-truth SCC partition."""
+    adj: dict = {}
+    verts = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    out = []
+    counter = [0]
+
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                out.append(frozenset(comp))
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return set(out)
+
+
+def _spark_partition(spark, edges: list[tuple[str, str]]) -> set[frozenset]:
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = strongly_connected_components(df).collect()
+    by_scc: dict = {}
+    for r in rows:
+        by_scc.setdefault(r["scc"], set()).add(r["id"])
+    return {frozenset(v) for v in by_scc.values()}
+
+
+def test_scc_structured_graphs(spark):
+    # two 3-cycles joined by a one-way bridge, plus a dangling chain
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # cycle 1
+        ("c", "x"),                                   # bridge ->
+        ("x", "y"), ("y", "z"), ("z", "x"),          # cycle 2
+        ("z", "t1"), ("t1", "t2"),                    # chain of singletons
+    ]
+    assert _spark_partition(spark, edges) == _tarjan(edges)
+
+
+def test_scc_figure_eight_and_self_loops(spark):
+    edges = [
+        ("p", "q"), ("q", "p"),
+        ("q", "r"), ("r", "q"),    # two cycles sharing q -> ONE scc
+        ("s", "s"),                # self-loop singleton scc
+        ("r", "s"),
+    ]
+    got = _spark_partition(spark, edges)
+    assert got == _tarjan(edges)
+    assert frozenset({"p", "q", "r"}) in got
+
+
+def test_scc_random_graphs_match_tarjan(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 24
+        m = 40 + trial * 15
+        edges = list(
+            {
+                (f"v{rng.randrange(n):02d}", f"v{rng.randrange(n):02d}")
+                for _ in range(m)
+            }
+        )
+        assert _spark_partition(spark, edges) == _tarjan(edges), edges
+
+
+def test_scc_canonical_label_and_validation(spark):
+    edges = [("a", "b"), ("b", "a"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = {r["id"]: r["scc"] for r in strongly_connected_components(df).collect()}
+    assert rows == {"a": "b", "b": "b", "c": "c"}  # max id labels the scc
+
+    with pytest.raises(ValueError):
+        strongly_connected_components(df.where("src = 'zzz'"))
