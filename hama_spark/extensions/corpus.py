@@ -375,3 +375,93 @@ def dedup_paragraphs_within(
         "n_paragraphs",
         (F.col("n_paragraphs") - F.size("_kept")).alias("n_removed"),
     )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    max_tokens: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-BOUNDARY chunking (the RAG-passage variant of
+    ``chunk_tokens``, which splits mid-sentence): split each document
+    into sentences on terminal punctuation, then greedily pack
+    consecutive sentences into chunks of at most ``max_tokens``
+    whitespace tokens. A single sentence longer than the budget gets a
+    chunk of its own (never split — boundary preservation is the
+    point; filter on n_tokens downstream if hard caps matter).
+
+    Returns (id_col, chunk_id, text, n_sentences, n_tokens). Chunk
+    texts concatenate (single-space) to the document's sentence
+    sequence in order.
+
+    Map-only — and genuinely so: the greedy packing is ONE
+    F.aggregate fold over the sentence array that builds the chunk
+    structs in place (extend the last chunk or open a new one), then a
+    posexplode. Chunk rows stream out of the scan with NO shuffle —
+    at corpus scale the text never moves between executors. The fold
+    re-copies the chunk array per sentence (O(s²) pointer copies per
+    doc — pointers, not text; chunk text itself is bounded by
+    max_tokens). Sentence splitting uses a Java-regex lookbehind,
+    which DuckDB's RE2 cannot replay — property-tested rather than
+    driver-oracled (documented trade)."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    sents = F.split(F.trim(_c(text_col)), r"(?<=[.!?])\s+", -1)
+    base = df.filter(F.length(F.trim(_c(text_col))) > 0).select(
+        _c(id_col).alias(id_col), sents.alias("_sents")
+    )
+    base = base.select(
+        id_col,
+        F.arrays_zip(
+            F.col("_sents"),
+            F.transform(
+                F.col("_sents"), lambda x: F.size(F.split(F.trim(x), r"\s+"))
+            ).alias("_cnts"),
+        ).alias("_z"),
+    )
+    chunk_t = "array<struct<text: string, n_sentences: int, n_tokens: int>>"
+    init = F.struct(
+        F.array().cast(chunk_t).alias("chunks"), F.lit(0).alias("cum")
+    )
+
+    def step(acc, pair):
+        s_txt = pair["_sents"]
+        n = pair["_cnts"]
+        open_new = (F.size(acc["chunks"]) == 0) | (acc["cum"] + n > max_tokens)
+        last = F.element_at(acc["chunks"], -1)
+        extended = F.concat(
+            F.slice(acc["chunks"], 1, F.size(acc["chunks"]) - 1),
+            F.array(
+                F.struct(
+                    F.concat_ws(" ", last["text"], s_txt).alias("text"),
+                    (last["n_sentences"] + 1).alias("n_sentences"),
+                    (last["n_tokens"] + n).alias("n_tokens"),
+                )
+            ),
+        )
+        opened = F.concat(
+            acc["chunks"],
+            F.array(
+                F.struct(
+                    s_txt.alias("text"),
+                    F.lit(1).alias("n_sentences"),
+                    n.alias("n_tokens"),
+                )
+            ),
+        )
+        return F.struct(
+            F.when(open_new, opened).otherwise(extended).alias("chunks"),
+            F.when(open_new, n).otherwise(acc["cum"] + n).alias("cum"),
+        )
+
+    folded = base.select(id_col, F.aggregate(F.col("_z"), init, step)["chunks"].alias("_chunks"))
+    return folded.select(
+        id_col, F.posexplode("_chunks").alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.text").alias("text"),
+        F.col("_c.n_sentences").alias("n_sentences"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

@@ -176,3 +176,58 @@ def test_strip_domain_boilerplate_drops_emptied_docs(spark):
     out = strip_domain_boilerplate(df, min_frac=0.5, min_docs=3)
     got = {r.doc_id: r.text for r in out.collect()}
     assert got == {9: "keep"}
+
+
+def test_chunk_sentences_invariants(spark):
+    from hama_spark.extensions.corpus import chunk_sentences
+
+    rows = [
+        (1, "One two three. Four five. Six seven eight nine. Ten."),
+        (2, "A single short doc."),
+        # one sentence longer than the budget -> its own oversized chunk
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10. tail."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_sentences(df, max_tokens=5).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        # ids contiguous from 0
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            toks = c["text"].split()
+            assert len(toks) == c["n_tokens"]
+            # budget respected unless a single long sentence
+            assert c["n_tokens"] <= 5 or c["n_sentences"] == 1
+
+    # reassembly: chunks joined = original sentence sequence
+    import re
+
+    for doc_id, text in rows:
+        sents = re.split(r"(?<=[.!?])\s+", text.strip())
+        assert " ".join(c["text"] for c in by_doc[doc_id]) == " ".join(sents)
+
+    # doc 1 greedy packing: [One two three.][Four five.][Six seven eight
+    # nine.][Ten.] -> 3+2 fit together? 3 then 2 -> 5 <= 5 yes
+    d1 = [c["text"] for c in by_doc[1]]
+    assert d1[0] == "One two three. Four five."
+    # doc 3: oversized first sentence alone, tail separate
+    d3 = by_doc[3]
+    assert d3[0]["n_tokens"] == 10 and d3[0]["n_sentences"] == 1
+    assert d3[1]["text"] == "tail."
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_sentences(df, max_tokens=0)
+
+
+def test_chunk_sentences_plan_is_shuffle_free(spark, tables):
+    from hama_spark.extensions.corpus import chunk_sentences
+    from hama_spark.plans.audit import plan_text
+
+    out = chunk_sentences(tables["documents"], max_tokens=64)
+    plan = plan_text(out, "formatted")
+    assert "Exchange" not in plan, "sentence chunking must not shuffle"
