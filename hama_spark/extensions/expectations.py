@@ -300,3 +300,60 @@ def corr_matrix(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "corr",
         "n",
     )
+
+
+def schema_diff(df: DataFrame, expected_ddl: str) -> list[dict]:
+    """Schema contract check: compare ``df`` against an expected DDL
+    string ("a INT, b STRING, …"). Returns a list of drift records
+    {column, status, expected_type, actual_type} with status one of
+    'missing' (in contract, not in df), 'added' (in df, not in
+    contract), 'type_changed'. Empty list = conforming. Pure driver
+    metadata — no job runs; pair with ``check_expectations`` for
+    value-level rules and ``distribution_drift`` for distribution
+    shift."""
+    from pyspark.sql.types import StructType
+
+    expected = StructType.fromDDL(expected_ddl)
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    act = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out: list[dict] = []
+    for name, t in exp.items():
+        if name not in act:
+            out.append(
+                {"column": name, "status": "missing", "expected_type": t, "actual_type": None}
+            )
+        elif act[name] != t:
+            out.append(
+                {
+                    "column": name,
+                    "status": "type_changed",
+                    "expected_type": t,
+                    "actual_type": act[name],
+                }
+            )
+    for name, t in act.items():
+        if name not in exp:
+            out.append(
+                {"column": name, "status": "added", "expected_type": None, "actual_type": t}
+            )
+    return out
+
+
+def assert_schema(df: DataFrame, expected_ddl: str, allow_added: bool = False) -> None:
+    """Raise ValueError (listing every drift) unless ``df`` conforms to
+    the DDL contract. ``allow_added`` tolerates extra columns —
+    forward-compatible readers."""
+    drift = schema_diff(df, expected_ddl)
+    if allow_added:
+        drift = [d for d in drift if d["status"] != "added"]
+    if drift:
+        lines = "; ".join(
+            f"{d['column']}: {d['status']}"
+            + (
+                f" (expected {d['expected_type']}, got {d['actual_type']})"
+                if d["status"] == "type_changed"
+                else ""
+            )
+            for d in drift
+        )
+        raise ValueError(f"schema drift: {lines}")

@@ -321,3 +321,25 @@ def test_scd2_asof_join_suffixes_colliding_columns(spark):
     assert out.columns.count("status") == 1
     row = out.collect()[0]
     assert row.status == "fact-status" and row.status_dim == "new"
+
+
+def test_schema_diff_and_assert(spark, tables):
+    from hama_spark.extensions.expectations import assert_schema, schema_diff
+
+    docs = tables["documents"]  # doc_id bigint, text/lang/source string, n_chars bigint
+    ddl = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    assert schema_diff(docs, ddl) == []
+    assert_schema(docs, ddl)
+
+    drift = schema_diff(docs, "doc_id INT, text STRING, extra DOUBLE")
+    by_col = {d["column"]: d for d in drift}
+    assert by_col["doc_id"]["status"] == "type_changed"
+    assert by_col["extra"]["status"] == "missing"
+    assert by_col["lang"]["status"] == "added"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="schema drift"):
+        assert_schema(docs, "doc_id INT, text STRING")
+    # forward-compatible: extra df columns tolerated
+    assert_schema(docs, "doc_id BIGINT, text STRING", allow_added=True)
