@@ -222,6 +222,20 @@ def cmd_scaling(args) -> dict:
     }
 
 
+def cmd_layout(args) -> dict:
+    from hama_spark.sources.inspect import clustering_score, parquet_layout_report
+
+    spark = _spark()
+    score = clustering_score(spark, args.input, args.column)
+    out = {"command": "layout", "input": args.input, "column": args.column, **score}
+    if args.files:
+        out["files"] = [
+            r.asDict()
+            for r in parquet_layout_report(spark, args.input, args.column).collect()
+        ]
+    return out
+
+
 def cmd_card(args) -> dict:
     from hama_spark.extensions.datacard import dataset_card, write_dataset_card
 
@@ -313,6 +327,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--max-tables", type=int, default=32)
     sp.add_argument("--probes", type=int, default=1)
     sp.set_defaults(fn=cmd_lshplan)
+
+    sp = sub.add_parser(
+        "layout", help="parquet clustering score (files hit per point lookup)"
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--column", required=True)
+    sp.add_argument("--files", action="store_true",
+                    help="also list per-file min/max footer stats")
+    sp.set_defaults(fn=cmd_layout)
 
     sp = sub.add_parser("card", help="markdown dataset card for a corpus")
     sp.add_argument("--input", required=True)

@@ -124,3 +124,11 @@ def test_cli_card(tmp_path):
     assert res["chars"] > 500
     md = open(out).read()
     assert "# Dataset card: docs" in md and "## Duplication" in md
+
+
+def test_cli_layout():
+    out = _run("layout", "--input", f"{SF}/documents.parquet",
+               "--column", "doc_id", "--files")
+    assert out["n_files"] >= 1
+    assert out["files_hit_per_probe"] >= 1.0
+    assert len(out["files"]) == out["n_files"]
