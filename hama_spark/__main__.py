@@ -10,7 +10,12 @@ to stdout (machine-parseable; everything else goes to stderr).
                                   [--threshold T]
     python -m hama_spark decontam --input corpus/ --benchmark bench/
                                   [--output clean/] [--threshold T]
-    python -m hama_spark drift    --old v1/ --new v2/ --column n_chars
+    python -m hama_spark drift    --old v1/ --new v2/ [--column n_chars]
+                                  [--vector-column embedding]
+    python -m hama_spark lshplan  --threshold 0.8 [--cosine] (no Spark)
+    python -m hama_spark scaling  --input corpus/  (Zipf + Heaps)
+    python -m hama_spark card     --input corpus/ [--output card.md]
+    python -m hama_spark layout   --input table/ --column k [--files]
 
 Inputs/outputs are parquet paths (any Hadoop-FS scheme the session
 resolves). The session comes from ``hama_spark.get_spark`` — override
