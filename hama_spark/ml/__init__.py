@@ -1,6 +1,7 @@
 from hama_spark.ml.feature import (
     FeatureTransformer,
     apply_features,
+    clip_outliers,
     identity_transformer,
     log1p_abs_transformer,
     scale_transformer,
@@ -24,6 +25,7 @@ __all__ = [
     "CFModel",
     "FeatureTransformer",
     "apply_features",
+    "clip_outliers",
     "identity_transformer",
     "scale_transformer",
     "log1p_abs_transformer",

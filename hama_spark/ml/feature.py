@@ -43,3 +43,37 @@ def apply_features(
     if transformer is None:
         return df
     return df.withColumn(features_col, transformer(F.col(features_col)))
+
+
+def clip_outliers(
+    df: DataFrame,
+    cols: list[str],
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Winsorize numeric columns: clamp each to its [lower_q, upper_q]
+    approx-quantile bounds — the standard pre-scaling outlier fence for
+    GD/k-means features (one corrupt magnitude otherwise dominates the
+    loss). ONE aggregation computes every bound (percentile_approx is
+    mergeable/map-side combined); bounds become plan literals, the clip
+    is a pure projection. NULLs pass through unchanged."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q},{upper_q}")
+    bounds = df.agg(
+        *[
+            F.percentile_approx(c, [lower_q, upper_q], accuracy).alias(c)
+            for c in cols
+        ]
+    ).first()
+    out = df
+    for c in cols:
+        lo, hi = bounds[c]
+        # greatest/least IGNORE nulls (they'd turn NULL into the bound)
+        clipped = F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(clipped)
+        )
+    return out

@@ -179,3 +179,35 @@ def test_classification_report_null_semantics(spark):
     assert rep["y"]["precision"] is None and rep["y"]["recall"] == 0.0
     assert rep["y"]["f1"] is None
     assert rep["x"]["recall"] == 1.0 and rep["x"]["precision"] == 0.5
+
+
+def test_clip_outliers_winsorizes(spark, tables):
+    from hama_spark.ml.feature import clip_outliers
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    out = clip_outliers(docs, ["n_chars"], lower_q=0.1, upper_q=0.9)
+    vals = sorted(r["n_chars"] for r in docs.collect())
+    clipped = {r["doc_id"]: r["n_chars"] for r in out.collect()}
+    lo, hi = min(clipped.values()), max(clipped.values())
+    # bounds are interior quantiles: strictly inside the raw extremes
+    assert vals[0] < lo and hi < vals[-1]
+    # non-extreme values unchanged
+    for r in docs.collect():
+        if lo <= r["n_chars"] <= hi:
+            assert clipped[r["doc_id"]] == r["n_chars"]
+        else:
+            assert clipped[r["doc_id"]] in (lo, hi)
+
+    # NULLs pass through
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 5)], "doc_id int, n_chars int"
+    )
+    got = {r["doc_id"]: r["n_chars"] for r in clip_outliers(withnull, ["n_chars"]).collect()}
+    assert got[1] is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        clip_outliers(docs, [])
+    with _pt.raises(ValueError):
+        clip_outliers(docs, ["n_chars"], lower_q=0.9, upper_q=0.1)
