@@ -86,7 +86,7 @@ def _backward_collect(
         (F.col("id") == F.col("color")).alias("updated"),
     )
 
-    def _claims(v: DataFrame) -> DataFrame:
+    def _claims(v: DataFrame, e: DataFrame) -> DataFrame:
         # Wrong-color messages are filtered at SEND time (join against
         # the targets' colors): a scalar combiner would otherwise drop
         # the matching claim when two roots' walks hit one vertex in
@@ -96,8 +96,8 @@ def _backward_collect(
         # color, so any combiner is safe.
         m = (
             v.filter("updated")
-            .join(rev, v["id"] == rev["src"])
-            .select(rev["dst"].alias("_dst"), F.col("scc").alias(MSG))
+            .join(e, v["id"] == e["src"])
+            .select(e["dst"].alias("_dst"), F.col("scc").alias(MSG))
         )
         targets = v.select(F.col("id").alias("_dst"), F.col("color").alias("_tc"))
         return (
@@ -107,7 +107,9 @@ def _backward_collect(
         )
 
     def initial_message(v: DataFrame, ctx: PregelContext) -> DataFrame:
-        return _claims(v)
+        # superstep 0 runs before pregel hands edges to send — the raw
+        # rev relation is used exactly once here
+        return _claims(v, rev)
 
     def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
         claimed = F.col(MSG).isNotNull() & F.col("scc").isNull()
@@ -119,7 +121,10 @@ def _backward_collect(
         )
 
     def send(v: DataFrame, e: DataFrame, ctx: PregelContext) -> DataFrame:
-        return _claims(v)
+        # e is the pregel-repartitioned+cached edge relation — joining
+        # the closure rev instead would re-shuffle uncached edges every
+        # superstep while the cache sits unread
+        return _claims(v, e)
 
     return pregel(
         verts,
@@ -162,7 +167,43 @@ def strongly_connected_components(
         if active.isEmpty():
             break
         colored = _forward_colors(active, e, max_iter, num_partitions)
+        # Convergence is NOT optional: pregel exits silently at max_iter,
+        # and half-propagated colors would mint fake roots whose backward
+        # walks permanently assign WRONG singleton components. The exact
+        # fixpoint invariant — no edge still carries color(src) >
+        # color(dst) — is one join+count per round; raise instead of
+        # returning a shattered partition.
+        cmap = colored.withColumnRenamed("id", "src").withColumnRenamed(
+            "color", "_csrc"
+        )
+        cdst = colored.select(
+            F.col("id").alias("dst"), F.col("color").alias("_cdst")
+        )
+        unconverged = (
+            e.join(cmap, "src").join(cdst, "dst").where(F.col("_csrc") > F.col("_cdst"))
+        )
+        if not unconverged.isEmpty():
+            raise RuntimeError(
+                f"forward coloring did not reach fixpoint within "
+                f"max_iter={max_iter} supersteps — raise max_iter above "
+                f"the graph's propagation diameter"
+            )
         collected = _backward_collect(colored, e, max_iter, num_partitions)
+        # backward fixpoint invariant: no reversed edge from a claimed
+        # vertex into an unclaimed vertex of the SAME color remains
+        cu = collected.where(F.col("scc").isNotNull()).select(
+            F.col("id").alias("dst"), F.col("scc").alias("_s")
+        )
+        cv = collected.where(F.col("scc").isNull()).select(
+            F.col("id").alias("src"), F.col("color").alias("_c")
+        )
+        pending = e.join(cu, "dst").join(cv, "src").where(F.col("_s") == F.col("_c"))
+        if not pending.isEmpty():
+            raise RuntimeError(
+                f"backward collection did not reach fixpoint within "
+                f"max_iter={max_iter} supersteps — raise max_iter above "
+                f"the graph's propagation diameter"
+            )
         assigned = collected.where(F.col("scc").isNotNull()).select(
             "id", F.col("scc")
         ).localCheckpoint(eager=True)

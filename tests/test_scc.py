@@ -117,3 +117,17 @@ def test_scc_canonical_label_and_validation(spark):
 
     with pytest.raises(ValueError):
         strongly_connected_components(df.where("src = 'zzz'"))
+
+
+def test_scc_raises_instead_of_shattering_on_low_max_iter(spark):
+    """A cycle deeper than max_iter must RAISE, never silently return
+    singletons: pregel exits quietly at max_iter and half-propagated
+    colors would mint fake roots."""
+    n = 12
+    edges = [(f"v{i:02d}", f"v{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(RuntimeError, match="max_iter"):
+        strongly_connected_components(df, max_iter=4)
+    # and with enough iterations the single big SCC comes back whole
+    got = _spark_partition(spark, edges)
+    assert got == {frozenset(f"v{i:02d}" for i in range(n))}
