@@ -18,8 +18,10 @@ to stdout (machine-parseable; everything else goes to stderr).
     python -m hama_spark layout   --input table/ --column k [--files]
 
 Inputs/outputs are parquet paths (any Hadoop-FS scheme the session
-resolves). The session comes from ``hama_spark.get_spark`` — override
-parallelism with SPARK_GRAFT_CPUS as in bench.py.
+resolves) — EXCEPT ``layout``, which reads parquet footers driver-side
+via pyarrow and accepts local/file: paths only. The session comes from
+``hama_spark.get_spark`` — override parallelism with SPARK_GRAFT_CPUS
+as in bench.py.
 """
 
 from __future__ import annotations

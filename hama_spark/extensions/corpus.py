@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hama_spark.extensions.text import tokenize
+from hama_spark.extensions.text import token_count, tokenize
 
 
 def _c(x) -> Column:
@@ -415,9 +415,7 @@ def chunk_sentences(
         id_col,
         F.arrays_zip(
             F.col("_sents"),
-            F.transform(
-                F.col("_sents"), lambda x: F.size(F.split(F.trim(x), r"\s+"))
-            ).alias("_cnts"),
+            F.transform(F.col("_sents"), token_count).alias("_cnts"),
         ).alias("_z"),
     )
     chunk_t = "array<struct<text: string, n_sentences: int, n_tokens: int>>"

@@ -124,8 +124,10 @@ def dataset_card(
 
     # duplication: exact fingerprint rate (one groupBy of 16-byte hashes)
     fp = docs.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+    # count("fp") skips NULL fingerprints (NULL-text docs) like
+    # count_distinct does — count(1) would report them as duplicates
     dup = fp.agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count("fp").alias("n"),
         F.count_distinct("fp").alias("n_distinct"),
     ).first()
     rate = 0.0 if dup["n"] == 0 else (dup["n"] - dup["n_distinct"]) / dup["n"]

@@ -583,9 +583,13 @@ def curriculum_order(
         raise ValueError(f"n_stages must be >= 1, got {n_stages}")
     qs = [i / n_stages for i in range(1, n_stages)]
     if qs:
-        bounds = df.agg(
-            F.percentile_approx(score_col, qs, 1_000_000).alias("b")
-        ).first()["b"]
+        # `or []`: empty df / all-NULL scores yield NULL bounds — a
+        # single stage 0 (the order degenerates to the global shuffle)
+        bounds = (
+            df.agg(F.percentile_approx(score_col, qs, 1_000_000).alias("b"))
+            .first()["b"]
+            or []
+        )
     else:
         bounds = []
     stage = F.lit(0)

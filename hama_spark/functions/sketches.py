@@ -157,7 +157,10 @@ def kmv_jaccard(a: str | Column, b: str | Column, k: int) -> Column:
     u = kmv_union(ca, cb, k)
     both = F.array_intersect(ca, cb)
     matches = F.size(F.array_intersect(u, both))
-    return matches.cast("double") / F.size(u).cast("double")
+    # empty union (both sets empty) is Jaccard 0, not 0.0/0.0 = NaN
+    return F.when(
+        F.size(u) > 0, matches.cast("double") / F.size(u).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def kmv_overlap_matrix(

@@ -70,6 +70,10 @@ def clip_outliers(
     ).first()
     out = df
     for c in cols:
+        if bounds[c] is None:
+            # all-NULL column (or empty df): no bounds exist; NULLs
+            # pass through, so clipping is a no-op
+            continue
         lo, hi = bounds[c]
         # greatest/least IGNORE nulls (they'd turn NULL into the bound)
         clipped = F.least(F.greatest(F.col(c), F.lit(lo)), F.lit(hi))

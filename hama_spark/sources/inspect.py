@@ -42,18 +42,13 @@ def _local_parquet_files(path: str, max_files: int) -> list[str]:
     return out
 
 
-def parquet_layout_report(
-    spark: SparkSession, path: str, column: str, max_files: int = 10_000
-) -> DataFrame:
-    """Per-file footer stats for ``column``: (file, n_rows, n_bytes,
-    col_min, col_max) as a small DataFrame (one row per data file).
-    min/max come from the parquet column statistics aggregated across
-    row groups; files without stats for the column get NULL bounds
-    (they can never be skipped — exactly what the report should
-    surface)."""
+def _file_ranges(path: str, column: str, max_files: int) -> list[dict]:
+    """Per-file footer stats shared by the report and the score:
+    {file, n_rows, n_bytes, min, max, has_stats} with min/max aggregated
+    across row groups (native parquet types, not stringified)."""
     import pyarrow.parquet as pq
 
-    rows = []
+    out = []
     for f in _local_parquet_files(path, max_files):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.names.index(column) if column in md.schema.names else -1
@@ -68,15 +63,38 @@ def parquet_layout_report(
                 break
             mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
-        rows.append(
-            (
-                os.path.basename(f),
-                int(md.num_rows),
-                int(os.path.getsize(f)),
-                str(mn) if have and mn is not None else None,
-                str(mx) if have and mx is not None else None,
-            )
+        out.append(
+            {
+                "file": os.path.basename(f),
+                "n_rows": int(md.num_rows),
+                "n_bytes": int(os.path.getsize(f)),
+                "min": mn if have else None,
+                "max": mx if have else None,
+                "has_stats": have and mn is not None,
+            }
         )
+    return out
+
+
+def parquet_layout_report(
+    spark: SparkSession, path: str, column: str, max_files: int = 10_000
+) -> DataFrame:
+    """Per-file footer stats for ``column``: (file, n_rows, n_bytes,
+    col_min, col_max) as a small DataFrame (one row per data file).
+    min/max come from the parquet column statistics aggregated across
+    row groups; files without stats for the column get NULL bounds
+    (they can never be skipped — exactly what the report should
+    surface)."""
+    rows = [
+        (
+            r["file"],
+            r["n_rows"],
+            r["n_bytes"],
+            str(r["min"]) if r["has_stats"] else None,
+            str(r["max"]) if r["has_stats"] else None,
+        )
+        for r in _file_ranges(path, column, max_files)
+    ]
     return spark.createDataFrame(
         rows, "file string, n_rows bigint, n_bytes bigint, col_min string, col_max string"
     )
@@ -94,30 +112,10 @@ def clustering_score(
     time.
 
     Returns {n_files, files_hit_per_probe, unskippable_files}."""
-    import pyarrow.parquet as pq
-
-    ranges: list[tuple] = []
-    unskippable = 0
-    files = _local_parquet_files(path, max_files)
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        idx = md.schema.names.index(column) if column in md.schema.names else -1
-        if idx < 0:
-            raise ValueError(f"column {column!r} not in {f}")
-        mn = mx = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
-        if not ok or mn is None:
-            unskippable += 1
-            continue
-        ranges.append((mn, mx))
-    n = len(files)
+    stats = _file_ranges(path, column, max_files)
+    ranges = [(r["min"], r["max"]) for r in stats if r["has_stats"]]
+    unskippable = sum(1 for r in stats if not r["has_stats"])
+    n = len(stats)
     if not ranges:
         return {
             "n_files": n,

@@ -169,3 +169,11 @@ def test_key_overlap_report_disjoint_and_identical(spark):
     same = key_overlap_report(a, a, "k", k=4096).first()
     assert same["jaccard_est"] == 1.0
     assert same["containment_a_in_b"] == 1.0 == same["containment_b_in_a"]
+
+
+def test_kmv_jaccard_empty_sets_is_zero_not_nan(spark):
+    from hama_spark.functions.sketches import key_overlap_report
+
+    empty = spark.createDataFrame([], "k long")
+    r = key_overlap_report(empty, empty, "k", k=16).first()
+    assert r["jaccard_est"] == 0.0 and r["intersect_est"] == 0.0

@@ -211,3 +211,11 @@ def test_clip_outliers_winsorizes(spark, tables):
         clip_outliers(docs, [])
     with _pt.raises(ValueError):
         clip_outliers(docs, ["n_chars"], lower_q=0.9, upper_q=0.1)
+
+
+def test_clip_outliers_all_null_column_is_noop(spark):
+    from hama_spark.ml.feature import clip_outliers
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id int, x int")
+    got = {r["id"]: r["x"] for r in clip_outliers(df, ["x"]).collect()}
+    assert got == {1: None, 2: None}

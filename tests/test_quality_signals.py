@@ -122,3 +122,12 @@ def test_dataset_card_counts_duplicates(spark):
     md = dataset_card(docs, scaling_points=2)
     assert "(1 of 3 docs)" in md
     assert "## Distribution: lang" in md
+
+
+def test_dataset_card_null_text_not_counted_as_duplicate(spark):
+    from hama_spark.extensions.datacard import dataset_card
+
+    rows = [(1, None, "en"), (2, None, "en"), (3, "a", "en"), (4, "b", "en")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    md = dataset_card(docs, scaling_points=2)
+    assert "rate (normalized fingerprint): **0.0000**" in md
