@@ -1,4 +1,4 @@
-from hama_spark.graph.diameter import effective_diameter, neighborhood_function
+from hama_spark.graph.diameter import effective_diameter, neighborhood_function, reachability_counts
 from hama_spark.graph.scc import strongly_connected_components
 from hama_spark.graph.hits import hits
 from hama_spark.graph.centrality import harmonic_centrality

@@ -39,6 +39,7 @@ def neighborhood_function(
     seed: int = 1,
     symmetrize: bool = True,
     prepared: bool = False,
+    _return_sketches: bool = False,
 ) -> DataFrame:
     """The pair-reachability curve: one row per radius,
     (r, reachable_pairs) with reachable_pairs ≈ N(r) = Σ_v |ball(v, r)|.
@@ -104,7 +105,10 @@ def neighborhood_function(
         sig = new_sig
         rows.append((r, t))
     spark = edges.sparkSession
-    return spark.createDataFrame(rows, "r int, reachable_pairs double")
+    curve = spark.createDataFrame(rows, "r int, reachable_pairs double")
+    if _return_sketches:
+        return curve, sketch
+    return curve
 
 
 def effective_diameter(
@@ -135,3 +139,32 @@ def effective_diameter(
                 return float(r1)
             return r0 + (target - n0) / (n1 - n0)
     return float(ns[-1][0])
+
+
+def reachability_counts(
+    edges: DataFrame,
+    max_r: int = 16,
+    k: int = 256,
+    seed: int = 1,
+    symmetrize: bool = True,
+    prepared: bool = False,
+) -> DataFrame:
+    """PER-VERTEX reachable-set size estimates at saturation (or
+    ``max_r``): (id, reachable_est) — coverage/influence scoring
+    (how much of the graph each vertex can touch), the per-vertex view
+    of the same HyperBall iteration ``neighborhood_function`` sums.
+    Exact when k exceeds the largest reachable set; else KMV's
+    1/sqrt(k) relative error per vertex. Cost: the identical sketch
+    loop — one edge join + bounded top-k per radius."""
+    _, sketch = neighborhood_function(
+        edges,
+        max_r=max_r,
+        k=k,
+        seed=seed,
+        symmetrize=symmetrize,
+        prepared=prepared,
+        _return_sketches=True,
+    )
+    return sketch.select(
+        "id", F.round(kmv_distinct(F.col("kmv"), k), 2).alias("reachable_est")
+    )

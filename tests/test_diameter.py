@@ -89,3 +89,18 @@ def test_neighborhood_function_empty_graph_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError):
         neighborhood_function(empty)
+
+
+def test_reachability_counts_exact_on_directed_chain(spark):
+    """Directed chain v0->...->v9: vertex i reaches exactly 10-i
+    vertices (itself + downstream). k=64 > n keeps KMV exact."""
+    from hama_spark.graph.diameter import reachability_counts
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(9)], "src string, dst string"
+    )
+    got = {
+        r["id"]: r["reachable_est"]
+        for r in reachability_counts(edges, k=64, symmetrize=False).collect()
+    }
+    assert got == {f"v{i}": float(10 - i) for i in range(10)}
