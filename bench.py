@@ -62,7 +62,83 @@ ITERATIVE_LAST = [
     # first Pregel consumer in dict order — time it after the core
     # graph block has paid the iterative first-touch costs
     "entity_clusters",
+    "strongly_connected_components",
 ]
+
+# The driver records only the LAST 2000 bytes of stdout, and the full
+# inventory's one-line JSON outgrew that window in rounds 3 and 4
+# (BENCH_r0{3,4}.json: parsed=null, ~30 timings lost). The printed line
+# therefore carries a PRIORITIZED subset of per-query timings trimmed
+# to a byte budget; the COMPLETE dict always lands in bench_out.json
+# next to this script (committed per round). Priority order: the 42
+# BENCH_r01 baseline queries (the judge's ratio basis) first, then the
+# headline heavies, then everything else until the budget runs out.
+_LINE_BUDGET = 1850  # bytes; leaves margin inside the 2000-byte tail
+_PRIORITY = [
+    # BENCH_r01 baseline common set (keep ALL of these)
+    "agg_lineitem", "bipartite_matching", "bpe_token_count",
+    "connected_components", "cosine_topk", "dedup_exact", "dedup_near",
+    "doc_fingerprint", "dynamic_sum", "events_sliding", "events_window",
+    "full_outer_join", "gradient_descent_linear",
+    "gradient_descent_logistic", "image_features", "inlink_count",
+    "inner_join", "ivf_topk", "kcore", "kmeans_sizes", "lang_id",
+    "lsh_cosine_topk", "matmul", "minhash_lsh_pairs", "online_cf_topk",
+    "override_join", "pagerank", "pagerank_gen_100k", "pi_estimate",
+    "quality_score", "randbench", "revenue_by_nation", "semi_clustering",
+    "sessionize", "simhash_pairs", "spmv", "sssp", "sssp_gen_100k",
+    "text_stats", "token_count", "top_customers", "video_frames",
+    # headline heavies added since r1, cost-ranked
+    "harmonic_centrality", "betweenness", "hits_scores",
+    "entity_clusters", "strongly_connected_components", "graph_diameter",
+    "bm25_topk", "hybrid_rrf", "scd2_orders", "link_prediction",
+    "fuzzy_match_customers", "bpe_train_merges", "ann_recall",
+    "shared_span_pairs", "scrub_shared_spans", "semantic_dup_pairs",
+    "semantic_dedup", "dedup_embedding", "lsh_cosine_pairs",
+    "decontaminate", "line_dedup", "domain_mix", "stratified_sample",
+    "pack_sequences", "global_shuffle", "personalized_pagerank",
+    "random_walks", "label_communities", "interval_join",
+    "kneser_ney_perplexity", "importance_weights", "quality_classifier",
+    "corpus_diff",
+]
+
+
+def _calibration(spark) -> float:
+    """Environment calibration: a fixed 32-partition shuffle job whose
+    wall-clock tracks the box's driver/scheduler throughput (measured
+    ~0.29 s on the r4 box after its ~1.4x slowdown, ~0.2 s before).
+    Median of 3 so one GC pause can't skew it; recorded in the bench
+    JSON so cross-round ratios can be normalized for environment drift
+    (r4 verdict ask #8)."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .groupBy((F.col("id") % 997).alias("k"))
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
+        times.append(time.time() - t0)
+    return round(sorted(times)[1], 3)
+
+
+def _trim_to_budget(timings: dict[str, float]) -> dict[str, float]:
+    """Greedy prefix of _PRIORITY (then dict order) that keeps the
+    printed line under _LINE_BUDGET bytes."""
+    ordered = [n for n in _PRIORITY if n in timings] + [
+        n for n in timings if n not in set(_PRIORITY)
+    ]
+    out: dict[str, float] = {}
+    used = 0
+    for name in ordered:
+        cost = len(name) + len(f"{timings[name]}") + 4  # quotes, colon, comma
+        if used + cost > _LINE_BUDGET - 220:  # reserve for fixed fields
+            break
+        out[name] = timings[name]
+        used += cost
+    return out
 
 
 def main() -> int:
@@ -124,27 +200,35 @@ def main() -> int:
         del df, obs
         gc.collect()
 
+    cal = _calibration(spark)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
-    # Compact separators: the round-3 artifact lost 19 of 99 per-query
-    # timings to a tail-truncation of this line — keep it as short as
-    # possible, and ALSO write it to bench_out.json so a truncated
-    # console capture never loses the full result.
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    base = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cal_shuffle_sec": cal,
+        "nq": len(timings),
+    }
+    # The FULL per-query dict goes to bench_out.json (never truncated);
+    # the printed line carries the prioritized subset that fits the
+    # driver's 2000-byte stdout tail. Values on the line round to 2 dp
+    # to stretch the budget; bench_out.json keeps 3 dp.
+    full_line = json.dumps({**base, "queries": timings}, separators=(",", ":"))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full_line + "\n")
     except OSError as e:
         print(f"# bench WARN could not write bench_out.json: {e}", file=sys.stderr)
+    sub = _trim_to_budget({k: round(v, 2) for k, v in timings.items()})
+    line = json.dumps({**base, "queries": sub}, separators=(",", ":"))
+    if len(sub) < len(timings):
+        print(
+            f"# bench NOTE printed line carries {len(sub)}/{len(timings)} "
+            f"timings (driver tail budget); full set in bench_out.json",
+            file=sys.stderr,
+        )
     print(line)
     return 0
 
