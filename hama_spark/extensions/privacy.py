@@ -68,27 +68,36 @@ def k_anonymity_summary(
 
 
 def l_diversity_report(
-    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+    count_nulls_as_value: bool = False,
 ) -> DataFrame:
     """Quasi-identifier groups whose SENSITIVE column takes fewer than
     ``l`` distinct values — k-anonymity's blind spot (a group of 50
     rows all sharing one diagnosis still leaks it). Returns
-    (quasi_cols..., n_rows, n_sensitive). NULL sensitive values count
-    as one value."""
+    (quasi_cols..., n_rows, n_sensitive).
+
+    NULL sensitive values are EXCLUDED from the diversity count by
+    default: a group holding one real diagnosis plus NULLs is still
+    homogeneous — the NULLs give an attacker nothing to confuse the
+    real value with, so counting them as a value would mask a
+    homogeneity leak. Set ``count_nulls_as_value=True`` to treat NULL
+    as its own (single) sensitive value — only sound when "missing" is
+    itself a meaningful disclosure-safe category."""
     if not quasi_cols:
         raise ValueError("quasi_cols must be non-empty")
     if l < 2:
         raise ValueError(f"l must be >= 2, got {l}")
+    n_sensitive = F.count_distinct(F.col(sensitive_col))
+    if count_nulls_as_value:
+        n_sensitive = n_sensitive + F.max(F.col(sensitive_col).isNull().cast("int"))
     return (
         df.groupBy(*quasi_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            (
-                F.count_distinct(F.col(sensitive_col))
-                + F.max(F.col(sensitive_col).isNull().cast("int"))
-            )
-            .cast("bigint")
-            .alias("n_sensitive"),
+            n_sensitive.cast("bigint").alias("n_sensitive"),
         )
         .where(F.col("n_sensitive") < l)
     )

@@ -439,7 +439,19 @@ def bucket_by_length(
     never a single-partition sort, even when one length bucket holds
     the whole corpus.
     """
-    ln = F.greatest(F.col(token_col).cast("long"), F.lit(1))
+    # NULL token counts raise (matching pack_best_fit) instead of the
+    # silent length-1 coercion greatest(NULL, 1) would apply — the same
+    # bad input must fail the same way across the packing family.
+    tcol = F.col(token_col).cast("long")
+    checked = F.when(tcol.isNotNull(), tcol).otherwise(
+        F.raise_error(
+            F.lit(
+                f"bucket_by_length: NULL {token_col} — clean or drop "
+                "rows with a NULL token count before bucketing"
+            )
+        )
+    )
+    ln = F.greatest(checked, F.lit(1))
     lb = F.ceil(F.log2(ln)).cast("int")
     h = _hash_key(seed, F.col(id_col))
     base = (

@@ -32,19 +32,18 @@ from hama_spark.functions.sketches import _kmv_hash, kmv_distinct
 from hama_spark.graph.prep import edge_relation
 
 
-def neighborhood_function(
+def _hyperball(
     edges: DataFrame,
-    max_r: int = 16,
-    k: int = 256,
-    seed: int = 1,
-    symmetrize: bool = True,
-    prepared: bool = False,
-    _return_sketches: bool = False,
-) -> DataFrame:
-    """The pair-reachability curve: one row per radius,
-    (r, reachable_pairs) with reachable_pairs ≈ N(r) = Σ_v |ball(v, r)|.
-    r=0 counts each vertex itself. Stops early when a round adds
-    nothing (every ball closed), else at ``max_r``.
+    max_r: int,
+    k: int,
+    seed: int,
+    symmetrize: bool,
+    prepared: bool,
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Shared HyperBall loop. Returns (curve, final sketches,
+    saturated) where ``saturated`` is True iff the sketch signature
+    converged BEFORE ``max_r`` — False means the curve is truncated and
+    the last point underestimates the saturated pair count.
 
     Per round: edge join (neighbor sketches flow along edges) →
     explode → distinct (v, hash) with map-side partials → keyed-window
@@ -81,6 +80,7 @@ def neighborhood_function(
 
     t, sig = state(sketch)
     rows = [(0, t)]
+    saturated = False
     w = Window.partitionBy("id").orderBy("h")
     for r in range(1, max_r + 1):
         inbound = (
@@ -101,13 +101,31 @@ def neighborhood_function(
         sketch = merged
         t, new_sig = state(sketch)
         if new_sig == sig:
+            saturated = True
             break  # no sketch changed anywhere — N is saturated
         sig = new_sig
         rows.append((r, t))
     spark = edges.sparkSession
     curve = spark.createDataFrame(rows, "r int, reachable_pairs double")
-    if _return_sketches:
-        return curve, sketch
+    return curve, sketch, saturated
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_r: int = 16,
+    k: int = 256,
+    seed: int = 1,
+    symmetrize: bool = True,
+    prepared: bool = False,
+) -> DataFrame:
+    """The pair-reachability curve: one row per radius,
+    (r, reachable_pairs) with reachable_pairs ≈ N(r) = Σ_v |ball(v, r)|.
+    r=0 counts each vertex itself. Stops early when a round adds
+    nothing (every ball closed), else at ``max_r`` — a curve cut off at
+    ``max_r`` is truncated, not saturated (``effective_diameter``
+    refuses to interpret one; here the caller gets exactly the computed
+    prefix). See ``_hyperball`` for the per-round plan shape."""
+    curve, _, _ = _hyperball(edges, max_r, k, seed, symmetrize, prepared)
     return curve
 
 
@@ -119,16 +137,31 @@ def effective_diameter(
     seed: int = 1,
     symmetrize: bool = True,
     prepared: bool = False,
+    allow_truncated: bool = False,
 ) -> float:
     """Smallest (interpolated) radius reaching ``q`` of the saturated
     pair count — HyperANF's effective-diameter definition. Linear
     interpolation between the bracketing rounds, as in the paper.
-    Driver cost: the O(max_r)-row curve."""
+    Driver cost: the O(max_r)-row curve.
+
+    Raises ``RuntimeError`` when the curve was truncated at ``max_r``
+    before the sketches saturated: the last point then UNDERESTIMATES
+    the saturated pair count, and quoting a diameter against it would
+    silently understate the graph's reach. Pass
+    ``allow_truncated=True`` to accept the lower bound anyway (the
+    return value is then "effective diameter of the radius-``max_r``
+    truncation", not of the graph)."""
     if not 0.0 < q <= 1.0:
         raise ValueError(f"q must be in (0,1], got {q}")
-    curve = neighborhood_function(
-        edges, max_r=max_r, k=k, seed=seed, symmetrize=symmetrize, prepared=prepared
-    ).collect()
+    curve_df, _, saturated = _hyperball(edges, max_r, k, seed, symmetrize, prepared)
+    if not saturated and not allow_truncated:
+        raise RuntimeError(
+            f"neighborhood function did not saturate within max_r={max_r} "
+            f"rounds — the effective diameter would be computed against a "
+            f"truncated pair count. Raise max_r (the graph's diameter "
+            f"exceeds it) or pass allow_truncated=True for a lower bound."
+        )
+    curve = curve_df.collect()
     ns = [(r["r"], r["reachable_pairs"]) for r in curve]
     target = q * ns[-1][1]
     if target <= ns[0][1]:
@@ -155,16 +188,11 @@ def reachability_counts(
     of the same HyperBall iteration ``neighborhood_function`` sums.
     Exact when k exceeds the largest reachable set; else KMV's
     1/sqrt(k) relative error per vertex. Cost: the identical sketch
-    loop — one edge join + bounded top-k per radius."""
-    _, sketch = neighborhood_function(
-        edges,
-        max_r=max_r,
-        k=k,
-        seed=seed,
-        symmetrize=symmetrize,
-        prepared=prepared,
-        _return_sketches=True,
-    )
+    loop — one edge join + bounded top-k per radius. A loop cut off at
+    ``max_r`` yields radius-``max_r`` ball sizes (a lower bound on full
+    reachability) — intentional for coverage scoring, unlike
+    ``effective_diameter`` which refuses truncated curves."""
+    _, sketch, _ = _hyperball(edges, max_r, k, seed, symmetrize, prepared)
     return sketch.select(
         "id", F.round(kmv_distinct(F.col("kmv"), k), 2).alias("reachable_est")
     )

@@ -104,3 +104,14 @@ def test_reachability_counts_exact_on_directed_chain(spark):
         for r in reachability_counts(edges, k=64, symmetrize=False).collect()
     }
     assert got == {f"v{i}": float(10 - i) for i in range(10)}
+
+
+def test_effective_diameter_refuses_truncated_curve(spark):
+    # path of 10 vertices: undirected diameter 9; max_r=3 cannot
+    # saturate, so the last curve point underestimates N(inf)
+    edges = _path_edges(spark, n=10)
+    with pytest.raises(RuntimeError, match="did not saturate"):
+        effective_diameter(edges, q=1.0, max_r=3, k=64)
+    # opting in yields the lower-bound diameter of the truncation
+    d = effective_diameter(edges, q=1.0, max_r=3, k=64, allow_truncated=True)
+    assert 0.0 < d <= 3.0

@@ -54,10 +54,11 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         # group (10001, 30s): 2 rows, two diagnoses -> ok
         ("10001", "30s", "flu"),
         ("10001", "30s", "cold"),
-        # group (10002, 30s): NULL + value -> 2 "values" -> ok
+        # group (10002, 30s): NULL + ONE real value -> homogeneous
+        # (NULLs are no diversity) -> violates by default
         ("10002", "30s", None),
         ("10002", "30s", "flu"),
-        # group (10003, 50s): all NULL -> 1 value -> violates
+        # group (10003, 50s): all NULL -> 0 real values -> violates
         ("10003", "50s", None),
         ("10003", "50s", None),
     ]
@@ -66,7 +67,19 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         (r["zip"], r["age"]): (r["n_rows"], r["n_sensitive"])
         for r in l_diversity_report(df, ["zip", "age"], "dx", l=2).collect()
     }
-    assert viol == {("90210", "40s"): (3, 1), ("10003", "50s"): (2, 1)}
+    assert viol == {
+        ("90210", "40s"): (3, 1),
+        ("10002", "30s"): (2, 1),
+        ("10003", "50s"): (2, 0),
+    }
+    # legacy mode: NULL counts as its own value, masking both leaks
+    legacy = {
+        (r["zip"], r["age"]): (r["n_rows"], r["n_sensitive"])
+        for r in l_diversity_report(
+            df, ["zip", "age"], "dx", l=2, count_nulls_as_value=True
+        ).collect()
+    }
+    assert legacy == {("90210", "40s"): (3, 1), ("10003", "50s"): (2, 1)}
 
 
 def test_anonymous_dataset_passes(spark):

@@ -408,3 +408,15 @@ def test_curriculum_order_properties(spark, tables):
 
     with _pt.raises(ValueError):
         curriculum_order(docs, "n_chars", n_stages=0)
+
+
+def test_bucket_by_length_rejects_null_token_counts(spark):
+    import pytest
+
+    from hama_spark.extensions.sampling import bucket_by_length
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, None)], "doc_id int, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        bucket_by_length(df, batch_tokens=4096).collect()
