@@ -32,7 +32,11 @@ from hama_spark.plans.pregel import MSG, PregelContext, pregel
 
 
 def _forward_colors(
-    vertices: DataFrame, edges: DataFrame, max_iter: int, num_partitions: int | None
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int,
+    num_partitions: int | None,
+    halt_check_interval: int,
 ) -> DataFrame:
     """(id) + directed (src, dst) -> (id, color = max id reaching it)."""
     verts = vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("updated"))
@@ -68,16 +72,30 @@ def _forward_colors(
         max_iter=max_iter,
         num_partitions=num_partitions,
         # frontier-style: un-improved vertices send nothing
-        halt_check_interval=2,
+        halt_check_interval=halt_check_interval,
     ).select("id", "color")
 
 
 def _backward_collect(
-    colored: DataFrame, edges: DataFrame, max_iter: int, num_partitions: int | None
+    colored: DataFrame,
+    edges: DataFrame,
+    max_iter: int,
+    num_partitions: int | None,
+    halt_check_interval: int,
 ) -> DataFrame:
     """colored(id, color) + edges -> (id, color, scc nullable): scc set
     for every vertex in a root's SCC, walking reversed edges within the
-    SAME color only."""
+    SAME color only.
+
+    Wrong-color claims are dropped at COMPUTE time — every vertex knows
+    its own color, so ``array_contains(inbox, color)`` is the claim
+    test. The combiner is ``collect_set`` (bounded by the count of
+    DISTINCT claiming colors among a vertex's reversed in-neighbors, ≤
+    its in-degree): a scalar max-combiner would drop the matching claim
+    when two roots' walks hit one vertex in the same superstep. Earlier
+    revisions filtered at send time via a join against every target's
+    color, costing one extra shuffle join per superstep for the same
+    semantics."""
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     verts = colored.select(
         "id",
@@ -87,23 +105,10 @@ def _backward_collect(
     )
 
     def _claims(v: DataFrame, e: DataFrame) -> DataFrame:
-        # Wrong-color messages are filtered at SEND time (join against
-        # the targets' colors): a scalar combiner would otherwise drop
-        # the matching claim when two roots' walks hit one vertex in
-        # the same superstep — the vertex would stay unclaimed while
-        # its SCC-mates get assigned, splitting the component. After
-        # the filter every in-flight message to a vertex EQUALS its
-        # color, so any combiner is safe.
-        m = (
+        return (
             v.filter("updated")
             .join(e, v["id"] == e["src"])
-            .select(e["dst"].alias("_dst"), F.col("scc").alias(MSG))
-        )
-        targets = v.select(F.col("id").alias("_dst"), F.col("color").alias("_tc"))
-        return (
-            m.join(targets, "_dst")
-            .where(F.col(MSG) == F.col("_tc"))
-            .select(F.col("_dst").alias("id"), MSG)
+            .select(e["dst"].alias("id"), F.col("scc").alias(MSG))
         )
 
     def initial_message(v: DataFrame, ctx: PregelContext) -> DataFrame:
@@ -112,11 +117,15 @@ def _backward_collect(
         return _claims(v, rev)
 
     def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
-        claimed = F.col(MSG).isNotNull() & F.col("scc").isNull()
+        claimed = (
+            F.col("scc").isNull()
+            & F.col(MSG).isNotNull()
+            & F.array_contains(F.col(MSG), F.col("color"))
+        )
         return with_inbox.select(
             "id",
             "color",
-            F.when(claimed, F.col(MSG)).otherwise(F.col("scc")).alias("scc"),
+            F.when(claimed, F.col("color")).otherwise(F.col("scc")).alias("scc"),
             claimed.alias("updated"),
         )
 
@@ -131,11 +140,11 @@ def _backward_collect(
         rev,
         compute=compute,
         send=send,
-        combine=F.max,  # messages to a vertex are all equal post-filter
+        combine=F.collect_set,
         initial_message=initial_message,
         max_iter=max_iter,
         num_partitions=num_partitions,
-        halt_check_interval=2,
+        halt_check_interval=halt_check_interval,
     ).select("id", "color", "scc")
 
 
@@ -144,6 +153,7 @@ def strongly_connected_components(
     max_rounds: int = 20,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    halt_check_interval: int = 8,
 ) -> DataFrame:
     """Directed edges (src, dst) -> (id, scc) where scc is the maximum
     vertex id of the component (a canonical, deterministic label).
@@ -152,7 +162,16 @@ def strongly_connected_components(
     root's SCC backward, then recurses on the unassigned remainder
     with edges filtered to active endpoints. Raises if ``max_rounds``
     rounds leave vertices unassigned (raise it for adversarially
-    ordered deep DAG chains)."""
+    ordered deep DAG chains).
+
+    ``halt_check_interval`` batches the empty-inbox halt count of both
+    Pregel fixpoints: k supersteps execute as ONE Spark job, paying one
+    driver round-trip per k instead of per superstep — safe because
+    both phases are frontier-style (up to k-1 no-op supersteps past the
+    fixpoint change nothing), and the per-round fixpoint invariant
+    checks below re-verify convergence independently of the halt
+    machinery. At fixture scale this is the dominant cost knob: deep
+    cycles run O(diameter) supersteps that are pure scheduling floor."""
     active = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -166,7 +185,9 @@ def strongly_connected_components(
     for _ in range(max_rounds):
         if active.isEmpty():
             break
-        colored = _forward_colors(active, e, max_iter, num_partitions)
+        colored = _forward_colors(
+            active, e, max_iter, num_partitions, halt_check_interval
+        )
         # Convergence is NOT optional: pregel exits silently at max_iter,
         # and half-propagated colors would mint fake roots whose backward
         # walks permanently assign WRONG singleton components. The exact
@@ -188,7 +209,9 @@ def strongly_connected_components(
                 f"max_iter={max_iter} supersteps — raise max_iter above "
                 f"the graph's propagation diameter"
             )
-        collected = _backward_collect(colored, e, max_iter, num_partitions)
+        collected = _backward_collect(
+            colored, e, max_iter, num_partitions, halt_check_interval
+        )
         # backward fixpoint invariant: no reversed edge from a claimed
         # vertex into an unclaimed vertex of the SAME color remains
         cu = collected.where(F.col("scc").isNotNull()).select(
