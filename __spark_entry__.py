@@ -3093,50 +3093,206 @@ def _q_corpus_diff(spark, t):
     return snapshot_diff(old, new)
 
 
+# --- round-5 additions -------------------------------------------------
+def _scc_edges(spark, t):
+    """Deterministic directed fixture graph that one round of the SCC
+    coloring algorithm settles: a 5-cycle over regions, a 12-cycle over
+    the first 12 customers, nation->region spokes, and one
+    customer->nation bridge. Identical at every sf (region/nation are
+    fixed-size; custkeys 1..12 always exist)."""
+    r = t["region"].select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("src"),
+        F.concat(F.lit("r"), (F.col("r_regionkey") + 1) % 5).alias("dst"),
+    )
+    n = t["nation"].select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+    )
+    c = t["customer"].filter(F.col("c_custkey") <= 12).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(
+            F.lit("c"),
+            F.when(F.col("c_custkey") == 12, F.lit(1)).otherwise(
+                F.col("c_custkey") + 1
+            ),
+        ).alias("dst"),
+    )
+    bridge = t["customer"].filter(F.col("c_custkey") == 1).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.lit("n1").alias("dst"),
+    )
+    return r.union(n).union(c).union(bridge)
+
+
+def _q_scc(spark, t):
+    """Directed strongly connected components (graph/scc.py, the
+    forward-color / backward-collect coloring algorithm): two cycles +
+    spokes resolve to two multi-vertex SCCs and 26 singletons; the
+    oracle is the transitive-closure definition (mutual reachability,
+    max-id label)."""
+    from hama_spark.graph.scc import strongly_connected_components
+
+    return strongly_connected_components(_scc_edges(spark, t))
+
+
+def _q_graph_diameter(spark, t):
+    """HyperBall neighborhood function (graph/diameter.py) in its EXACT
+    regime — k=64 exceeds every ball on this 30-vertex graph (nation
+    25-ring + nation->region spokes, symmetrized), so the KMV sketches
+    never fill and the curve equals the exact BFS pair counts the
+    recursive-CTE oracle computes."""
+    from hama_spark.graph.diameter import neighborhood_function
+
+    ring = t["nation"].select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1) % 25).alias("dst"),
+    )
+    spokes = t["nation"].select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+    )
+    return neighborhood_function(
+        ring.union(spokes), max_r=20, k=64, seed=1, symmetrize=True
+    )
+
+
+def _q_interval_join(spark, t):
+    """Point-in-interval containment join (operators/temporal.py):
+    intervals explode to epoch buckets, points bucket once, and the
+    match is a pure equi-join + exact containment filter — never the
+    BroadcastNestedLoopJoin naive BETWEEN SQL produces. Points = every
+    7th event; intervals = 40-minute windows opened by every 101st."""
+    from hama_spark.operators.temporal import interval_join
+
+    pts = t["events"].filter(F.col("event_id") % 7 == 0).select("event_id", "ts")
+    ivl = t["events"].filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 40 MINUTES")).alias("end"),
+    )
+    out = interval_join(pts, ivl, bucket_secs=1800)
+    return out.select("event_id", F.col("iid_r").alias("interval_id"))
+
+
+def _q_kneser_ney(spark, t):
+    """Interpolated Kneser-Ney bigram perplexity (extensions/lm.py):
+    absolute discounting plus the continuation-probability backoff that
+    distinguishes KN from add-k smoothing, trained and scored in one
+    corpus pass."""
+    from hama_spark.extensions.lm import kneser_ney_perplexity
+
+    return kneser_ney_perplexity(t["documents"])
+
+
+def _q_k_anonymity(spark, t):
+    """k-anonymity audit summary (extensions/privacy.py): one groupBy
+    over the quasi-identifier tuple with map-side partials, one summary
+    row to the driver."""
+    from hama_spark.extensions.privacy import k_anonymity_summary
+
+    return k_anonymity_summary(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+def _q_l_diversity(spark, t):
+    """l-diversity audit (extensions/privacy.py): quasi-identifier
+    groups whose sensitive column shows fewer than l distinct real
+    values (NULLs excluded — they provide no diversity)."""
+    from hama_spark.extensions.privacy import l_diversity_report
+
+    return l_diversity_report(t["customer"], ["c_nationkey"], "c_mktsegment", l=6)
+
+
+def _q_select_under_budget(spark, t):
+    """Token-budget corpus selection (extensions/sampling.py): strict
+    deterministic-order prefix under a cumulative-weight cap via the
+    two-phase per-slice window + broadcast offsets — never a
+    single-partition global window."""
+    from hama_spark.extensions.sampling import select_under_budget
+
+    return select_under_budget(
+        t["documents"].select("doc_id", "n_chars"),
+        budget=40_000,
+        weight_col="n_chars",
+        order_cols=["n_chars", "doc_id"],
+        descending=True,
+    )
+
+
+def _q_key_overlap(spark, t):
+    """KMV key-overlap join pre-flight (functions/sketches.py): one
+    sketch pass per side, no shuffle of the data; with k=4096 above
+    both distinct counts at sf0.01 the sketches never fill, so every
+    estimate is EXACT set algebra the oracle replays directly."""
+    from hama_spark.functions.sketches import key_overlap_report
+
+    a = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = t["customer"].filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return key_overlap_report(a, b, "k", k=4096)
+
+
+def _q_length_buckets(spark, t):
+    """Length-bucketed dynamic batching (extensions/sampling.py
+    bucket_by_length): power-of-two pad buckets, seeded md5 order,
+    fixed-capacity batch ids — the padding-waste fix, fully replayable
+    in SQL."""
+    from hama_spark.extensions.sampling import bucket_by_length
+
+    docs = t["documents"].select("doc_id", F.length("text").alias("n_tokens"))
+    return bucket_by_length(docs, batch_tokens=4096, token_col="n_tokens", seed=42)
+
+
 QUERIES: dict[str, Callable] = {
-    # Ordering note (round 4): the driver truncates its correctness
+    # Ordering note (round 5): the driver truncates its correctness
     # check at the first 50 dict entries, so the window holds (a) the
-    # round-4-new queries, (b) every query whose implementation changed
-    # since its last green driver row — the r3-modified core graph/ML
-    # block (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
-    # consolidation 51dfc92) whose rows date from r2, plus everything
-    # the round-4 edits touch (pregel exit materialization, walks cap,
-    # importance_weights checkpoint, quantile aliasing) — and (c)
-    # refresh slots for r2-era rows on unmodified code. Queries outside
-    # the window all hold green rows (r2 or r3) on code unchanged since.
+    # nine round-5-new queries — SCC / HyperBall diameter /
+    # interval_join / Kneser-Ney / privacy pair / budget select /
+    # key-overlap / length buckets, exactly the pytest-only operators
+    # VERDICT r4 §next.2+7 asked to give hard driver rows — (b) the
+    # three text queries displaced below the boundary since r3
+    # (text_stats/quality_score/heuristic_flags, r4-modified), and
+    # (c) the r4 window minus twelve displaced refresh slots, every
+    # one of which holds a green r4 row on code unchanged since
+    # (re-verified by the full selfcheck recorded per round).
     #
-    # new in round 4 (bpe_train_merges before bpe_vocab_token_count:
+    # new in round 5
+    "strongly_connected_components": _q_scc,
+    "graph_diameter": _q_graph_diameter,
+    "interval_join": _q_interval_join,
+    "kneser_ney_perplexity": _q_kneser_ney,
+    "k_anonymity": _q_k_anonymity,
+    "l_diversity": _q_l_diversity,
+    "select_under_budget": _q_select_under_budget,
+    "key_overlap": _q_key_overlap,
+    "length_buckets": _q_length_buckets,
+    # displaced below the 50-boundary since r3, modified in r4 —
+    # restored per VERDICT r4 §next.2
+    "text_stats": _q_text_stats,
+    "quality_score": _q_quality,
+    "heuristic_flags": _q_heuristic_flags,
+    # retained r4 window (bpe_train_merges before bpe_vocab_token_count:
     # the counting query reuses the memoized merge table; ann_recall
     # re-derives the three searchers it compares)
     "hits_scores": _q_hits_scores,
     "harmonic_centrality": _q_harmonic_centrality,
     "betweenness": _q_betweenness,
-    "nb_lang_confusion": _q_nb_confusion,
-    "bm25_topk": _q_bm25_topk,
-    "hybrid_rrf": _q_hybrid_rrf,
-    "scd2_orders": _q_scd2_orders,
-    "link_prediction": _q_link_prediction,
     "fuzzy_match_customers": _q_fuzzy_match_customers,
     "entity_clusters": _q_entity_clusters,
-    "corpus_diff": _q_corpus_diff,
     "bpe_train_merges": _q_bpe_train_merges,
     "bpe_vocab_token_count": _q_bpe_vocab_token_count,
-    "bpe_top_tokens": _q_bpe_top_tokens,
-    "bpe_fertility": _q_bpe_fertility,
     "ann_recall": _q_ann_recall,
-    # the three searchers were rewired onto the shared _TOPK_MEMO path
-    # this round — their standalone oracles hash-check the full
-    # (cosine, rank) columns the recall report doesn't
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
-    "hard_negatives": _q_hard_negatives,
     # shared_span_pairs before scrub_shared_spans: the removal reuses
     # the memoized cross-document shingle relation
     "shared_span_pairs": _q_shared_span_pairs,
     "scrub_shared_spans": _q_scrub_shared_spans,
-    "scrub_boilerplate": _q_scrub_boilerplate,
-    # r3-modified core graph block (fresh rows owed — VERDICT r3 §next.1)
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
     "connected_components": _q_cc,
@@ -3147,8 +3303,6 @@ QUERIES: dict[str, Callable] = {
     "semi_clustering": _q_semi_clustering,
     "pagerank_gen_100k": _q_pagerank_gen,
     "sssp_gen_100k": _q_sssp_gen,
-    # pregel-family queries touched by round-4 edits (exit
-    # materialization; walks neighbor cap; personalize validation)
     "personalized_pagerank": _q_personalized_pagerank,
     "random_walks": _q_random_walks,
     "label_communities": _q_label_communities,
@@ -3156,53 +3310,43 @@ QUERIES: dict[str, Callable] = {
     # reuses the memoized LSH pairs, so in-order runs price the
     # signature pipeline once (in the pairs query) and dedup_near shows
     # the connected-components cost alone; same memo pattern for
-    # lsh_cosine_pairs/dedup_embedding and semantic pairs/dedup. The
-    # three collapse queries run distributed CC on the round-4 pregel.
+    # lsh_cosine_pairs/dedup_embedding and semantic pairs/dedup.
     "minhash_lsh_pairs": _q_minhash_lsh,
     "dedup_near": _q_dedup_near,
     "lsh_cosine_pairs": _q_lsh_cosine_pairs,
     "dedup_embedding": _q_dedup_embedding,
     "semantic_dup_pairs": _q_semantic_dup_pairs,
     "semantic_dedup": _q_semantic_dedup,
-    # r3-modified ML block (fresh rows owed) + round-4-touched lm/sketch
     "online_cf_topk": _q_online_cf,
     "gradient_descent_linear": _q_gd,
     "gradient_descent_logistic": _q_gd_logistic,
     "kmeans_sizes": _q_kmeans,
     "importance_weights": _q_importance_weights,
-    "value_quantiles": _q_value_quantiles,
-    # refresh slots: r2-era rows on since-unmodified code, oldest hard
-    # signal first (triangle_count yielded its slot to hybrid_rrf this
-    # session — unmodified since its r2 green row, re-verified by the
-    # full selfcheck recorded in SELFCHECK_r04.json)
-    # NULL-hardened for empty documents late in round 4 (ANSI division
-    # guards; byte-identical on the driver corpus, selfcheck-proven) —
-    # back in the window per the modified-queries policy
     "quality_classifier": _q_quality_classifier,
-    "corpus_stats": _q_corpus_stats,
     # ---- driver window boundary (entry 50 above this line) ----------
-    # Everything below holds a green row (r2 or r3) on code unchanged
-    # since, re-verified this round by the full-inventory selfcheck
-    # recorded in SELFCHECK_r04.json (119/119 hash-match at sf0.01).
-    # triangle_count/randbench/spmv/matmul yielded their refresh slots
-    # to the session-3 additions (hybrid_rrf, scd2_orders,
-    # link_prediction, entity_clusters). text_stats/quality_score/
-    # heuristic_flags: the round-4 NULL-hardened branch (empty
-    # documents) never fires on the driver fixture, and the
-    # random-corpora oracle fuzz (tests/test_oracle_fuzz.py)
-    # value-checks exactly that branch cross-engine — a strictly
-    # stronger signal than a fixture row.
+    # Everything below holds a green row (r2, r3 or r4) on code
+    # unchanged since, re-verified per round by the full-inventory
+    # selfcheck (SELFCHECK_r05.json, all queries hash-match at sf0.01).
+    # Displaced r4-window refresh slots (fresh r4 rows, code untouched
+    # in r5): nb_lang_confusion, bm25_topk, hybrid_rrf, scd2_orders,
+    # link_prediction, corpus_diff, hard_negatives, scrub_boilerplate,
+    # bpe_top_tokens, bpe_fertility, corpus_stats, value_quantiles.
+    "nb_lang_confusion": _q_nb_confusion,
+    "bm25_topk": _q_bm25_topk,
+    "hybrid_rrf": _q_hybrid_rrf,
+    "scd2_orders": _q_scd2_orders,
+    "link_prediction": _q_link_prediction,
+    "corpus_diff": _q_corpus_diff,
+    "bpe_top_tokens": _q_bpe_top_tokens,
+    "bpe_fertility": _q_bpe_fertility,
+    "hard_negatives": _q_hard_negatives,
+    "scrub_boilerplate": _q_scrub_boilerplate,
+    "value_quantiles": _q_value_quantiles,
+    "corpus_stats": _q_corpus_stats,
     "triangle_count": _q_triangles,
     "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
-    "text_stats": _q_text_stats,
-    "quality_score": _q_quality,
-    "heuristic_flags": _q_heuristic_flags,
-    # refresh slots displaced by the session-3 additions (hits_scores,
-    # harmonic_centrality, nb_lang_confusion): single-shot SQL on code
-    # unchanged since their r2 green rows, re-verified by the full
-    # selfcheck recorded in SELFCHECK_r04.json
     "override_join": _q_override_join,
     "agg_lineitem": _q_agg_lineitem,
     "revenue_by_nation": _q_revenue_by_nation,
@@ -3343,6 +3487,169 @@ def oracle_sql() -> dict[str, str]:
     supersteps), so every query is value-hash-checked, not just
     row-counted."""
     return {
+        # --- round-5 additions ----------------------------------------
+        # SCC by its defining property: scc(v) = max id u with v ->* u
+        # AND u ->* v (self included) over the transitive closure of
+        # the fixture graph — engine-independent ground truth, not a
+        # replay of the coloring schedule.
+        "strongly_connected_components": """
+            WITH RECURSIVE edges AS (
+              SELECT 'r' || r_regionkey AS src,
+                     'r' || ((r_regionkey + 1) % 5) AS dst FROM region
+              UNION ALL
+              SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+              UNION ALL
+              SELECT 'c' || c_custkey,
+                     'c' || (CASE WHEN c_custkey = 12 THEN 1
+                                  ELSE c_custkey + 1 END)
+              FROM customer WHERE c_custkey <= 12
+              UNION ALL
+              SELECT 'c1', 'n1' FROM customer WHERE c_custkey = 1
+            ),
+            reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            ),
+            verts AS (SELECT DISTINCT src AS id FROM edges
+                      UNION SELECT DISTINCT dst FROM edges),
+            mutual AS (
+              SELECT r1.a AS v, r1.b AS u
+              FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+            SELECT v.id, greatest(v.id, coalesce(max(m.u), v.id)) AS scc
+            FROM verts v LEFT JOIN mutual m ON m.v = v.id
+            GROUP BY v.id
+        """,
+        # exact-regime HyperBall == exact BFS pair counts: min-distance
+        # closure via a bounded recursive walk, then N(r) per radius up
+        # to the true (max finite distance) diameter
+        "graph_diameter": """
+            WITH RECURSIVE base AS (
+              SELECT 'n' || n_nationkey AS src,
+                     'n' || ((n_nationkey + 1) % 25) AS dst FROM nation
+              UNION ALL
+              SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+            ),
+            edges AS (SELECT src, dst FROM base
+                      UNION SELECT dst, src FROM base),
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            walk(a, b, d) AS (
+              SELECT id, id, 0 FROM verts
+              UNION
+              SELECT w.a, e.dst, w.d + 1
+              FROM walk w JOIN edges e ON e.src = w.b WHERE w.d < 20
+            ),
+            mind AS (SELECT a, b, min(d) AS d FROM walk GROUP BY 1, 2),
+            rs AS (SELECT unnest(range(0, (SELECT max(d) + 1 FROM mind))) AS r)
+            SELECT r::INT AS r,
+                   (SELECT count(*) FROM mind WHERE d <= rs.r)::DOUBLE
+                     AS reachable_pairs
+            FROM rs
+        """,
+        "interval_join": """
+            WITH pts AS (
+              SELECT event_id, ts FROM events WHERE event_id % 7 = 0),
+            ivl AS (
+              SELECT event_id AS iid, ts AS s, ts + INTERVAL 40 MINUTE AS e
+              FROM events WHERE event_id % 101 = 0)
+            SELECT p.event_id, i.iid AS interval_id
+            FROM pts p JOIN ivl i ON p.ts >= i.s AND p.ts <= i.e
+        """,
+        # interpolated KN bigram model: same tokenization, same 0.75
+        # discount, same continuation counts (extensions/lm.py)
+        "kneser_ney_perplexity": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+            bg AS MATERIALIZED (
+              SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+              WHERE len(toks) >= 2),
+            big AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                           count(*) AS n1p_fwd FROM big GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS n1p_back FROM big GROUP BY 1),
+            types AS (SELECT count(*) AS n_types FROM big),
+            scored AS (
+              SELECT bg.id,
+                     ln(greatest(c12 - 0.75, 0) / c1
+                        + 0.75 * n1p_fwd / c1 * (n1p_back / n_types)) AS lp
+              FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1)
+                   JOIN cont USING (w2) CROSS JOIN types)
+            SELECT id AS doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logp,
+                   round(exp(-avg(lp)), 6) AS ppl
+            FROM scored GROUP BY id
+        """,
+        "k_anonymity": """
+            WITH g AS (
+              SELECT count(*)::BIGINT AS n FROM customer
+              GROUP BY c_nationkey, c_mktsegment)
+            SELECT 5 AS k, count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violating_groups,
+                   sum(n)::BIGINT AS n_rows,
+                   sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+                     AS n_violating_rows,
+                   min(n)::BIGINT AS min_group_size
+            FROM g
+        """,
+        "l_diversity": """
+            SELECT c_nationkey, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT c_mktsegment)::BIGINT AS n_sensitive
+            FROM customer GROUP BY 1
+            HAVING count(DISTINCT c_mktsegment) < 6
+        """,
+        "select_under_budget": """
+            SELECT doc_id, n_chars,
+                   sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id DESC
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_weight
+            FROM documents
+            QUALIFY cum_weight <= 40000
+        """,
+        # unfilled KMV sketches (k=4096 > both distinct counts) make
+        # every report field exact set algebra; the float pipeline
+        # (i/u, then * u) is replayed operation-for-operation so IEEE
+        # rounding agrees bit-for-bit
+        "key_overlap": """
+            WITH A AS (SELECT DISTINCT o_custkey AS v FROM orders
+                       WHERE o_orderkey % 2 = 0),
+            B AS (SELECT DISTINCT c_custkey AS v FROM customer
+                  WHERE c_custkey % 3 <> 0),
+            s AS (SELECT (SELECT count(*) FROM A)::DOUBLE AS da,
+                         (SELECT count(*) FROM B)::DOUBLE AS db,
+                         (SELECT count(*) FROM A JOIN B USING (v))::DOUBLE AS i,
+                         (SELECT count(*) FROM
+                            (SELECT v FROM A UNION SELECT v FROM B))::DOUBLE AS u)
+            SELECT round(da, 2) AS distinct_a_est,
+                   round(db, 2) AS distinct_b_est,
+                   round((i / u) * u, 2) AS intersect_est,
+                   round(i / u, 6) AS jaccard_est,
+                   round(least((i / u) * u / da, 1.0), 6) AS containment_a_in_b,
+                   round(least((i / u) * u / db, 1.0), 6) AS containment_b_in_a
+            FROM s
+        """,
+        "length_buckets": """
+            WITH d AS (
+              SELECT doc_id, length(text) AS n_tokens,
+                     CAST(ceil(log2(greatest(length(text), 1))) AS INT) AS lb,
+                     ('0x' || substr(md5('42:' || doc_id), 1, 12))::BIGINT AS h
+              FROM documents),
+            p AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lb ORDER BY h % 64, h, doc_id) AS pos_in_bucket
+              FROM d)
+            SELECT doc_id, n_tokens, lb AS length_bucket,
+                   CAST(power(2, lb) AS BIGINT) AS pad_len,
+                   CAST(pos_in_bucket AS BIGINT) AS pos_in_bucket,
+                   'b' || lb || '_' ||
+                     CAST(floor((pos_in_bucket - 1) /
+                       greatest(floor(4096 / power(2, lb)), 1)) AS BIGINT)
+                     AS batch_id
+            FROM p
+        """,
         "inlink_count": f"""
             WITH e AS ({SP_EDGES_SQL}),
             v AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),

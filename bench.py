@@ -63,6 +63,7 @@ ITERATIVE_LAST = [
     # graph block has paid the iterative first-touch costs
     "entity_clusters",
     "strongly_connected_components",
+    "graph_diameter",
 ]
 
 # The driver records only the LAST 2000 bytes of stdout, and the full

@@ -66,45 +66,33 @@ def test_modified_or_new_queries_lead_the_dict():
 
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
-        # new in round 4 session 3 (displacing the override_join /
-        # agg_lineitem / revenue_by_nation refresh slots: single-shot
-        # SQL unchanged since their r2 green rows, re-verified by the
-        # full selfcheck recorded in SELFCHECK_r04.json)
-        "hits_scores", "harmonic_centrality", "nb_lang_confusion",
-        "betweenness",
-        # new in round 4
-        "bm25_topk", "hybrid_rrf", "scd2_orders", "link_prediction",
-        "fuzzy_match_customers", "entity_clusters", "corpus_diff",
-        "bpe_train_merges", "bpe_vocab_token_count", "bpe_top_tokens",
-        "ann_recall", "shared_span_pairs", "scrub_shared_spans",
-        "scrub_boilerplate", "bpe_fertility", "hard_negatives",
-        # rewired onto the shared _TOPK_MEMO/localCheckpoint path in r4:
-        # their standalone oracles hash-check the full (cosine, rank)
-        # columns the recall report's overlap join doesn't
+        # new in round 5 — the pytest-only r4 operators VERDICT r4
+        # §next.2+7 asked to give hard driver rows, plus the r5
+        # SCC/backward-collect rewrite
+        "strongly_connected_components", "graph_diameter",
+        "interval_join", "kneser_ney_perplexity", "k_anonymity",
+        "l_diversity", "select_under_budget", "key_overlap",
+        "length_buckets",
+        # displaced below the boundary since r3, modified in r4 —
+        # restored per VERDICT r4 §next.2
+        "text_stats", "quality_score", "heuristic_flags",
+        # r4-new/modified block retained for a second consecutive row
+        # (heavies whose plans the round-5 session may still perturb)
+        "hits_scores", "harmonic_centrality", "betweenness",
+        "fuzzy_match_customers", "entity_clusters",
+        "bpe_train_merges", "bpe_vocab_token_count", "ann_recall",
         "cosine_topk", "lsh_cosine_topk", "ivf_topk",
-        # r3-modified core graph/ML block whose last rows date from r2
-        # (pregel halt batching 6119f0f, lazy rounds 91ecbe1, k-means
-        # consolidation 51dfc92)
+        "shared_span_pairs", "scrub_shared_spans",
+        # core graph/ML block (driver-green every round since r2)
         "inlink_count", "sssp", "connected_components", "pagerank",
         "dynamic_sum", "kcore", "bipartite_matching", "semi_clustering",
         "pagerank_gen_100k", "sssp_gen_100k", "online_cf_topk",
         "gradient_descent_linear", "gradient_descent_logistic",
         "kmeans_sizes",
-        # touched by round-4 edits: pregel exit materialization (all CC
-        # collapses), walks neighbor cap, personalize validation,
-        # importance_weights checkpoint, quantile alias derivation
         "personalized_pagerank", "random_walks", "label_communities",
         "minhash_lsh_pairs", "dedup_near", "lsh_cosine_pairs",
         "dedup_embedding", "semantic_dup_pairs", "semantic_dedup",
-        "importance_weights", "value_quantiles",
-        # NULL-hardened for empty documents late in r4 (ANSI division
-        # guards found by the oracle fuzz; fixture outputs byte-identical).
-        # text_stats, quality_score and heuristic_flags are deliberately
-        # NOT here: the window is packed at 50 and their hardened branch
-        # is value-checked cross-engine by the random-corpora fuzz
-        # (test_oracle_fuzz), a stronger signal than a fixture driver
-        # row — they sit first below the boundary.
-        "quality_classifier", "corpus_stats",
+        "importance_weights", "quality_classifier",
     }
     missing = must_lead - first50
     assert not missing, f"queries outside the driver's 50-entry window: {sorted(missing)}"

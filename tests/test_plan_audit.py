@@ -44,6 +44,10 @@ NESTED_LOOP_OK = {
     # idf term — a single-row broadcast is how scalar subqueries execute;
     # per-partition cost is O(1) regardless of corpus size
     "tfidf_top_terms",
+    # crossJoin of the two 1-row KMV sketch aggregates (one array each,
+    # <= k longs) — the whole report is driver-scale array math
+    # (functions/sketches.py key_overlap_report)
+    "key_overlap",
     # crossJoin(broadcast(<1-row (N, avgdl)>)) for the BM25 normalizer —
     # same single-row-broadcast pattern (extensions/retrieval.py)
     "bm25_topk",
@@ -53,6 +57,9 @@ NESTED_LOOP_OK = {
     # crossJoin(broadcast(<1-row vocab size>)) to attach V for add-k
     # smoothing — same single-row-broadcast pattern (extensions/lm.py)
     "bigram_perplexity",
+    # crossJoin(broadcast(<1-row bigram-type count>)) for the KN
+    # continuation normalizer — same single-row-broadcast pattern
+    "kneser_ney_perplexity",
     # crossJoin(broadcast(<1-row totals>)) to attach T_raw/T_tgt to the
     # <=B-row bucket model — same single-row-broadcast pattern
     "importance_weights",
