@@ -15,6 +15,7 @@ from hama_spark.sources.io import (
     write_text_kv,
 )
 from hama_spark.sources.lake import (
+    SnapshotLockError,
     current_version,
     list_snapshots,
     merge_snapshot,
@@ -53,6 +54,7 @@ __all__ = [
     "write_jsonl_docs",
     "pipe_lines",
     "observed",
+    "SnapshotLockError",
     "write_snapshot",
     "read_snapshot",
     "merge_snapshot",

@@ -11,9 +11,20 @@ exists (Spark writes the marker last, so a crashed write is simply
 invisible — readers never see a partial snapshot). Writers only ever
 ADD a new directory; concurrent readers of the old version are
 undisturbed, which is the copy-on-write discipline every table format
-uses. What this deliberately does NOT provide: writer-writer conflict
-detection (two simultaneous merges could mint the same version —
-serialize writers externally) — documented limit, not a surprise.
+uses.
+
+Writer-writer conflicts are serialized by a ``_lease`` file taken with
+the filesystem's atomic create-exclusive (``FileSystem.createNewFile``
+— atomic on local FS and HDFS; the same primitive Delta's
+LogStore/S3 DynamoDB lock replaces on stores without it): a writer
+that finds a live lease raises ``SnapshotLockError`` (clean,
+retryable), a lease older than ``lease_timeout_secs`` is presumed
+crashed and broken. ``merge_snapshot`` holds the lease across the
+whole read-merge-write so two merges can neither mint the same
+version nor lose each other's changelog. Object stores WITHOUT atomic
+create (plain S3) need an external lock instead — pass
+``use_lease=False`` and serialize writers there, exactly as Delta
+requires a LogStore there.
 
 Reference parity note: apache/hama's output formats rewrite whole
 outputs per job (there is no update-in-place anywhere in the
@@ -27,8 +38,66 @@ active session, so the same code runs on local paths, HDFS, or s3a.
 from __future__ import annotations
 
 import re
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotLockError(RuntimeError):
+    """Another writer holds the table's ``_lease`` — retry after it
+    commits (or after the stale-lease timeout breaks a crashed one)."""
+
+
+@contextmanager
+def _writer_lease(
+    spark: SparkSession,
+    table_path: str,
+    lease_timeout_secs: float,
+    use_lease: bool,
+):
+    """Exclusive writer section: atomically create ``_lease`` in the
+    table directory, break it first if older than the timeout (crashed
+    holder), raise ``SnapshotLockError`` if another writer holds it."""
+    if not use_lease:
+        yield
+        return
+    fs, jpath, jvm = _fs_and_path(spark, table_path)
+    fs.mkdirs(jpath)
+    lease = jvm.org.apache.hadoop.fs.Path(jpath, "_lease")
+    if fs.exists(lease):
+        try:
+            age = time.time() - fs.getFileStatus(lease).getModificationTime() / 1000.0
+        except Exception:
+            age = 0.0  # raced with the holder's release — treat as live
+        if age > lease_timeout_secs:
+            fs.delete(lease, False)  # presumed crashed; break it
+    # Atomic create-exclusive. On HDFS the namenode serializes
+    # create(overwrite=false), so FileSystem.createNewFile is atomic
+    # (false / FileAlreadyExistsException = lost the race). On the
+    # LOCAL filesystem Hadoop's wrapper is check-then-act (two racing
+    # writers can both pass the exists() check — observed under a
+    # 4-thread test), so local paths go through java.io.File
+    # .createNewFile, which is O_EXCL-atomic by contract.
+    if fs.getScheme() == "file":
+        acquired = jvm.java.io.File(lease.toUri().getPath()).createNewFile()
+    else:
+        try:
+            acquired = fs.createNewFile(lease)
+        except Exception as e:
+            if "FileAlreadyExistsException" not in str(e):
+                raise
+            acquired = False
+    if not acquired:
+        raise SnapshotLockError(
+            f"another writer holds {table_path}/_lease — retry after it "
+            f"commits; a crashed holder is broken automatically after "
+            f"{lease_timeout_secs:.0f}s"
+        )
+    try:
+        yield
+    finally:
+        fs.delete(lease, False)
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -74,14 +143,22 @@ def _all_version_dirs(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, table_path: str) -> int:
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    lease_timeout_secs: float = 300.0,
+    use_lease: bool = True,
+) -> int:
     """Commit ``df`` as the next snapshot version and return it. The
     snapshot only becomes visible once Spark drops the _SUCCESS marker
-    at the end of the job."""
+    at the end of the job. Version minting + write run under the
+    ``_lease`` writer lock (see module docstring); raises
+    ``SnapshotLockError`` while another writer holds it."""
     spark = df.sparkSession
-    vs = _all_version_dirs(spark, table_path)
-    v = (vs[-1] if vs else 0) + 1
-    df.write.mode("error").parquet(f"{table_path}/v={v}")
+    with _writer_lease(spark, table_path, lease_timeout_secs, use_lease):
+        vs = _all_version_dirs(spark, table_path)
+        v = (vs[-1] if vs else 0) + 1
+        df.write.mode("error").parquet(f"{table_path}/v={v}")
     return v
 
 
@@ -107,11 +184,17 @@ def merge_snapshot(
     keys: list[str],
     op_col: str = "op",
     seq_col: str = "seq",
+    lease_timeout_secs: float = 300.0,
+    use_lease: bool = True,
 ) -> int:
     """MERGE INTO, copy-on-write: apply an I/U/D changelog
     (``operators.incremental.apply_changelog`` semantics) to the
     current snapshot and commit the result as the next version.
     Returns the new version. On an empty table, inserts bootstrap it.
+    The WHOLE read-merge-write runs under the ``_lease`` writer lock —
+    two concurrent merges would otherwise both read version N and the
+    loser's changelog would vanish from N+2; raises
+    ``SnapshotLockError`` while another writer holds it.
 
     Cost model (the honest 100 TB statement): one read of the current
     snapshot + one full rewrite — copy-on-write without file-level
@@ -121,16 +204,18 @@ def merge_snapshot(
     """
     from hama_spark.operators.incremental import apply_changelog
 
-    payload_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
-    cur = current_version(spark, table_path)
-    if cur is None:
-        from pyspark.sql import functions as F
+    with _writer_lease(spark, table_path, lease_timeout_secs, use_lease):
+        payload_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+        cur = current_version(spark, table_path)
+        if cur is None:
+            from pyspark.sql import functions as F
 
-        base = changes.select(*payload_cols).filter(F.lit(False))
-    else:
-        base = read_snapshot(spark, table_path, cur)
-    merged = apply_changelog(base, changes, keys, op_col, seq_col)
-    return write_snapshot(merged, table_path)
+            base = changes.select(*payload_cols).filter(F.lit(False))
+        else:
+            base = read_snapshot(spark, table_path, cur)
+        merged = apply_changelog(base, changes, keys, op_col, seq_col)
+        # the lease is already held — write_snapshot must not re-acquire
+        return write_snapshot(merged, table_path, use_lease=False)
 
 
 def vacuum_snapshots(
