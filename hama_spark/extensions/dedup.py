@@ -233,10 +233,21 @@ def minhash_lsh_dup_pairs(
 
     sh = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # merge-hint the shingle sides: their shuffle output compresses
+    # ~20:1 (repeated token strings), so AQE's runtime broadcast
+    # conversion — which thresholds on COMPRESSED size — would build a
+    # decompressed multi-GB hash relation on the driver at corpus
+    # scale (measured: "Not enough memory to build and broadcast" at
+    # 500k docs under the session's 64 MB threshold). Sort-merge
+    # shuffles both sides and spills — the only safe strategy for an
+    # exploded text relation.
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        candidates.join(a, F.col("id_a") == F.col("a.id"))
-        .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.sh") == F.col("b.sh")))
+        candidates.join(a.hint("merge"), F.col("id_a") == F.col("a.id"))
+        .join(
+            b.hint("merge"),
+            (F.col("id_b") == F.col("b.id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
