@@ -415,14 +415,50 @@ def semantic_dup_pairs(
     cb, _ = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
     if max_cell_size is not None:
         cb = resplit_oversized_cells(cb, max_cell_size, kmeans_iter=kmeans_iter)
-    a, b = cb.alias("a"), cb.alias("b")
-    return (
+    # Partial-dot prune (EXACT, standard partial-distance trick): with
+    # v L2-normalized, cos(a,b) = <a_h,b_h> + <a_t,b_t> where h/t split
+    # the vector at dim 16, and Cauchy-Schwarz bounds the tail:
+    # <a_t,b_t> <= |a_t|·|b_t| with |v_t| = sqrt(1 - |v_h|²). The
+    # Σ|cell|² candidate join carries ONLY (id, cell, 16-dim head,
+    # tail norm) — ~4x less row data than both full vectors — and the
+    # few pairs whose upper bound can reach the threshold re-join by id
+    # to fetch full vectors for the exact dot (candidate -> verify,
+    # same shape as the MinHash verify step). The 1e-9 slack covers the
+    # final 9-dp rounding (and ~1e-15 normalization error), so no
+    # boundary pair is ever pruned; survivors still get the exact
+    # rounded-cosine filter.
+    head = F.slice(F.col("v"), 1, 16)
+    cb = cb.select(
+        "id",
+        "v",
+        "cell",
+        head.alias("vh"),
+        F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - _dot(head, head))).alias("vt"),
+    ).localCheckpoint(eager=True)
+    slim = cb.select("id", "cell", "vh", "vt")
+    a, b = slim.alias("a"), slim.alias("b")
+    cand = (
         a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .where(
+            _dot(F.col("a.vh"), F.col("b.vh")) + F.col("a.vt") * F.col("b.vt")
+            >= F.lit(threshold) - F.lit(1e-9)
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(_dot(F.col("a.v"), F.col("b.v")), 9).alias("cosine"),
             F.col("a.cell").cast("int").alias("cell"),
+        )
+    )
+    va = cb.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
+    vb = cb.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("_va"), F.col("_vb")), 9).alias("cosine"),
+            "cell",
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -542,11 +578,13 @@ def resplit_oversized_cells(
     ``cb`` is the assigned relation (id, v, cell). Every oversized cell
     is sub-clustered into ceil(|cell|/cap) parts, and ALL oversized
     cells train together in ONE Lloyd loop per round: assignment is a
-    per-cell argmin over that cell's own centers (chained plan
-    literals), the update one (cell, sub, dim) aggregation — so the
-    per-round cost is ``kmeans_iter`` corpus-subset passes regardless
-    of how many cells split. Rounds recurse on still-oversized
-    subcells up to ``max_rounds``.
+    per-cell argmin over that cell's own centers, carried as a
+    broadcast (cell -> centers) relation so the plan stays
+    structurally constant across iterations and rounds; the update is
+    one (cell, sub, dim) aggregation — so the per-round cost is
+    ``kmeans_iter`` corpus-subset passes regardless of how many cells
+    split. Rounds recurse on still-oversized subcells up to
+    ``max_rounds``.
 
     Driver state: O(Σ k_c · dim) floats per round — same class as the
     IVF centroids. Cells of (near-)identical vectors are geometrically
@@ -560,7 +598,6 @@ def resplit_oversized_cells(
     import math
 
     from hama_spark.functions.distance import MEASURES
-    from hama_spark.ml.kmeans import _assign_expr
 
     if cap <= 0:
         raise ValueError(f"cap must be > 0, got {cap}")
@@ -600,19 +637,48 @@ def resplit_oversized_cells(
         )
         centers: dict[int, list[list[float]]] = {c: [None] * big[c] for c in bigset}
         for r in seed_rows:
-            centers[r["cell"]][r["_rk"] - 1] = [float(x) for x in r["v"]]
+            centers[int(r["cell"])][r["_rk"] - 1] = [float(x) for x in r["v"]]
 
-        def _sub_assign():
-            expr = F.lit(0)
-            for c in bigset:
-                expr = F.when(
-                    F.col("cell") == c, _assign_expr(centers[c], measure, feat="v")
-                ).otherwise(expr)
-            return expr
+        # remap ids for split cells: fresh ids above every existing id
+        base = max(sizes) + 1
+        offsets = {}
+        for c in bigset:
+            offsets[c] = base
+            base += big[c]
+
+        spark = cb.sparkSession
+
+        def _assigned():
+            # subset + nearest-subcenter index, via a broadcast
+            # (cell -> centers) relation instead of per-cell literal
+            # `when`-chains: the plan is structurally identical across
+            # Lloyd iterations and rounds (codegen compiles once), and
+            # the center count no longer inflates the plan — with
+            # hundreds of subcells the O(Σ k_c · dim) literal chain
+            # dominated wall-clock, not the data pass.
+            cdf = spark.createDataFrame(
+                [
+                    (c, offsets[c], [[float(x) for x in ctr] for ctr in centers[c]])
+                    for c in bigset
+                ],
+                "cell int, off int, ctrs array<array<double>>",
+            )
+            dists = F.transform(F.col("ctrs"), lambda ctr: measure(F.col("v"), ctr))
+            return subset.join(F.broadcast(cdf), "cell").select(
+                "id",
+                "v",
+                "cell",
+                "off",
+                # array_position keeps the FIRST minimum -> the lowest
+                # sub index wins ties, same rule as _assign_expr
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("_sub"),
+            )
 
         for _it in range(kmeans_iter):
             upd = (
-                subset.select("cell", _sub_assign().alias("_sub"), "v")
+                _assigned()
                 .select("cell", "_sub", F.posexplode("v").alias("_dim", "_x"))
                 .groupBy("cell", "_sub", "_dim")
                 .agg(F.avg("_x").alias("_m"))
@@ -620,22 +686,13 @@ def resplit_oversized_cells(
             )
             fresh: dict[tuple[int, int], dict[int, float]] = {}
             for r in upd:
-                fresh.setdefault((r["cell"], r["_sub"]), {})[r["_dim"]] = r["_m"]
+                fresh.setdefault((int(r["cell"]), r["_sub"]), {})[r["_dim"]] = r["_m"]
             for (c, s), dims in fresh.items():
                 centers[c][s] = [dims[d] for d in sorted(dims)]
             # empty subcells keep their previous center
 
-        # remap: split cells get fresh ids above every existing id
-        base = max(sizes) + 1
-        offsets = {}
-        for c in bigset:
-            offsets[c] = base
-            base += big[c]
-        off_expr = F.lit(0)
-        for c in bigset:
-            off_expr = F.when(F.col("cell") == c, F.lit(offsets[c])).otherwise(off_expr)
-        split = subset.select(
-            "id", "v", (off_expr + _sub_assign()).cast("int").alias("cell")
+        split = _assigned().select(
+            "id", "v", (F.col("off") + F.col("_sub")).cast("int").alias("cell")
         )
         cb = keep.select("id", "v", F.col("cell").cast("int")).unionByName(
             split
