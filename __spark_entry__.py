@@ -2286,6 +2286,31 @@ def _q_decontaminate(spark, t):
     )
 
 
+def _q_bloom_decontaminate(spark, t):
+    """Bloom-pruned train/eval overlap check (extensions/dedup.py
+    bloom_decontaminate): benchmark shingles build a Bloom filter,
+    corpus shingles probe it map-side, and only the surviving sliver
+    pays the exact confirm join — output value-identical to the exact
+    broadcast path, so the oracle is the same SQL. Distinct benchmark
+    split (% 89) from the `decontaminate` query so the two paths are
+    independently checked."""
+    from hama_spark.extensions import bloom_decontaminate
+
+    docs = t["documents"]
+    rep = bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 89 != 0),
+        docs.filter(F.col("doc_id") % 89 == 0),
+        k=3,
+        fpp=0.001,
+    )
+    return rep.select(
+        "doc_id",
+        "n_hits",
+        "n_shingles",
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
 _LINE_WORDS = 8  # words per derived "line" for the line-dedup fixture
 
 
@@ -3270,6 +3295,7 @@ QUERIES: dict[str, Callable] = {
     "select_under_budget": _q_select_under_budget,
     "key_overlap": _q_key_overlap,
     "length_buckets": _q_length_buckets,
+    "bloom_decontaminate": _q_bloom_decontaminate,
     # displaced below the 50-boundary since r3, modified in r4 —
     # restored per VERDICT r4 §next.2
     "text_stats": _q_text_stats,
@@ -3322,15 +3348,17 @@ QUERIES: dict[str, Callable] = {
     "gradient_descent_logistic": _q_gd_logistic,
     "kmeans_sizes": _q_kmeans,
     "importance_weights": _q_importance_weights,
-    "quality_classifier": _q_quality_classifier,
     # ---- driver window boundary (entry 50 above this line) ----------
     # Everything below holds a green row (r2, r3 or r4) on code
     # unchanged since, re-verified per round by the full-inventory
     # selfcheck (SELFCHECK_r05.json, all queries hash-match at sf0.01).
     # Displaced r4-window refresh slots (fresh r4 rows, code untouched
-    # in r5): nb_lang_confusion, bm25_topk, hybrid_rrf, scd2_orders,
-    # link_prediction, corpus_diff, hard_negatives, scrub_boilerplate,
-    # bpe_top_tokens, bpe_fertility, corpus_stats, value_quantiles.
+    # in r5): quality_classifier (displaced for the new
+    # bloom_decontaminate row), nb_lang_confusion, bm25_topk,
+    # hybrid_rrf, scd2_orders, link_prediction, corpus_diff,
+    # hard_negatives, scrub_boilerplate, bpe_top_tokens, bpe_fertility,
+    # corpus_stats, value_quantiles.
+    "quality_classifier": _q_quality_classifier,
     "nb_lang_confusion": _q_nb_confusion,
     "bm25_topk": _q_bm25_topk,
     "hybrid_rrf": _q_hybrid_rrf,
@@ -4296,6 +4324,24 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(sz, 0.5) / za, 6) AS q,
                    round((pow(sz, 0.5) / za) / (sz / tot), 6) AS rate
             FROM g, nrm
+        """,
+        # identical relational semantics to `decontaminate` (the Bloom
+        # prune is plan-level only: no false negatives, false positives
+        # removed by the exact confirm join) on the % 89 split
+        "bloom_decontaminate": f"""
+            WITH {_SHINGLES_SQL},
+            bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0),
+            csh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 89 <> 0),
+            sizes AS (SELECT doc_id, count(*) AS n_shingles
+                      FROM csh GROUP BY doc_id),
+            hits AS (SELECT doc_id, count(*) AS n_hits
+                     FROM csh JOIN bsh USING (sh) GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(s.n_shingles AS BIGINT) AS n_shingles,
+                   round(coalesce(h.n_hits, 0) * 1.0 / s.n_shingles, 6)
+                     AS contamination
+            FROM sizes s LEFT JOIN hits h USING (doc_id)
         """,
         "decontaminate": f"""
             WITH {_SHINGLES_SQL},

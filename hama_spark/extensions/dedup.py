@@ -584,6 +584,68 @@ def contamination_report(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    fpp: float = 0.001,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`contamination_report` for the regime where the reference
+    key set is too large to broadcast as an exact hash set — the other
+    corpus in a cross-corpus decontamination, a seen-shingle set from
+    earlier crawl snapshots. Same output, different physical plan:
+
+    1. the reference side's distinct shingles build a Bloom filter
+       (one shuffle of (word, bits) pairs, fixed ``num_bits``-bit
+       result regardless of set size);
+    2. corpus shingles probe the broadcast filter MAP-SIDE — at 100 TB
+       this is the only full pass over the corpus, and it moves no
+       corpus data;
+    3. only the surviving sliver (true hits + ~``fpp`` false
+       positives) pays the exact confirm join, which removes the false
+       positives — so the result is EXACTLY ``contamination_report``'s
+       (no false negatives: a Bloom filter never drops a member; no
+       false positives: the confirm join is exact). The confirm join
+       is left to AQE: at eval-set scale it broadcasts, at
+       cross-corpus scale it shuffles only the sliver.
+
+    Returns (id_col, n_hits, n_shingles, contamination), hash-equal to
+    :func:`contamination_report` on the same inputs.
+    """
+    from hama_spark.functions.bloom import bloom_build, bloom_probe
+
+    bench_text_col = bench_text_col or text_col
+    b = (
+        benchmark.select(F.explode(word_shingles(bench_text_col, k)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused: sizing count, filter build, confirm join
+    )
+    bloom = bloom_build(
+        b, "sh", num_bits=num_bits, num_hashes=num_hashes, fpp=fpp, seed=seed
+    ).localCheckpoint(eager=True)  # one row; never rebuild per consumer
+
+    c = _shingle_rows(corpus, id_col, text_col, k).localCheckpoint(
+        eager=True
+    )  # reused: per-doc sizes + probe — tokenize the corpus once
+    maybe = bloom_probe(c, bloom, "sh", "_maybe").filter(F.col("_maybe")).drop("_maybe")
+    hits = maybe.join(b, "sh").groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+    sizes = c.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sizes.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
 def near_contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

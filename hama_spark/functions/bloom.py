@@ -1,0 +1,289 @@
+"""Distributed Bloom filter over a DataFrame column.
+
+The reference has no sketch layer (its decontamination analogue is the
+exact composite join, ``bsp/join/InnerJoinRecordReader.java:40``); this
+module exists for the 100 TB regime the engine targets: membership
+pruning against a key set that is too large to broadcast as an exact
+hash set (cross-corpus decontamination, seen-sets from earlier crawl
+snapshots, URL visited-lists). A Bloom filter compresses *n* keys into
+a fixed ``m``-bit array with no false negatives and a tunable false
+positive rate, so the big side can be pruned map-side and only the
+surviving sliver pays an exact confirm join.
+
+Design (all JVM expressions, no Python in the hot path):
+
+- **Build** is one shuffle: each key explodes into its ``k`` bit
+  positions (Kirsch-Mitzenmacher double hashing over ``xxhash64``, so
+  2 hashes per key regardless of ``k``), positions group by 64-bit
+  word index with a ``bit_or`` partial aggregate (map-side combined),
+  and the sparse words assemble into one dense ``array<long>`` row.
+  The bitmap never exists per-executor during the build — only
+  (word_idx, word) pairs shuffle, at most ``m/64`` rows total.
+- **Probe** is map-side only: the one-row filter broadcast-joins onto
+  the probe side and membership is a ``forall`` over the ``k``
+  positions testing bits with a literal mask table — no variable-shift
+  dependence, no UDF, whole-stage-codegen friendly.
+- **Merge** is ``zip_with(bit_or)`` — filters built with the same
+  (num_bits, num_hashes, seed) triple over disjoint inputs combine
+  into exactly the filter of the union, so per-partition / per-day
+  filters can be built independently and OR-ed.
+
+All arithmetic is ANSI-overflow-safe: hashes reduce mod ``num_bits``
+before the double-hash combination, so intermediate products stay
+far below 2^63 (num_bits is capped at 2^40, k at 64).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "optimal_bloom_params",
+    "bloom_build",
+    "bloom_maybe_contains",
+    "bloom_probe",
+    "bloom_merge",
+]
+
+_MAX_BITS = 1 << 40  # 128 GiB of bitmap — far past any sane single filter
+_MAX_HASHES = 64
+
+def _masks() -> Column:
+    """Literal mask table: MASKS[b] has only bit b set (bit 63 is the
+    sign bit, hence the negative literal). Bit tests index this table
+    instead of shifting by a column (PySpark's shiftleft/shiftright
+    take only Python-int shift amounts). Built lazily — Column
+    construction needs an active session, so no module-level
+    literal."""
+    return F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+
+
+def optimal_bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a
+    64-bit word), k = (m/n)·ln(2) hashes. Returns (num_bits,
+    num_hashes)."""
+    if expected_items <= 0:
+        return 64, 1
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(64, (m + 63) // 64 * 64), _MAX_BITS)
+    k = max(1, min(_MAX_HASHES, round(m / expected_items * math.log(2))))
+    return m, int(k)
+
+
+def _positions(col: Column, num_bits, num_hashes, seed) -> Column:
+    """array<long> of the key's ``num_hashes`` bit positions in
+    [0, num_bits). Kirsch-Mitzenmacher: pos_i = (h1 + i·h2') mod m with
+    h1, h2 independent xxhash64 streams; h2' is forced odd so a zero
+    step cannot collapse all k positions onto one bit. Both operands
+    reduce mod m FIRST: i·h2' then stays ≤ 64·(2m+1) « 2^63, so the
+    expression is safe under ANSI overflow checking. All three
+    parameters may be Python ints or Columns (the probe side reads
+    them from the filter row — no driver collect needed)."""
+    m = num_bits if isinstance(num_bits, Column) else F.lit(int(num_bits))
+    k = num_hashes if isinstance(num_hashes, Column) else F.lit(int(num_hashes))
+    s = seed if isinstance(seed, Column) else F.lit(int(seed))
+    h1 = F.pmod(F.xxhash64(col, s.cast("int")), m)
+    h2 = F.pmod(F.xxhash64(col, s.cast("int") + F.lit(1)), m) * F.lit(2) + F.lit(1)
+    return F.transform(
+        F.sequence(F.lit(0), (k - F.lit(1)).cast("int")),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, m),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str | Column,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """Build a Bloom filter over (the distinct values of) ``col``.
+
+    Returns a ONE-ROW DataFrame ``(num_bits long, num_hashes int,
+    seed int, bitmap array<long>)`` — self-describing, so
+    :func:`bloom_probe` needs no out-of-band parameters, and small
+    enough to broadcast (``num_bits/8`` bytes).
+
+    Sizing: pass ``num_bits``/``num_hashes`` directly, or
+    ``expected_items`` + ``fpp`` to derive them, or neither — then the
+    build runs one extra ``count_distinct`` job over ``col`` to size
+    itself (fine for a benchmark/seen-set side; pass explicit sizes on
+    a side you don't want scanned twice).
+
+    Scale shape: explode keys → k position rows (k small, map-side),
+    hash-shuffle on word index with bit_or partially aggregated
+    map-side, ≤ m/64 result rows, one-row dense assembly. Duplicate
+    input values cost shuffle volume but do not change the result —
+    ``.distinct()`` the input first if it is duplicate-heavy.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if num_bits is None or num_hashes is None:
+        if expected_items is None:
+            expected_items = df.select(
+                F.count_distinct(c).alias("n")
+            ).collect()[0]["n"]
+        auto_m, auto_k = optimal_bloom_params(int(expected_items), fpp)
+        num_bits = num_bits or auto_m
+        num_hashes = num_hashes or auto_k
+    num_bits = int(num_bits)
+    num_hashes = int(num_hashes)
+    if not (64 <= num_bits <= _MAX_BITS) or num_bits % 64:
+        raise ValueError(f"num_bits must be a multiple of 64 in [64, 2^40], got {num_bits}")
+    if not (1 <= num_hashes <= _MAX_HASHES):
+        raise ValueError(f"num_hashes must be in [1, {_MAX_HASHES}], got {num_hashes}")
+    n_words = num_bits // 64
+
+    pos = df.select(
+        F.explode(_positions(c, num_bits, num_hashes, seed)).alias("p")
+    )
+    sparse = (
+        pos.select(
+            F.floor(F.col("p") / F.lit(64)).cast("long").alias("widx"),
+            F.element_at(_masks(), F.pmod(F.col("p"), F.lit(64)).cast("int") + F.lit(1)).alias("wbit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("wbit").alias("word"))
+    )
+    dense = sparse.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("widx").alias("k"), F.col("word").alias("v")))
+        ).alias("_m")
+    ).select(
+        F.lit(num_bits).cast("long").alias("num_bits"),
+        F.lit(num_hashes).cast("int").alias("num_hashes"),
+        F.lit(seed).cast("int").alias("seed"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(F.try_element_at("_m", i.cast("long")), F.lit(0).cast("long")),
+        ).alias("bitmap"),
+    )
+    return dense
+
+
+def bloom_maybe_contains(
+    col: Column,
+    bitmap: Column,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 42,
+) -> Column:
+    """Boolean membership test against a bitmap column already on the
+    row (see :func:`bloom_probe`). True = maybe present (false-positive
+    rate per the filter's sizing); False = DEFINITELY absent.
+
+    The ``num_hashes`` bit tests are UNROLLED into a plain AND chain of
+    scalar expressions rather than a ``forall`` over a positions array:
+    a higher-order-function membership predicate under a filter above
+    the filter-row join trips a Catalyst constraint-propagation bug
+    (the HOF condition gets pushed below the join as an unresolvable
+    ``!Filter`` referencing the probe column — observed on Spark 4.1),
+    and the unrolled form is also friendlier to whole-stage codegen.
+    k is small (≤ 64, typically ≤ 20), so the expression stays
+    compact."""
+    num_bits = int(num_bits)
+    num_hashes = int(num_hashes)
+    m = F.lit(num_bits)
+    h1 = F.pmod(F.xxhash64(col, F.lit(int(seed))), m)
+    h2 = F.pmod(F.xxhash64(col, F.lit(int(seed) + 1)), m) * F.lit(2) + F.lit(1)
+    masks = _masks()
+    test = F.lit(True)
+    for i in range(num_hashes):
+        p = F.pmod(h1 + F.lit(i).cast("long") * h2, m)
+        word = F.coalesce(
+            F.try_element_at(bitmap, (F.floor(p / F.lit(64)) + F.lit(1)).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        bit = F.element_at(masks, F.pmod(p, F.lit(64)).cast("int") + F.lit(1))
+        test = test & (word.bitwiseAND(bit) != F.lit(0).cast("long"))
+    return test
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str | Column,
+    result_col: str = "maybe_member",
+) -> DataFrame:
+    """Add ``result_col`` (boolean) to ``df``: True iff ``col`` is
+    possibly in the filter. The one-row filter is broadcast; the probe
+    is a map-side expression — the big side never shuffles.
+
+    The filter is (lazily) localCheckpointed and its three scalar
+    parameters collected up front: the checkpoint cuts lineage (build
+    and probe sides routinely derive from the SAME upstream frame, and
+    a shared-lineage cross join trips Catalyst's self-join dedup),
+    guarantees the build runs ONCE however many probes reuse it, and
+    the Python-int parameters let the membership test unroll into plain
+    scalar expressions (see :func:`bloom_maybe_contains` for why). The
+    bitmap itself never leaves the JVM — only (num_bits, num_hashes,
+    seed) cross the driver."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = bloom.select(
+        F.col("bitmap").alias("_bf_bitmap"),
+        F.col("num_bits").alias("_bf_bits"),
+        F.col("num_hashes").alias("_bf_hashes"),
+        F.col("seed").alias("_bf_seed"),
+    ).localCheckpoint(eager=False)
+    params = b.select("_bf_bits", "_bf_hashes", "_bf_seed").collect()[0]
+    joined = df.crossJoin(F.broadcast(b.select("_bf_bitmap")))
+    out = joined.withColumn(
+        result_col,
+        bloom_maybe_contains(
+            c,
+            F.col("_bf_bitmap"),
+            num_bits=int(params["_bf_bits"]),
+            num_hashes=int(params["_bf_hashes"]),
+            seed=int(params["_bf_seed"]),
+        ),
+    )
+    return out.drop("_bf_bitmap")
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two filters built with identical (num_bits, num_hashes, seed)
+    into the filter of the union of their key sets. Raises at plan
+    build if the parameters disagree (a mismatched OR is silently
+    wrong, never just lossy)."""
+    left = a.select(
+        F.col("num_bits").alias("_lb"),
+        F.col("num_hashes").alias("_lh"),
+        F.col("seed").alias("_ls"),
+        F.col("bitmap").alias("_lm"),
+    )
+    right = b.select(
+        F.col("num_bits").alias("_rb"),
+        F.col("num_hashes").alias("_rh"),
+        F.col("seed").alias("_rs"),
+        F.col("bitmap").alias("_rm"),
+    )
+    joined = left.crossJoin(F.broadcast(right))
+    mismatch = (
+        (F.col("_lb") != F.col("_rb"))
+        | (F.col("_lh") != F.col("_rh"))
+        | (F.col("_ls") != F.col("_rs"))
+    )
+    return joined.select(
+        F.when(
+            mismatch,
+            F.raise_error(
+                F.format_string(
+                    "bloom_merge: parameter mismatch (bits/hashes/seed): "
+                    "(%d,%d,%d) vs (%d,%d,%d)",
+                    F.col("_lb"), F.col("_lh"), F.col("_ls"),
+                    F.col("_rb"), F.col("_rh"), F.col("_rs"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_lb")).alias("num_bits"),
+        F.col("_lh").alias("num_hashes"),
+        F.col("_ls").alias("seed"),
+        F.zip_with("_lm", "_rm", lambda x, y: x.bitwiseOR(y)).alias("bitmap"),
+    )

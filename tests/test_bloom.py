@@ -1,0 +1,145 @@
+"""Distributed Bloom filter: no false negatives, bounded false
+positives, merge = union, probe plan stays map-side, and the
+bloom-pruned decontamination path is value-identical to the exact
+broadcast path (and to the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hama_spark.functions.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+    optimal_bloom_params,
+)
+
+from tests.conftest import assert_df_equals_oracle
+
+
+def _members(spark, n, tag="m"):
+    return spark.range(n).select(F.concat(F.lit(tag), F.col("id")).alias("key"))
+
+
+def test_optimal_params_monotone_and_rounded():
+    m1, k1 = optimal_bloom_params(1_000, 0.01)
+    m2, k2 = optimal_bloom_params(1_000, 0.0001)
+    assert m1 % 64 == 0 and m2 % 64 == 0
+    assert m2 > m1  # tighter fpp needs more bits
+    assert k2 >= k1
+    assert optimal_bloom_params(0, 0.01) == (64, 1)
+    with pytest.raises(ValueError):
+        optimal_bloom_params(100, 1.5)
+
+
+def test_no_false_negatives(spark):
+    members = _members(spark, 2_000)
+    bloom = bloom_build(members, "key", expected_items=2_000, fpp=0.01)
+    probed = bloom_probe(members, bloom, "key")
+    n_false_neg = probed.filter(~F.col("maybe_member")).count()
+    assert n_false_neg == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    members = _members(spark, 2_000, "m")
+    bloom = bloom_build(members, "key", expected_items=2_000, fpp=0.01)
+    outsiders = _members(spark, 20_000, "x")  # disjoint key space
+    n_fp = bloom_probe(outsiders, bloom, "key").filter("maybe_member").count()
+    # 1% nominal; allow 3x slack against hash-family variance
+    assert n_fp / 20_000 < 0.03, n_fp
+
+
+def test_build_deterministic_across_partitioning(spark):
+    members = _members(spark, 1_000)
+    a = bloom_build(members.repartition(17), "key", num_bits=4096, num_hashes=5)
+    b = bloom_build(members.coalesce(1), "key", num_bits=4096, num_hashes=5)
+    ra, rb = a.collect()[0], b.collect()[0]
+    assert ra["bitmap"] == rb["bitmap"]
+    assert (ra["num_bits"], ra["num_hashes"]) == (4096, 5)
+
+
+def test_duplicates_do_not_change_filter(spark):
+    members = _members(spark, 500)
+    dup = members.union(members).union(members)
+    a = bloom_build(members, "key", num_bits=2048, num_hashes=4)
+    b = bloom_build(dup, "key", num_bits=2048, num_hashes=4)
+    assert a.collect()[0]["bitmap"] == b.collect()[0]["bitmap"]
+
+
+def test_merge_equals_union_build(spark):
+    left = _members(spark, 800, "a")
+    right = _members(spark, 800, "b")
+    params = dict(num_bits=8192, num_hashes=6)
+    merged = bloom_merge(
+        bloom_build(left, "key", **params), bloom_build(right, "key", **params)
+    )
+    direct = bloom_build(left.union(right), "key", **params)
+    assert merged.collect()[0]["bitmap"] == direct.collect()[0]["bitmap"]
+
+
+def test_merge_rejects_mismatched_params(spark):
+    a = bloom_build(_members(spark, 10), "key", num_bits=1024, num_hashes=3)
+    b = bloom_build(_members(spark, 10), "key", num_bits=2048, num_hashes=3)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        bloom_merge(a, b).collect()
+
+
+def test_empty_build_side(spark):
+    empty = _members(spark, 0)
+    bloom = bloom_build(empty, "key", num_bits=1024, num_hashes=3)
+    row = bloom.collect()[0]
+    assert all(w == 0 for w in row["bitmap"]) and len(row["bitmap"]) == 16
+    probed = bloom_probe(_members(spark, 100), bloom, "key")
+    assert probed.filter("maybe_member").count() == 0
+
+
+def test_probe_plan_is_map_side(spark):
+    """The probe side must not shuffle: the filter arrives by broadcast
+    and membership is a projection — no Exchange on the probe lineage,
+    no BatchEvalPython anywhere."""
+    members = _members(spark, 100)
+    bloom = bloom_build(members, "key", num_bits=1024, num_hashes=3)
+    # checkpoint the one-row filter so the build's exchanges are not in
+    # the probe plan (production shape: build once, reuse)
+    plan = bloom_probe(
+        _members(spark, 1_000), bloom.localCheckpoint(eager=True), "key"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only exchange allowed is the broadcast of the one-row filter
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_bloom_decontaminate_matches_exact_and_oracle(spark, tables, duck):
+    from hama_spark.extensions import bloom_decontaminate, contamination_report
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    via_bloom = bloom_decontaminate(corpus, bench, k=3, fpp=0.001).select(
+        "doc_id", "n_hits", "n_shingles", F.round("contamination", 6).alias("c")
+    )
+    exact = contamination_report(corpus, bench, k=3).select(
+        "doc_id", "n_hits", "n_shingles", F.round("contamination", 6).alias("c")
+    )
+    assert sorted(map(tuple, via_bloom.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    import __spark_entry__ as entry
+
+    assert_df_equals_oracle(
+        via_bloom,
+        duck,
+        f"""
+        WITH {entry._SHINGLES_SQL},
+        bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0),
+        csh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 89 <> 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+        hits AS (SELECT doc_id, count(*) AS n_hits
+                 FROM csh JOIN bsh USING (sh) GROUP BY 1)
+        SELECT s.doc_id, coalesce(h.n_hits, 0) AS n_hits, s.n_shingles,
+               round(coalesce(h.n_hits, 0) / s.n_shingles::DOUBLE, 6) AS c
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+        """,
+    )
