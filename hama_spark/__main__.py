@@ -119,9 +119,18 @@ def cmd_decontam(args) -> dict:
     # checkpoint the ID relations (ids only, never text) so the write
     # and the three summary counts don't each re-shingle the corpus —
     # same survivor-ID discipline as cmd_dedup / prepare_training_corpus
+    if args.bloom:
+        from hama_spark.extensions.dedup import bloom_decontaminate
+
+        exact_rep = bloom_decontaminate(
+            corpus, bench, id_col=args.id_col, text_col=args.text_col
+        )
+    else:
+        exact_rep = contamination_report(
+            corpus, bench, id_col=args.id_col, text_col=args.text_col
+        )
     exact = (
-        contamination_report(corpus, bench, id_col=args.id_col, text_col=args.text_col)
-        .filter(F.col("contamination") >= args.max_overlap)
+        exact_rep.filter(F.col("contamination") >= args.max_overlap)
         .select(F.col(args.id_col).alias("flagged_id"))
         .localCheckpoint(eager=True)
     )
@@ -306,6 +315,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="exact shingle-overlap fraction that flags a doc")
     sp.add_argument("--threshold", type=float, default=0.5,
                     help="near-dup whole-doc Jaccard that flags a doc")
+    sp.add_argument("--bloom", action="store_true",
+                    help="Bloom-prune the exact overlap pass (same result; "
+                    "use when the benchmark side is itself corpus-sized)")
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--mode", default="error")

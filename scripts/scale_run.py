@@ -315,11 +315,19 @@ def main() -> int:
             if xl and k in prev_ops:
                 # fold the xl fields into the existing small/big entry
                 prev_ops[k].update(v)
-                big = prev_ops[k].get("big_sec")
-                if big:
-                    prev_ops[k]["xl_vs_big"] = round(v["xl_sec"] / big, 2)
+            elif k in prev_ops:
+                # small/big refresh: keep any xl fields already measured
+                kept = {
+                    f: prev_ops[k][f]
+                    for f in ("xl_sec", "xl_out_rows")
+                    if f in prev_ops[k]
+                }
+                prev_ops[k] = {**v, **kept}
             else:
                 prev_ops[k] = v
+            big = prev_ops[k].get("big_sec")
+            if big and "xl_sec" in prev_ops[k]:
+                prev_ops[k]["xl_vs_big"] = round(prev_ops[k]["xl_sec"] / big, 2)
         out["ops"] = {k: prev_ops[k] for k in OPS if k in prev_ops}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -91,6 +91,16 @@ def test_cli_decontam(tmp_path):
         f"SELECT count(*) FROM read_parquet('{tmp_path}/clean/*.parquet')"
     ).fetchone()[0]
     assert n_kept == 500 - out["total_flagged"]
+    # the Bloom-pruned exact pass is a plan change, not a result change
+    out_bloom = _run(
+        "decontam",
+        "--input", f"{SF}/documents.parquet",
+        "--benchmark", bench,
+        "--threshold", "0.5",
+        "--bloom",
+    )
+    assert out_bloom["exact_flagged"] == out["exact_flagged"]
+    assert out_bloom["total_flagged"] == out["total_flagged"]
 
 
 def test_cli_lshplan_no_spark():
