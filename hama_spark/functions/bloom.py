@@ -20,9 +20,11 @@ Design (all JVM expressions, no Python in the hot path):
   The bitmap never exists per-executor during the build — only
   (word_idx, word) pairs shuffle, at most ``m/64`` rows total.
 - **Probe** is map-side only: the one-row filter broadcast-joins onto
-  the probe side and membership is a ``forall`` over the ``k``
-  positions testing bits with a literal mask table — no variable-shift
-  dependence, no UDF, whole-stage-codegen friendly.
+  the probe side and membership is an unrolled AND chain of the ``k``
+  bit tests against a literal mask table — no variable-shift
+  dependence, no UDF, whole-stage-codegen friendly (see
+  :func:`bloom_maybe_contains` for why it is unrolled rather than a
+  ``forall``).
 - **Merge** is ``zip_with(bit_or)`` — filters built with the same
   (num_bits, num_hashes, seed) triple over disjoint inputs combine
   into exactly the filter of the union, so per-partition / per-day
@@ -30,7 +32,7 @@ Design (all JVM expressions, no Python in the hot path):
 
 All arithmetic is ANSI-overflow-safe: hashes reduce mod ``num_bits``
 before the double-hash combination, so intermediate products stay
-far below 2^63 (num_bits is capped at 2^40, k at 64).
+far below 2^63 (num_bits is capped at 2^31, k at 64).
 """
 
 from __future__ import annotations
@@ -48,8 +50,15 @@ __all__ = [
     "bloom_merge",
 ]
 
-_MAX_BITS = 1 << 40  # 128 GiB of bitmap — far past any sane single filter
+# One filter is a single dense array<long> row, so the honest ceiling is
+# what one row/broadcast comfortably holds: 2^31 bits = 256 MiB bitmap =
+# 33.5M array elements. At fpp=0.01 that is ~223M distinct keys — beyond
+# that, shard the key space (pmod(xxhash64(key), n_shards)) into
+# independent filters and probe the matching shard; bloom_merge exists
+# for the complementary pattern (same parameters, disjoint inputs, OR).
+_MAX_BITS = 1 << 31
 _MAX_HASHES = 64
+
 
 def _masks() -> Column:
     """Literal mask table: MASKS[b] has only bit b set (bit 63 is the
@@ -124,6 +133,11 @@ def bloom_build(
     map-side, ≤ m/64 result rows, one-row dense assembly. Duplicate
     input values cost shuffle volume but do not change the result —
     ``.distinct()`` the input first if it is duplicate-heavy.
+
+    NULL keys: ``xxhash64`` skips null arguments, so every NULL
+    collapses onto one seed-derived synthetic key — a NULL in the build
+    side makes every NULL probe a member. Filter NULLs out first if
+    that is not the intended semantics.
     """
     c = F.col(col) if isinstance(col, str) else col
     if num_bits is None or num_hashes is None:
@@ -137,7 +151,10 @@ def bloom_build(
     num_bits = int(num_bits)
     num_hashes = int(num_hashes)
     if not (64 <= num_bits <= _MAX_BITS) or num_bits % 64:
-        raise ValueError(f"num_bits must be a multiple of 64 in [64, 2^40], got {num_bits}")
+        raise ValueError(
+            f"num_bits must be a multiple of 64 in [64, 2^31], got {num_bits}"
+            " — shard the key space into independent filters above that"
+        )
     if not (1 <= num_hashes <= _MAX_HASHES):
         raise ValueError(f"num_hashes must be in [1, {_MAX_HASHES}], got {num_hashes}")
     n_words = num_bits // 64
