@@ -1,4 +1,4 @@
-"""Distributed Bloom filter over a DataFrame column.
+"""Distributed (optionally sharded) Bloom filter over a DataFrame column.
 
 The reference has no sketch layer (its decontamination analogue is the
 exact composite join, ``bsp/join/InnerJoinRecordReader.java:40``); this
@@ -12,27 +12,35 @@ surviving sliver pays an exact confirm join.
 
 Design (all JVM expressions, no Python in the hot path):
 
-- **Build** is one shuffle: each key explodes into its ``k`` bit
-  positions (Kirsch-Mitzenmacher double hashing over ``xxhash64``, so
-  2 hashes per key regardless of ``k``), positions group by 64-bit
-  word index with a ``bit_or`` partial aggregate (map-side combined),
-  and the sparse words assemble into one dense ``array<long>`` row.
-  The bitmap never exists per-executor during the build — only
-  (word_idx, word) pairs shuffle, at most ``m/64`` rows total.
-- **Probe** is map-side only: the one-row filter broadcast-joins onto
-  the probe side and membership is an unrolled AND chain of the ``k``
-  bit tests against a literal mask table — no variable-shift
-  dependence, no UDF, whole-stage-codegen friendly (see
-  :func:`bloom_maybe_contains` for why it is unrolled rather than a
-  ``forall``).
-- **Merge** is ``zip_with(bit_or)`` — filters built with the same
-  (num_bits, num_hashes, seed) triple over disjoint inputs combine
-  into exactly the filter of the union, so per-partition / per-day
-  filters can be built independently and OR-ed.
+- **Build** is one shuffle: each key routes to a shard
+  (``xxhash64 % n_shards``) and explodes into its ``k`` bit positions
+  (Kirsch-Mitzenmacher double hashing over ``xxhash64``, so 2 hashes
+  per key regardless of ``k``), positions group by (shard, 64-bit word
+  index) with a ``bit_or`` partial aggregate (map-side combined), and
+  the sparse words assemble into one dense ``array<long>`` row PER
+  SHARD — a complete shard skeleton, so even empty shards have a row.
+  No bitmap ever exists per-executor during the build; only
+  (shard, word_idx, word) pairs shuffle, ≤ n_shards·m/64 rows total.
+- **Probe** is map-side only: the n_shards-row filter broadcast
+  HASH-joins onto the probe side on the shard key and membership is an
+  unrolled AND chain of the ``k`` bit tests against a literal mask
+  table — no variable-shift dependence, no UDF, whole-stage-codegen
+  friendly (see :func:`bloom_maybe_contains` for why it is unrolled
+  rather than a ``forall``).
+- **Merge** is ``zip_with(bit_or)`` per shard — filters built with the
+  same (num_bits, num_hashes, seed, n_shards) quadruple over disjoint
+  inputs combine into exactly the filter of the union, so
+  per-partition / per-day filters can be built independently and OR-ed.
+
+Sharding is the capacity dial: each shard is an independent
+``num_bits``-bit filter over its slice of the key space, so total
+capacity scales as n_shards·num_bits with no single row or broadcast
+block ever exceeding ``num_bits/8`` bytes. The default ``n_shards=1``
+is a plain Bloom filter.
 
 All arithmetic is ANSI-overflow-safe: hashes reduce mod ``num_bits``
-before the double-hash combination, so intermediate products stay
-far below 2^63 (num_bits is capped at 2^31, k at 64).
+before the double-hash combination, so intermediate products stay far
+below 2^63 (num_bits is capped at 2^31 per shard, k at 64).
 """
 
 from __future__ import annotations
@@ -50,14 +58,13 @@ __all__ = [
     "bloom_merge",
 ]
 
-# One filter is a single dense array<long> row, so the honest ceiling is
-# what one row/broadcast comfortably holds: 2^31 bits = 256 MiB bitmap =
-# 33.5M array elements. At fpp=0.01 that is ~223M distinct keys — beyond
-# that, shard the key space (pmod(xxhash64(key), n_shards)) into
-# independent filters and probe the matching shard; bloom_merge exists
-# for the complementary pattern (same parameters, disjoint inputs, OR).
+# Each shard's bitmap is a single dense array<long> row, so the honest
+# per-shard ceiling is what one row/broadcast block comfortably holds:
+# 2^31 bits = 256 MiB bitmap = 33.5M array elements. At fpp=0.01 that is
+# ~223M distinct keys PER SHARD — raise n_shards for bigger key sets.
 _MAX_BITS = 1 << 31
 _MAX_HASHES = 64
+_MAX_SHARDS = 1 << 20
 
 
 def _masks() -> Column:
@@ -75,7 +82,7 @@ def _masks() -> Column:
 def optimal_bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     """Standard sizing: m = -n·ln(p)/ln(2)^2 bits (rounded up to a
     64-bit word), k = (m/n)·ln(2) hashes. Returns (num_bits,
-    num_hashes)."""
+    num_hashes). ``expected_items`` is per shard when sharding."""
     if expected_items <= 0:
         return 64, 1
     if not (0.0 < fpp < 1.0):
@@ -86,24 +93,27 @@ def optimal_bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
     return m, int(k)
 
 
-def _positions(col: Column, num_bits, num_hashes, seed) -> Column:
-    """array<long> of the key's ``num_hashes`` bit positions in
-    [0, num_bits). Kirsch-Mitzenmacher: pos_i = (h1 + i·h2') mod m with
-    h1, h2 independent xxhash64 streams; h2' is forced odd so a zero
-    step cannot collapse all k positions onto one bit. Both operands
-    reduce mod m FIRST: i·h2' then stays ≤ 64·(2m+1) « 2^63, so the
-    expression is safe under ANSI overflow checking. All three
-    parameters may be Python ints or Columns (the probe side reads
-    them from the filter row — no driver collect needed)."""
-    m = num_bits if isinstance(num_bits, Column) else F.lit(int(num_bits))
-    k = num_hashes if isinstance(num_hashes, Column) else F.lit(int(num_hashes))
-    s = seed if isinstance(seed, Column) else F.lit(int(seed))
-    h1 = F.pmod(F.xxhash64(col, s.cast("int")), m)
-    h2 = F.pmod(F.xxhash64(col, s.cast("int") + F.lit(1)), m) * F.lit(2) + F.lit(1)
-    return F.transform(
-        F.sequence(F.lit(0), (k - F.lit(1)).cast("int")),
-        lambda i: F.pmod(h1 + i.cast("long") * h2, m),
+def _shard(col: Column, seed: int, n_shards: int) -> Column:
+    """Key → shard id in [0, n_shards). Uses a hash stream disjoint
+    from the two position streams (seed+2)."""
+    return F.pmod(F.xxhash64(col, F.lit(int(seed) + 2)), F.lit(int(n_shards))).cast(
+        "int"
     )
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int, seed: int) -> list[Column]:
+    """The key's ``num_hashes`` bit positions in [0, num_bits), as a
+    plain expression list. Kirsch-Mitzenmacher: pos_i = (h1 + i·h2')
+    mod m with h1, h2 independent xxhash64 streams; h2' is forced odd
+    so a zero step cannot collapse all k positions onto one bit. Both
+    operands reduce mod m FIRST: i·h2' then stays ≤ 64·(2m+1) « 2^63,
+    so the expression is safe under ANSI overflow checking."""
+    m = F.lit(int(num_bits))
+    h1 = F.pmod(F.xxhash64(col, F.lit(int(seed))), m)
+    h2 = F.pmod(F.xxhash64(col, F.lit(int(seed) + 1)), m) * F.lit(2) + F.lit(1)
+    return [
+        F.pmod(h1 + F.lit(i).cast("long") * h2, m) for i in range(int(num_hashes))
+    ]
 
 
 def bloom_build(
@@ -114,25 +124,30 @@ def bloom_build(
     expected_items: int | None = None,
     fpp: float = 0.01,
     seed: int = 42,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Build a Bloom filter over (the distinct values of) ``col``.
 
-    Returns a ONE-ROW DataFrame ``(num_bits long, num_hashes int,
-    seed int, bitmap array<long>)`` — self-describing, so
-    :func:`bloom_probe` needs no out-of-band parameters, and small
-    enough to broadcast (``num_bits/8`` bytes).
+    Returns an ``n_shards``-ROW DataFrame ``(shard int, num_bits long,
+    num_hashes int, seed int, n_shards int, bitmap array<long>)`` —
+    self-describing (:func:`bloom_probe` needs no out-of-band
+    parameters), complete (every shard has a row, all-zero bitmap when
+    no key routed to it), and ``n_shards · num_bits/8`` bytes total.
 
     Sizing: pass ``num_bits``/``num_hashes`` directly, or
-    ``expected_items`` + ``fpp`` to derive them, or neither — then the
-    build runs one extra ``count_distinct`` job over ``col`` to size
-    itself (fine for a benchmark/seen-set side; pass explicit sizes on
-    a side you don't want scanned twice).
+    ``expected_items`` + ``fpp`` to derive them (``expected_items`` is
+    the TOTAL key count; the per-shard filter is sized for its
+    1/n_shards slice), or neither — then the build runs one extra
+    ``count_distinct`` job over ``col`` to size itself (fine for a
+    benchmark/seen-set side; pass explicit sizes on a side you don't
+    want scanned twice).
 
     Scale shape: explode keys → k position rows (k small, map-side),
-    hash-shuffle on word index with bit_or partially aggregated
-    map-side, ≤ m/64 result rows, one-row dense assembly. Duplicate
-    input values cost shuffle volume but do not change the result —
-    ``.distinct()`` the input first if it is duplicate-heavy.
+    hash-shuffle on (shard, word index) with bit_or partially
+    aggregated map-side, ≤ n_shards·m/64 result rows, one dense row per
+    shard. Duplicate input values cost shuffle volume but do not change
+    the result — ``.distinct()`` the input first if it is
+    duplicate-heavy.
 
     NULL keys: ``xxhash64`` skips null arguments, so every NULL
     collapses onto one seed-derived synthetic key — a NULL in the build
@@ -140,12 +155,16 @@ def bloom_build(
     that is not the intended semantics.
     """
     c = F.col(col) if isinstance(col, str) else col
+    n_shards = int(n_shards)
+    if not (1 <= n_shards <= _MAX_SHARDS):
+        raise ValueError(f"n_shards must be in [1, 2^20], got {n_shards}")
     if num_bits is None or num_hashes is None:
         if expected_items is None:
             expected_items = df.select(
                 F.count_distinct(c).alias("n")
             ).collect()[0]["n"]
-        auto_m, auto_k = optimal_bloom_params(int(expected_items), fpp)
+        per_shard = (int(expected_items) + n_shards - 1) // n_shards
+        auto_m, auto_k = optimal_bloom_params(per_shard, fpp)
         num_bits = num_bits or auto_m
         num_hashes = num_hashes or auto_k
     num_bits = int(num_bits)
@@ -153,35 +172,50 @@ def bloom_build(
     if not (64 <= num_bits <= _MAX_BITS) or num_bits % 64:
         raise ValueError(
             f"num_bits must be a multiple of 64 in [64, 2^31], got {num_bits}"
-            " — shard the key space into independent filters above that"
+            " — raise n_shards instead of the per-shard size"
         )
     if not (1 <= num_hashes <= _MAX_HASHES):
         raise ValueError(f"num_hashes must be in [1, {_MAX_HASHES}], got {num_hashes}")
     n_words = num_bits // 64
 
+    pos_arr = F.array(*_positions(c, num_bits, num_hashes, seed))
     pos = df.select(
-        F.explode(_positions(c, num_bits, num_hashes, seed)).alias("p")
+        _shard(c, seed, n_shards).alias("shard"), F.explode(pos_arr).alias("p")
     )
     sparse = (
         pos.select(
+            "shard",
             F.floor(F.col("p") / F.lit(64)).cast("long").alias("widx"),
-            F.element_at(_masks(), F.pmod(F.col("p"), F.lit(64)).cast("int") + F.lit(1)).alias("wbit"),
+            F.element_at(
+                _masks(), F.pmod(F.col("p"), F.lit(64)).cast("int") + F.lit(1)
+            ).alias("wbit"),
         )
-        .groupBy("widx")
+        .groupBy("shard", "widx")
         .agg(F.bit_or("wbit").alias("word"))
     )
-    dense = sparse.agg(
+    per_shard_map = sparse.groupBy("shard").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("widx").alias("k"), F.col("word").alias("v")))
         ).alias("_m")
-    ).select(
-        F.lit(num_bits).cast("long").alias("num_bits"),
-        F.lit(num_hashes).cast("int").alias("num_hashes"),
-        F.lit(seed).cast("int").alias("seed"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(F.try_element_at("_m", i.cast("long")), F.lit(0).cast("long")),
-        ).alias("bitmap"),
+    )
+    # complete shard skeleton: empty shards still get a (zeroed) row, so
+    # probes/merges never have to reason about missing shards
+    skeleton = df.sparkSession.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    dense = (
+        skeleton.join(per_shard_map, "shard", "left")
+        .select(
+            "shard",
+            F.lit(num_bits).cast("long").alias("num_bits"),
+            F.lit(num_hashes).cast("int").alias("num_hashes"),
+            F.lit(seed).cast("int").alias("seed"),
+            F.lit(n_shards).cast("int").alias("n_shards"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.try_element_at("_m", i.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("bitmap"),
+        )
     )
     return dense
 
@@ -194,8 +228,10 @@ def bloom_maybe_contains(
     seed: int = 42,
 ) -> Column:
     """Boolean membership test against a bitmap column already on the
-    row (see :func:`bloom_probe`). True = maybe present (false-positive
-    rate per the filter's sizing); False = DEFINITELY absent.
+    row — the bitmap must be the key's OWN shard (see
+    :func:`bloom_probe`, which routes it). True = maybe present
+    (false-positive rate per the filter's sizing); False = DEFINITELY
+    absent. A NULL bitmap reads as all-zero (absent).
 
     The ``num_hashes`` bit tests are UNROLLED into a plain AND chain of
     scalar expressions rather than a ``forall`` over a positions array:
@@ -206,15 +242,9 @@ def bloom_maybe_contains(
     and the unrolled form is also friendlier to whole-stage codegen.
     k is small (≤ 64, typically ≤ 20), so the expression stays
     compact."""
-    num_bits = int(num_bits)
-    num_hashes = int(num_hashes)
-    m = F.lit(num_bits)
-    h1 = F.pmod(F.xxhash64(col, F.lit(int(seed))), m)
-    h2 = F.pmod(F.xxhash64(col, F.lit(int(seed) + 1)), m) * F.lit(2) + F.lit(1)
     masks = _masks()
     test = F.lit(True)
-    for i in range(num_hashes):
-        p = F.pmod(h1 + F.lit(i).cast("long") * h2, m)
+    for p in _positions(col, int(num_bits), int(num_hashes), int(seed)):
         word = F.coalesce(
             F.try_element_at(bitmap, (F.floor(p / F.lit(64)) + F.lit(1)).cast("int")),
             F.lit(0).cast("long"),
@@ -231,76 +261,99 @@ def bloom_probe(
     result_col: str = "maybe_member",
 ) -> DataFrame:
     """Add ``result_col`` (boolean) to ``df``: True iff ``col`` is
-    possibly in the filter. The one-row filter is broadcast; the probe
-    is a map-side expression — the big side never shuffles.
+    possibly in the filter. The n_shards-row filter is broadcast and
+    HASH-joined on the key's shard id; membership is then a map-side
+    expression — the big side never shuffles.
 
-    The filter is (lazily) localCheckpointed and its three scalar
-    parameters collected up front: the checkpoint cuts lineage (build
-    and probe sides routinely derive from the SAME upstream frame, and
-    a shared-lineage cross join trips Catalyst's self-join dedup),
-    guarantees the build runs ONCE however many probes reuse it, and
-    the Python-int parameters let the membership test unroll into plain
+    The filter is (lazily) localCheckpointed and its scalar parameters
+    collected up front: the checkpoint cuts lineage (build and probe
+    sides routinely derive from the SAME upstream frame, and a
+    shared-lineage join trips Catalyst's self-join dedup), guarantees
+    the build runs ONCE however many probes reuse it, and the
+    Python-int parameters let the membership test unroll into plain
     scalar expressions (see :func:`bloom_maybe_contains` for why). The
-    bitmap itself never leaves the JVM — only (num_bits, num_hashes,
-    seed) cross the driver."""
+    bitmaps themselves never leave the JVM — only (num_bits,
+    num_hashes, seed, n_shards) cross the driver."""
     c = F.col(col) if isinstance(col, str) else col
     b = bloom.select(
+        F.col("shard").alias("_bf_shard"),
         F.col("bitmap").alias("_bf_bitmap"),
         F.col("num_bits").alias("_bf_bits"),
         F.col("num_hashes").alias("_bf_hashes"),
         F.col("seed").alias("_bf_seed"),
+        F.col("n_shards").alias("_bf_nshards"),
     ).localCheckpoint(eager=False)
-    params = b.select("_bf_bits", "_bf_hashes", "_bf_seed").collect()[0]
-    joined = df.crossJoin(F.broadcast(b.select("_bf_bitmap")))
+    params = (
+        b.select("_bf_bits", "_bf_hashes", "_bf_seed", "_bf_nshards")
+        .distinct()
+        .collect()
+    )
+    if len(params) != 1:
+        raise ValueError(
+            f"bloom_probe: filter rows disagree on parameters: {params}"
+        )
+    bits, hashes, seed, n_shards = (int(v) for v in params[0])
+    joined = df.withColumn("_bf_key_shard", _shard(c, seed, n_shards)).join(
+        F.broadcast(b.select("_bf_shard", "_bf_bitmap")),
+        F.col("_bf_key_shard") == F.col("_bf_shard"),
+        "left",
+    )
     out = joined.withColumn(
         result_col,
         bloom_maybe_contains(
-            c,
-            F.col("_bf_bitmap"),
-            num_bits=int(params["_bf_bits"]),
-            num_hashes=int(params["_bf_hashes"]),
-            seed=int(params["_bf_seed"]),
+            c, F.col("_bf_bitmap"), num_bits=bits, num_hashes=hashes, seed=seed
         ),
     )
-    return out.drop("_bf_bitmap")
+    return out.drop("_bf_key_shard", "_bf_shard", "_bf_bitmap")
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """OR two filters built with identical (num_bits, num_hashes, seed)
-    into the filter of the union of their key sets. Raises at plan
-    build if the parameters disagree (a mismatched OR is silently
-    wrong, never just lossy)."""
+    """OR two filters built with identical (num_bits, num_hashes, seed,
+    n_shards) into the filter of the union of their key sets. Raises at
+    execution if the parameters disagree on any shard (a mismatched OR
+    is silently wrong, never just lossy)."""
     left = a.select(
+        "shard",
         F.col("num_bits").alias("_lb"),
         F.col("num_hashes").alias("_lh"),
         F.col("seed").alias("_ls"),
+        F.col("n_shards").alias("_ln"),
         F.col("bitmap").alias("_lm"),
     )
     right = b.select(
+        "shard",
         F.col("num_bits").alias("_rb"),
         F.col("num_hashes").alias("_rh"),
         F.col("seed").alias("_rs"),
+        F.col("n_shards").alias("_rn"),
         F.col("bitmap").alias("_rm"),
     )
-    joined = left.crossJoin(F.broadcast(right))
+    # inner join on shard: both sides carry the complete skeleton, so a
+    # row lost here means n_shards disagreed — caught by the check below
+    # (count mismatch surfaces as missing shards in the result; the
+    # parameter columns catch the rest row-by-row)
+    joined = left.join(F.broadcast(right), "shard")
     mismatch = (
         (F.col("_lb") != F.col("_rb"))
         | (F.col("_lh") != F.col("_rh"))
         | (F.col("_ls") != F.col("_rs"))
+        | (F.col("_ln") != F.col("_rn"))
     )
     return joined.select(
+        "shard",
         F.when(
             mismatch,
             F.raise_error(
                 F.format_string(
-                    "bloom_merge: parameter mismatch (bits/hashes/seed): "
-                    "(%d,%d,%d) vs (%d,%d,%d)",
-                    F.col("_lb"), F.col("_lh"), F.col("_ls"),
-                    F.col("_rb"), F.col("_rh"), F.col("_rs"),
+                    "bloom_merge: parameter mismatch (bits/hashes/seed/shards): "
+                    "(%d,%d,%d,%d) vs (%d,%d,%d,%d)",
+                    F.col("_lb"), F.col("_lh"), F.col("_ls"), F.col("_ln"),
+                    F.col("_rb"), F.col("_rh"), F.col("_rs"), F.col("_rn"),
                 )
             ).cast("long"),
         ).otherwise(F.col("_lb")).alias("num_bits"),
         F.col("_lh").alias("num_hashes"),
         F.col("_ls").alias("seed"),
+        F.col("_ln").alias("n_shards"),
         F.zip_with("_lm", "_rm", lambda x, y: x.bitwiseOR(y)).alias("bitmap"),
     )

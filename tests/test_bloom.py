@@ -56,7 +56,37 @@ def test_build_deterministic_across_partitioning(spark):
     b = bloom_build(members.coalesce(1), "key", num_bits=4096, num_hashes=5)
     ra, rb = a.collect()[0], b.collect()[0]
     assert ra["bitmap"] == rb["bitmap"]
-    assert (ra["num_bits"], ra["num_hashes"]) == (4096, 5)
+    assert (ra["num_bits"], ra["num_hashes"], ra["n_shards"]) == (4096, 5, 1)
+
+
+def test_sharded_no_false_negatives_and_capacity(spark):
+    """8 shards behave as one filter with 8x the capacity: no member is
+    ever dropped, and the per-shard false-positive math holds — the
+    same 2k keys in 8x512-bit shards FP far less than in one 512-bit
+    filter."""
+    members = _members(spark, 2_000)
+    sharded = bloom_build(members, "key", num_bits=512, num_hashes=3, n_shards=8)
+    assert sharded.count() == 8
+    probed = bloom_probe(members, sharded, "key")
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+    outsiders = _members(spark, 5_000, "x")
+    fp_sharded = bloom_probe(outsiders, sharded, "key").filter("maybe_member").count()
+    flat = bloom_build(members, "key", num_bits=512, num_hashes=3)
+    fp_flat = bloom_probe(outsiders, flat, "key").filter("maybe_member").count()
+    assert fp_sharded < fp_flat  # more total bits -> strictly fewer FPs
+
+
+def test_sharded_merge_equals_union_build(spark):
+    left = _members(spark, 600, "a")
+    right = _members(spark, 600, "b")
+    params = dict(num_bits=2048, num_hashes=4, n_shards=5)
+    merged = bloom_merge(
+        bloom_build(left, "key", **params), bloom_build(right, "key", **params)
+    )
+    direct = bloom_build(left.union(right), "key", **params)
+    m = {r["shard"]: r["bitmap"] for r in merged.collect()}
+    d = {r["shard"]: r["bitmap"] for r in direct.collect()}
+    assert m == d and len(m) == 5
 
 
 def test_duplicates_do_not_change_filter(spark):
@@ -96,18 +126,20 @@ def test_empty_build_side(spark):
 
 def test_probe_plan_is_map_side(spark):
     """The probe side must not shuffle: the filter arrives by broadcast
-    and membership is a projection — no Exchange on the probe lineage,
-    no BatchEvalPython anywhere."""
+    HASH join on the shard key and membership is a projection — no
+    shuffle exchange on the probe lineage, no BatchEvalPython, no
+    nested-loop join."""
     members = _members(spark, 100)
     bloom = bloom_build(members, "key", num_bits=1024, num_hashes=3)
-    # checkpoint the one-row filter so the build's exchanges are not in
-    # the probe plan (production shape: build once, reuse)
+    # checkpoint the filter so the build's exchanges are not in the
+    # probe plan (production shape: build once, reuse)
     plan = bloom_probe(
         _members(spark, 1_000), bloom.localCheckpoint(eager=True), "key"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the only exchange allowed is the broadcast of the one-row filter
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only exchange allowed is the broadcast of the filter rows
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
 
 

@@ -44,10 +44,6 @@ NESTED_LOOP_OK = {
     # idf term — a single-row broadcast is how scalar subqueries execute;
     # per-partition cost is O(1) regardless of corpus size
     "tfidf_top_terms",
-    # crossJoin(broadcast(<1-row Bloom filter>)) attaches the bitmap to
-    # the probe side; membership is a map-side projection and the
-    # corpus never shuffles (functions/bloom.py bloom_probe)
-    "bloom_decontaminate",
     # crossJoin of the two 1-row KMV sketch aggregates (one array each,
     # <= k longs) — the whole report is driver-scale array math
     # (functions/sketches.py key_overlap_report)
