@@ -152,6 +152,57 @@ def dedup_against(
     )
 
 
+def dedup_against_bloom(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    fpp: float = 0.001,
+    n_shards: int = 1,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`dedup_against` for the regime where even the reference's
+    16-byte hash manifest is too big to broadcast as an exact hash set
+    (a 100 TB ingested corpus is ~10^11 hashes). Same output, different
+    physical plan: the reference hashes build a (sharded) Bloom filter
+    once; each incoming batch probes it MAP-SIDE, rows the filter has
+    definitely never seen pass through without touching the reference
+    at all, and only the maybe-member sliver (true dups + ~``fpp``
+    false positives) pays the exact anti-join that removes the false
+    positives. No false negatives (a Bloom filter never drops a
+    member), so the result is EXACTLY ``dedup_against``'s.
+
+    The reference is scanned twice (filter build + confirm join) —
+    at ingest cadence, build the filter once with
+    ``bloom_build(ref_hashes, ...)`` and persist it next to the hash
+    manifest instead of calling this per batch.
+    """
+    from hama_spark.functions.bloom import bloom_build, bloom_probe
+
+    rh = reference.select(
+        F.md5(_c(ref_text_col or text_col).cast("binary")).alias("_rh")
+    ).distinct()
+    bloom = bloom_build(
+        rh,
+        "_rh",
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        fpp=fpp,
+        seed=seed,
+        n_shards=n_shards,
+    )
+    hashed = df.withColumn("_h", F.md5(_c(text_col).cast("binary")))
+    probed = bloom_probe(hashed, bloom, "_h", "_bf_maybe")
+    definite_new = probed.filter(~F.col("_bf_maybe"))
+    confirmed_new = probed.filter(F.col("_bf_maybe")).join(
+        rh, F.col("_h") == F.col("_rh"), "left_anti"
+    )
+    return definite_new.unionByName(confirmed_new).drop("_h", "_bf_maybe")
+
+
 def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -175,3 +175,62 @@ def test_bloom_decontaminate_matches_exact_and_oracle(spark, tables, duck):
         FROM sizes s LEFT JOIN hits h USING (doc_id)
         """,
     )
+
+
+def test_dedup_against_bloom_matches_exact(spark, tables, duck):
+    """Bloom-pruned incremental dedup is a plan change, not a result
+    change: identical survivors to the exact anti-join and to the
+    DuckDB twin."""
+    from hama_spark.extensions import dedup_against, dedup_against_bloom
+
+    docs = tables["documents"]
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    exact = dedup_against(batch, seen).select("doc_id")
+    bloomed = dedup_against_bloom(batch, seen, fpp=0.01, n_shards=4).select("doc_id")
+    assert sorted(r[0] for r in bloomed.collect()) == sorted(
+        r[0] for r in exact.collect()
+    )
+    assert_df_equals_oracle(
+        bloomed.select("doc_id"),
+        duck,
+        """
+        SELECT b.doc_id FROM documents b
+        WHERE b.doc_id % 3 = 0
+          AND md5(b.text) NOT IN (
+            SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+        """,
+    )
+
+
+def test_bloom_probe_on_stream(spark, tmp_path):
+    """The probe composes with Structured Streaming: the filter is a
+    static broadcast side of a stream-static equi-join, so ingest-time
+    dedup/decontamination can run inside a readStream pipeline."""
+    members = _members(spark, 500)
+    bloom = bloom_build(members, "key", num_bits=8192, num_hashes=5).localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path / "stream_src")
+    mixed = _members(spark, 200, "m").union(_members(spark, 200, "x"))
+    mixed.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema("key string").parquet(src)
+    probed = bloom_probe(stream, bloom, "key")
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bloom_probe_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT maybe_member, count(*) AS n FROM bloom_probe_stream "
+        "GROUP BY maybe_member"
+    ).collect()
+    byv = {r["maybe_member"]: r["n"] for r in rows}
+    # all 200 members flagged maybe (no false negatives); outsiders
+    # mostly rejected (8192 bits / 500 keys -> fpp << 5%)
+    assert byv.get(True, 0) >= 200
+    assert byv.get(False, 0) >= 180
