@@ -159,7 +159,7 @@ def dedup_against_bloom(
     text_col: str = "text",
     ref_text_col: str | None = None,
     fpp: float = 0.001,
-    n_shards: int = 1,
+    n_shards: int | None = None,
     num_bits: int | None = None,
     num_hashes: int | None = None,
     seed: int = 42,
@@ -175,21 +175,31 @@ def dedup_against_bloom(
     positives. No false negatives (a Bloom filter never drops a
     member), so the result is EXACTLY ``dedup_against``'s.
 
-    The reference is scanned twice (filter build + confirm join) —
-    at ingest cadence, build the filter once with
+    The reference text is scanned ONCE: its 16-byte hash manifest is
+    localCheckpointed and reused for the sizing count, the filter
+    build, and the confirm join (the manifest is ~0.01% of the text,
+    so materializing it beats three corpus re-scans at any scale). At
+    ingest cadence, better still: build the filter once with
     ``bloom_build(ref_hashes, ...)`` and persist it next to the hash
     manifest instead of calling this per batch.
     """
     from hama_spark.functions.bloom import bloom_build, bloom_probe
 
-    rh = reference.select(
-        F.md5(_c(ref_text_col or text_col).cast("binary")).alias("_rh")
-    ).distinct()
+    rh = (
+        reference.select(
+            F.md5(_c(ref_text_col or text_col).cast("binary")).alias("_rh")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bloom = bloom_build(
         rh,
         "_rh",
         num_bits=num_bits,
         num_hashes=num_hashes,
+        # rh is already distinct — a plain count on the checkpointed
+        # manifest sizes the filter without a count_distinct job
+        expected_items=None if (num_bits and num_hashes) else rh.count(),
         fpp=fpp,
         seed=seed,
         n_shards=n_shards,

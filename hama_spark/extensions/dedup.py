@@ -595,6 +595,7 @@ def bloom_decontaminate(
     num_bits: int | None = None,
     num_hashes: int | None = None,
     seed: int = 42,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """:func:`contamination_report` for the regime where the reference
     key set is too large to broadcast as an exact hash set — the other
@@ -627,7 +628,10 @@ def bloom_decontaminate(
         .localCheckpoint(eager=True)  # reused: sizing count, filter build, confirm join
     )
     # b is already distinct, so a plain count sizes the filter — passing
-    # expected_items spares bloom_build its own count_distinct job
+    # expected_items spares bloom_build its own count_distinct job.
+    # n_shards=None lets the build shard itself when the reference
+    # outgrows one shard's 2^31-bit ceiling (~1.5e8 shingles at the
+    # default fpp); pass it explicitly to pin a layout.
     bloom = bloom_build(
         b,
         "sh",
@@ -636,6 +640,7 @@ def bloom_decontaminate(
         expected_items=None if (num_bits and num_hashes) else b.count(),
         fpp=fpp,
         seed=seed,
+        n_shards=n_shards,
     )  # bloom_probe checkpoints it — built once however many probes
 
     # the corpus shingle relation is deliberately NOT checkpointed: it

@@ -124,7 +124,7 @@ def bloom_build(
     expected_items: int | None = None,
     fpp: float = 0.01,
     seed: int = 42,
-    n_shards: int = 1,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Build a Bloom filter over (the distinct values of) ``col``.
 
@@ -140,7 +140,10 @@ def bloom_build(
     1/n_shards slice), or neither — then the build runs one extra
     ``count_distinct`` job over ``col`` to size itself (fine for a
     benchmark/seen-set side; pass explicit sizes on a side you don't
-    want scanned twice).
+    want scanned twice). When ``n_shards`` is left None, auto-sizing
+    also raises the shard count whenever the key set needs more than
+    one shard's 2^31-bit ceiling — any ``expected_items``/``fpp``
+    combination builds without manual capacity math.
 
     Scale shape: explode keys → k position rows (k small, map-side),
     hash-shuffle on (shard, word index) with bit_or partially
@@ -155,7 +158,8 @@ def bloom_build(
     that is not the intended semantics.
     """
     c = F.col(col) if isinstance(col, str) else col
-    n_shards = int(n_shards)
+    auto_shards = n_shards is None
+    n_shards = 1 if n_shards is None else int(n_shards)
     if not (1 <= n_shards <= _MAX_SHARDS):
         raise ValueError(f"n_shards must be in [1, 2^20], got {n_shards}")
     if num_bits is None or num_hashes is None:
@@ -163,7 +167,13 @@ def bloom_build(
             expected_items = df.select(
                 F.count_distinct(c).alias("n")
             ).collect()[0]["n"]
-        per_shard = (int(expected_items) + n_shards - 1) // n_shards
+        expected_items = int(expected_items)
+        if auto_shards and expected_items > 0 and 0.0 < fpp < 1.0:
+            # unclamped total size; shard until each slice fits the
+            # per-shard ceiling
+            m_total = -expected_items * math.log(fpp) / (math.log(2) ** 2)
+            n_shards = min(_MAX_SHARDS, max(1, math.ceil(m_total / _MAX_BITS)))
+        per_shard = (expected_items + n_shards - 1) // n_shards
         auto_m, auto_k = optimal_bloom_params(per_shard, fpp)
         num_bits = num_bits or auto_m
         num_hashes = num_hashes or auto_k
