@@ -71,7 +71,8 @@ ITERATIVE_LAST = [
 # (BENCH_r0{3,4}.json: parsed=null, ~30 timings lost). The printed line
 # therefore carries a PRIORITIZED subset of per-query timings trimmed
 # to a byte budget; the COMPLETE dict always lands in bench_out.json
-# next to this script (committed per round). Priority order: the 42
+# next to this script (gitignored scratch; snapshot it to
+# BENCH_LOCAL_r{N}.json to commit a round's full run). Priority order: the 42
 # BENCH_r01 baseline queries (the judge's ratio basis) first, then the
 # headline heavies, then everything else until the budget runs out.
 _LINE_BUDGET = 1850  # bytes; leaves margin inside the 2000-byte tail
