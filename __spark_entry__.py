@@ -2582,6 +2582,18 @@ def _topk_cached(spark, emb, method: str):
     return _TOPK_MEMO[key]
 
 
+def _q_knn_graph(spark, t):
+    """kNN graph over the embeddings corpus in the EXACT configuration
+    (nprobe = n_cells probes every cell, so the IVF shuffle-join plan
+    reproduces brute-force kNN and the cross-join oracle hash-matches;
+    production calls drop nprobe for the approximate regime)."""
+    from hama_spark.extensions import knn_graph
+
+    return knn_graph(
+        t["embeddings"], k=5, n_cells=8, nprobe=8, kmeans_iter=2
+    )
+
+
 def _q_cosine_topk(spark, t):
     return _topk_cached(spark, t["embeddings"], "cosine")
 
@@ -3279,7 +3291,8 @@ QUERIES: dict[str, Callable] = {
     # interval_join / Kneser-Ney / privacy pair / budget select /
     # key-overlap / length buckets (the pytest-only operators VERDICT
     # r4 §next.2+7 asked to give hard driver rows) plus the
-    # bloom-pruned decontamination added mid-round — (b) the
+    # bloom-pruned decontamination and the exact-regime kNN graph
+    # added mid-round — (b) the
     # three text queries displaced below the boundary since r3
     # (text_stats/quality_score/heuristic_flags, r4-modified), and
     # (c) the r4 window minus thirteen displaced refresh slots, every
@@ -3297,6 +3310,7 @@ QUERIES: dict[str, Callable] = {
     "key_overlap": _q_key_overlap,
     "length_buckets": _q_length_buckets,
     "bloom_decontaminate": _q_bloom_decontaminate,
+    "knn_graph": _q_knn_graph,
     # displaced below the 50-boundary since r3, modified in r4 —
     # restored per VERDICT r4 §next.2
     "text_stats": _q_text_stats,
@@ -3348,17 +3362,18 @@ QUERIES: dict[str, Callable] = {
     "gradient_descent_linear": _q_gd,
     "gradient_descent_logistic": _q_gd_logistic,
     "kmeans_sizes": _q_kmeans,
-    "importance_weights": _q_importance_weights,
     # ---- driver window boundary (entry 50 above this line) ----------
     # Everything below holds a green row (r2, r3 or r4) on code
     # unchanged since, re-verified per round by the full-inventory
-    # selfcheck (SELFCHECK_r05.json, all queries hash-match at sf0.01).
+    # selfcheck (SELFCHECK_r05.json, all queries hash-match at sf0.01;
+    # SELFCHECK_r05_sf01.json repeats the full pass at sf0.1).
     # Displaced r4-window refresh slots (fresh r4 rows, code untouched
-    # in r5): quality_classifier (displaced for the new
-    # bloom_decontaminate row), nb_lang_confusion, bm25_topk,
-    # hybrid_rrf, scd2_orders, link_prediction, corpus_diff,
+    # in r5): quality_classifier and importance_weights (displaced for
+    # the new bloom_decontaminate and knn_graph rows), nb_lang_confusion,
+    # bm25_topk, hybrid_rrf, scd2_orders, link_prediction, corpus_diff,
     # hard_negatives, scrub_boilerplate, bpe_top_tokens, bpe_fertility,
     # corpus_stats, value_quantiles.
+    "importance_weights": _q_importance_weights,
     "quality_classifier": _q_quality_classifier,
     "nb_lang_confusion": _q_nb_confusion,
     "bm25_topk": _q_bm25_topk,
@@ -4325,6 +4340,25 @@ def oracle_sql() -> dict[str, str]:
                    round(pow(sz, 0.5) / za, 6) AS q,
                    round((pow(sz, 0.5) / za) / (sz / tot), 6) AS rate
             FROM g, nrm
+        """,
+        # exact-regime kNN graph (nprobe = n_cells): the IVF
+        # shuffle-join plan compares every pair exactly once, so
+        # brute-force kNN SQL is the ground truth — same normalize/dot/
+        # rounding/tie discipline as the proven cosine_topk twin
+        "knn_graph": """
+            WITH n AS (
+              SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+                sqrt(list_aggregate(list_transform(embedding::DOUBLE[], y -> y*y),
+                     'sum'))) AS v
+              FROM embeddings)
+            SELECT src, dst, cosine, rank FROM (
+              SELECT q.vec_id AS src, c.vec_id AS dst,
+                     round(list_dot_product(c.v, q.v), 9) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY round(list_dot_product(c.v, q.v), 9) DESC,
+                                 c.vec_id) AS rank
+              FROM n c, n q WHERE c.vec_id <> q.vec_id)
+            WHERE rank <= 5
         """,
         # identical relational semantics to `decontaminate` (the Bloom
         # prune is plan-level only: no false negatives, false positives

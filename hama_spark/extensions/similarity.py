@@ -386,6 +386,78 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cells=None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the corpus itself: for every
+    point, its ``k`` most cosine-similar other points. Returns
+    (src, dst, cosine, rank) edges — the standard input to graph-based
+    clustering, semantic-dedup variants that walk neighborhoods, and
+    link-prediction features (feed the edges to ``graph/`` operators;
+    symmetrize with a union of the reversed edges if the consumer
+    wants an undirected graph).
+
+    NOT :func:`ivf_topk` with the corpus as its own query set — that
+    operator broadcasts the query side, which is exactly what must not
+    happen when the query side IS the corpus. Here both sides stay
+    distributed: points are coarse-quantized once (k-means centroids,
+    O(n_cells·dim) driver state), every point also emits ``nprobe``
+    probe rows for its nearest cells (including its own), and a
+    SHUFFLE equi-join on the cell id scores candidates within cells —
+    Σ |cell|·|probes(cell)| comparisons, never n². Top-k per point is
+    a keyed window (never single-partition).
+
+    Approximate with the usual IVF recall/nprobe trade-off; with
+    ``nprobe >= n_cells`` every cell is probed and the result is EXACT
+    brute-force kNN (the oracle-checked configuration). ``cells``
+    accepts a precomputed ``(assigned, centers)`` pair (same contract
+    as :func:`ivf_topk`) so a pipeline reuses one quantization.
+    """
+    from hama_spark.functions.distance import MEASURES
+
+    cb, centers = cells or _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
+    measure = MEASURES["euclidean"]
+    nprobe = min(int(nprobe), len(centers))
+
+    dists = F.array(
+        *[
+            F.struct(
+                measure(F.col("v"), F.array(*[F.lit(x) for x in ctr])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    probes = cb.select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(F.slice(F.array_sort(dists), 1, nprobe)).alias("dc"),
+    ).select("qid", "qv", F.col("dc.cell").alias("cell"))
+
+    scored = (
+        cb.join(probes, "cell")  # shuffle equi-join: both sides are corpus-sized
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid", "id", F.round(_dot(F.col("v"), F.col("qv")), 9).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("src"), F.col("id").alias("dst"), "cosine", "rank"
+        )
+    )
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

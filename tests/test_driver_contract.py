@@ -73,10 +73,11 @@ def test_modified_or_new_queries_lead_the_dict():
         "interval_join", "kneser_ney_perplexity", "k_anonymity",
         "l_diversity", "select_under_budget", "key_overlap",
         "length_buckets",
-        # new mid-round-5: the Bloom-pruned decontamination path
-        # (displaced quality_classifier, r4-green and unmodified, below
-        # the boundary — selfcheck keeps re-verifying it)
-        "bloom_decontaminate",
+        # new mid-round-5: the Bloom-pruned decontamination path and
+        # the exact-regime kNN graph (displaced quality_classifier and
+        # importance_weights, both r4-green and unmodified, below the
+        # boundary — selfcheck keeps re-verifying them)
+        "bloom_decontaminate", "knn_graph",
         # displaced below the boundary since r3, modified in r4 —
         # restored per VERDICT r4 §next.2
         "text_stats", "quality_score", "heuristic_flags",
@@ -96,7 +97,6 @@ def test_modified_or_new_queries_lead_the_dict():
         "personalized_pagerank", "random_walks", "label_communities",
         "minhash_lsh_pairs", "dedup_near", "lsh_cosine_pairs",
         "dedup_embedding", "semantic_dup_pairs", "semantic_dedup",
-        "importance_weights",
     }
     missing = must_lead - first50
     assert not missing, f"queries outside the driver's 50-entry window: {sorted(missing)}"
