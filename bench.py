@@ -100,7 +100,7 @@ _PRIORITY = [
     "pack_sequences", "global_shuffle", "personalized_pagerank",
     "random_walks", "label_communities", "interval_join",
     "kneser_ney_perplexity", "importance_weights", "quality_classifier",
-    "corpus_diff",
+    "corpus_diff", "bloom_decontaminate", "knn_graph",
 ]
 
 
