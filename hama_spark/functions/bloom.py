@@ -203,29 +203,34 @@ def bloom_build(
         .groupBy("shard", "widx")
         .agg(F.bit_or("wbit").alias("word"))
     )
-    per_shard_map = sparse.groupBy("shard").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("widx").alias("k"), F.col("word").alias("v")))
-        ).alias("_m")
+    # Dense assembly: join the sparse words onto a complete
+    # (shard, word-index) skeleton (empty slots → 0, so empty shards
+    # still get a full zeroed row), then per shard sort the words by
+    # index and strip the index. O(n_words log n_words) per shard —
+    # NOT a map built per shard and probed per word: Spark map lookup
+    # is a linear scan, which made the first version of this assembly
+    # O(n_words · populated_words) — measured ~60 s for a 6M-bit
+    # filter where this shape takes ~2 s.
+    spark = df.sparkSession
+    word_skeleton = spark.range(n_shards * n_words).select(
+        (F.col("id") / F.lit(n_words)).cast("int").alias("shard"),
+        F.pmod(F.col("id"), F.lit(n_words)).cast("long").alias("widx"),
     )
-    # complete shard skeleton: empty shards still get a (zeroed) row, so
-    # probes/merges never have to reason about missing shards
-    skeleton = df.sparkSession.range(n_shards).select(F.col("id").cast("int").alias("shard"))
-    dense = (
-        skeleton.join(per_shard_map, "shard", "left")
-        .select(
-            "shard",
-            F.lit(num_bits).cast("long").alias("num_bits"),
-            F.lit(num_hashes).cast("int").alias("num_hashes"),
-            F.lit(seed).cast("int").alias("seed"),
-            F.lit(n_shards).cast("int").alias("n_shards"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.try_element_at("_m", i.cast("long")), F.lit(0).cast("long")
-                ),
-            ).alias("bitmap"),
-        )
+    dense_words = word_skeleton.join(sparse, ["shard", "widx"], "left").select(
+        "shard", "widx", F.coalesce(F.col("word"), F.lit(0).cast("long")).alias("word")
+    )
+    dense = dense_words.groupBy("shard").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "word"))),
+            lambda s: s["word"],
+        ).alias("bitmap")
+    ).select(
+        "shard",
+        F.lit(num_bits).cast("long").alias("num_bits"),
+        F.lit(num_hashes).cast("int").alias("num_hashes"),
+        F.lit(seed).cast("int").alias("seed"),
+        F.lit(n_shards).cast("int").alias("n_shards"),
+        "bitmap",
     )
     return dense
 

@@ -222,6 +222,21 @@ def run_dedup_exact(spark, mult: int):
     return dedup_exact(docs)
 
 
+def run_bloom_decontaminate(spark, mult: int):
+    from hama_spark.extensions import bloom_decontaminate
+
+    # the reference side grows WITH the corpus (a 1/89 slice) — the
+    # cross-corpus regime the Bloom path exists for, where the exact
+    # broadcast of the reference shingle set would eventually not fit
+    docs = gen_docs(spark, SMALL["docs"] * mult).localCheckpoint(eager=True)
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 89 != 0),
+        docs.filter(F.col("doc_id") % 89 == 0),
+        k=3,
+        fpp=0.001,
+    )
+
+
 OPS = {
     "pagerank_gen": run_pagerank,
     "sssp_gen": run_sssp,
@@ -233,6 +248,7 @@ OPS = {
     "pack_sequences": run_pack_sequences,
     "interval_join": run_interval_join,
     "dedup_exact": run_dedup_exact,
+    "bloom_decontaminate": run_bloom_decontaminate,
 }
 
 
