@@ -174,9 +174,19 @@ def bloom_build(
             m_total = -expected_items * math.log(fpp) / (math.log(2) ** 2)
             n_shards = min(_MAX_SHARDS, max(1, math.ceil(m_total / _MAX_BITS)))
         per_shard = (expected_items + n_shards - 1) // n_shards
-        auto_m, auto_k = optimal_bloom_params(per_shard, fpp)
-        num_bits = num_bits or auto_m
-        num_hashes = num_hashes or auto_k
+        if num_bits is None:
+            num_bits, _ = optimal_bloom_params(per_shard, fpp)
+        if num_hashes is None:
+            # derive k from the num_bits ACTUALLY in use (the caller's,
+            # when given) — k = (m/n)·ln 2. Tuning k against an
+            # auto-sized m the filter doesn't use silently degrades fpp.
+            if per_shard > 0:
+                num_hashes = max(
+                    1,
+                    min(_MAX_HASHES, round(int(num_bits) / per_shard * math.log(2))),
+                )
+            else:
+                num_hashes = 1
     num_bits = int(num_bits)
     num_hashes = int(num_hashes)
     if not (64 <= num_bits <= _MAX_BITS) or num_bits % 64:
@@ -322,53 +332,66 @@ def bloom_probe(
     return out.drop("_bf_key_shard", "_bf_shard", "_bf_bitmap")
 
 
+def _merge_side_params(df: DataFrame, label: str) -> tuple[int, int, int, int]:
+    """Collect and validate one merge input: exactly one parameter
+    tuple, a complete shard skeleton (n_shards rows, all distinct).
+    Returns (num_bits, num_hashes, seed, n_shards)."""
+    row = df.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("shard").alias("shards"),
+        F.count_distinct("num_bits", "num_hashes", "seed", "n_shards").alias("tuples"),
+        F.min("num_bits").alias("bits"),
+        F.min("num_hashes").alias("hashes"),
+        F.min("seed").alias("seed"),
+        F.min("n_shards").alias("n_shards"),
+    ).collect()[0]
+    if row["rows"] == 0:
+        raise ValueError(f"bloom_merge: {label} input has no rows")
+    if row["tuples"] != 1:
+        raise ValueError(
+            f"bloom_merge: {label} input rows disagree on "
+            "(num_bits, num_hashes, seed, n_shards)"
+        )
+    n_shards = int(row["n_shards"])
+    if row["rows"] != n_shards or row["shards"] != n_shards:
+        raise ValueError(
+            f"bloom_merge: {label} input declares n_shards={n_shards} but has "
+            f"{row['rows']} rows ({row['shards']} distinct shards) — a filter "
+            "missing shards would merge into silent false negatives; merge "
+            "only complete bloom_build/bloom_merge outputs"
+        )
+    return (int(row["bits"]), int(row["hashes"]), int(row["seed"]), n_shards)
+
+
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """OR two filters built with identical (num_bits, num_hashes, seed,
-    n_shards) into the filter of the union of their key sets. Raises at
-    execution if the parameters disagree on any shard (a mismatched OR
-    is silently wrong, never just lossy)."""
-    left = a.select(
+    n_shards) into the filter of the union of their key sets.
+
+    Validation is EAGER and driver-side (one one-row agg job per input,
+    like :func:`bloom_probe`'s parameter collect): parameter mismatch
+    and incomplete shard skeletons raise here in Python, not via a
+    ``raise_error`` expression a downstream projection could prune
+    away — a mismatched or shard-dropping OR is silently wrong (false
+    negatives), never just lossy, so it must be impossible to execute.
+    Both inputs are lazily localCheckpointed first, so the validation
+    job materializes each build once and the merge reuses the blocks."""
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
+    pa = _merge_side_params(a, "left")
+    pb = _merge_side_params(b, "right")
+    if pa != pb:
+        raise ValueError(
+            "bloom_merge: parameter mismatch (num_bits, num_hashes, seed, "
+            f"n_shards): {pa} vs {pb}"
+        )
+    # inner join is now safe: both sides proved a complete, identical
+    # (0..n_shards-1) shard skeleton above
+    right = b.select("shard", F.col("bitmap").alias("_rm"))
+    return a.join(F.broadcast(right), "shard").select(
         "shard",
-        F.col("num_bits").alias("_lb"),
-        F.col("num_hashes").alias("_lh"),
-        F.col("seed").alias("_ls"),
-        F.col("n_shards").alias("_ln"),
-        F.col("bitmap").alias("_lm"),
-    )
-    right = b.select(
-        "shard",
-        F.col("num_bits").alias("_rb"),
-        F.col("num_hashes").alias("_rh"),
-        F.col("seed").alias("_rs"),
-        F.col("n_shards").alias("_rn"),
-        F.col("bitmap").alias("_rm"),
-    )
-    # inner join on shard: both sides carry the complete skeleton, so a
-    # row lost here means n_shards disagreed — caught by the check below
-    # (count mismatch surfaces as missing shards in the result; the
-    # parameter columns catch the rest row-by-row)
-    joined = left.join(F.broadcast(right), "shard")
-    mismatch = (
-        (F.col("_lb") != F.col("_rb"))
-        | (F.col("_lh") != F.col("_rh"))
-        | (F.col("_ls") != F.col("_rs"))
-        | (F.col("_ln") != F.col("_rn"))
-    )
-    return joined.select(
-        "shard",
-        F.when(
-            mismatch,
-            F.raise_error(
-                F.format_string(
-                    "bloom_merge: parameter mismatch (bits/hashes/seed/shards): "
-                    "(%d,%d,%d,%d) vs (%d,%d,%d,%d)",
-                    F.col("_lb"), F.col("_lh"), F.col("_ls"), F.col("_ln"),
-                    F.col("_rb"), F.col("_rh"), F.col("_rs"), F.col("_rn"),
-                )
-            ).cast("long"),
-        ).otherwise(F.col("_lb")).alias("num_bits"),
-        F.col("_lh").alias("num_hashes"),
-        F.col("_ls").alias("seed"),
-        F.col("_ln").alias("n_shards"),
-        F.zip_with("_lm", "_rm", lambda x, y: x.bitwiseOR(y)).alias("bitmap"),
+        "num_bits",
+        "num_hashes",
+        "seed",
+        "n_shards",
+        F.zip_with("bitmap", "_rm", lambda x, y: x.bitwiseOR(y)).alias("bitmap"),
     )

@@ -115,6 +115,43 @@ def test_merge_rejects_mismatched_params(spark):
         bloom_merge(a, b).collect()
 
 
+def test_merge_mismatch_raises_even_when_params_pruned(spark):
+    """The mismatch check must fire at merge time, not live in a column
+    a downstream projection can prune: a consumer that only reads
+    (shard, bitmap) — e.g. writes the bitmap out — must still hit it."""
+    a = bloom_build(_members(spark, 10), "key", num_bits=1024, num_hashes=3)
+    b = bloom_build(_members(spark, 10), "key", num_bits=1024, num_hashes=5)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        bloom_merge(a, b)  # eager: raises before any downstream action
+
+
+def test_merge_rejects_incomplete_shard_skeleton(spark):
+    """A filter missing shards (user-filtered / partially written) must
+    refuse to merge — an inner join silently dropping the shard would
+    make every key in it a false negative."""
+    params = dict(num_bits=512, num_hashes=3, n_shards=8)
+    a = bloom_build(_members(spark, 200, "a"), "key", **params)
+    b = bloom_build(_members(spark, 200, "b"), "key", **params).filter("shard != 3")
+    with pytest.raises(Exception, match="missing shards|complete"):
+        bloom_merge(a, b)
+
+
+def test_num_hashes_derived_from_callers_num_bits(spark):
+    """When num_bits is pinned but num_hashes is not, k must come from
+    the caller's m (k = m/n·ln2), not from an auto-sized m the filter
+    doesn't use."""
+    import math
+
+    members = _members(spark, 100)
+    # caller pins a generous m: 8192 bits for 100 keys -> k ~ 57 -> capped
+    row = bloom_build(members, "key", num_bits=8192, expected_items=100).collect()[0]
+    expect_k = max(1, min(64, round(8192 / 100 * math.log(2))))
+    assert row["num_hashes"] == expect_k
+    # and a tiny pinned m yields a small k, not one tuned for auto-m
+    row2 = bloom_build(members, "key", num_bits=128, expected_items=100).collect()[0]
+    assert row2["num_hashes"] == max(1, round(128 / 100 * math.log(2)))
+
+
 def test_empty_build_side(spark):
     empty = _members(spark, 0)
     bloom = bloom_build(empty, "key", num_bits=1024, num_hashes=3)
