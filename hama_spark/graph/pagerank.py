@@ -32,6 +32,7 @@ def pagerank(
     checkpoint_interval: int = 4,
     num_partitions: int | None = None,
     personalize: str | None = None,
+    recover_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, rank). ``epsilon=None`` disables the
     convergence check and runs exactly ``max_iter`` supersteps (useful
@@ -131,5 +132,9 @@ def pagerank(
         checkpoint_interval=checkpoint_interval,
         detect_halt=not fixed,
         num_partitions=num_partitions,
+        recover_dir=recover_dir,
+        recover_fingerprint=(
+            f"pagerank|{damping}|{epsilon}|{max_iter}|{self_ref}|{personalize}"
+        ),
     )
     return result.select("id", "rank")

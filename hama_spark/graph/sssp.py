@@ -28,6 +28,7 @@ def sssp(
     checkpoint_interval: int = 4,
     num_partitions: int | None = None,
     halt_check_interval: int = 1,
+    recover_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst, weight:int) + start id -> (id, dist:int).
 
@@ -36,6 +37,10 @@ def sssp(
     graph. ``num_partitions`` sizes the pinned loop partitioning to the
     graph (default: session shuffle partitions) — on a cluster target
     ~100-200 MB of vertex state per partition.
+
+    ``recover_dir``: durable mid-fixpoint checkpoints — a rerun after a
+    driver crash resumes from the last committed superstep (see
+    :func:`hama_spark.plans.pregel.pregel`).
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -89,5 +94,7 @@ def sssp(
         # un-updated vertices send nothing, so supersteps past the
         # fixpoint are no-ops — batching the halt check is safe.
         halt_check_interval=halt_check_interval,
+        recover_dir=recover_dir,
+        recover_fingerprint=f"sssp|{start_vertex}|{max_iter}",
     )
     return result.select("id", "dist")

@@ -52,6 +52,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+
 MSG = "_msg"  # column name the combined inbox arrives under
 
 
@@ -90,6 +92,9 @@ def pregel(
     halt_check_interval: int = 1,
     mutate: Callable[[DataFrame, "PregelContext"], tuple[DataFrame | None, DataFrame | None]]
     | None = None,
+    recover_dir: str | None = None,
+    recover_fingerprint: str = "",
+    recover_retain: int = 2,
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -139,30 +144,66 @@ def pregel(
         may be None. Additions are unioned in (same schema), removals
         anti-joined out by ``id_col``; ``ctx.num_vertices`` is updated
         like the master's count adjustment (:664-675).
+    recover_dir : when set, the loop persists ``(superstep, vertices,
+        pending inbox, aggregates)`` to this directory every
+        ``checkpoint_interval`` supersteps (manifest-last commit) and a
+        RESTARTED call with the same ``recover_dir`` resumes from the
+        last committed superstep instead of superstep 0 — driver-crash
+        recovery, the durable analogue of the reference's per-superstep
+        message checkpoint (bsp/ft/AsyncRcvdMsgCheckpointImpl.java:69-358).
+        ``reliable_checkpoint`` covers executor loss only; this covers
+        the whole driver. Aggregator values must be JSON-serializable.
+    recover_fingerprint : opaque string identifying the JOB (hash the
+        algorithm parameters into it); a checkpoint written under a
+        different fingerprint raises instead of resuming the wrong
+        fixpoint. ``recover_retain`` committed steps are kept (pruned
+        after each new commit).
     """
     if halt_check_interval < 1:
         raise ValueError(f"halt_check_interval must be >= 1, got {halt_check_interval}")
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # Pin the partitioning once (see module docstring for why the loop
-    # re-anchors with checkpoints rather than caches).
-    vertices = vertices.repartition(n_part, id_col)
     if edges is not None:
         edges = edges.repartition(n_part, "src").cache()
         edges.count()  # materialize so per-iteration scans hit cache
-    # lazy checkpoint: the count() below materializes it — one job, not two
-    vertices = vertices.localCheckpoint(eager=False)
 
-    ctx = PregelContext(superstep=0, num_vertices=vertices.count())
-
-    # --- superstep 0 inbox (Hama's "initial superstep", G3) -------------
-    if initial_message == "self":
-        inbox = None  # compute sees ctx.superstep==0 and seeds itself
-    elif callable(initial_message):
-        inbox = initial_message(vertices, ctx)
+    resume = (
+        load_checkpoint(spark, recover_dir, recover_fingerprint)
+        if recover_dir is not None
+        else None
+    )
+    if resume is not None:
+        # Driver-crash recovery: loop-carried state comes from the last
+        # committed checkpoint — vertices are post-compute of superstep
+        # s, inbox holds the messages already sent for superstep s+1,
+        # and the scalars restore the aggregator schedule exactly.
+        vertices = (
+            resume["vertices"].repartition(n_part, id_col).localCheckpoint(eager=False)
+        )
+        st = resume["state"]
+        ctx = PregelContext(
+            superstep=resume["superstep"] + 1,
+            num_vertices=int(st["num_vertices"]),
+            num_messages=int(st["num_messages"]),
+            aggregates=dict(st["aggregates"]),
+            prev_aggregates=dict(st["prev_aggregates"]),
+        )
+        inbox = resume["inbox"]
     else:
-        inbox = None
+        # Pin the partitioning once (see module docstring for why the
+        # loop re-anchors with checkpoints rather than caches). Lazy
+        # checkpoint: the count() below materializes it — one job.
+        vertices = vertices.repartition(n_part, id_col).localCheckpoint(eager=False)
+        ctx = PregelContext(superstep=0, num_vertices=vertices.count())
+
+        # --- superstep 0 inbox (Hama's "initial superstep", G3) ---------
+        if initial_message == "self":
+            inbox = None  # compute sees ctx.superstep==0 and seeds itself
+        elif callable(initial_message):
+            inbox = initial_message(vertices, ctx)
+        else:
+            inbox = None
 
     while True:
         if inbox is not None:
@@ -249,6 +290,30 @@ def pregel(
                 materialized = True
                 if ctx.num_messages == 0:
                     break
+        if (
+            recover_dir is not None
+            and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
+        ):
+            # Durable commit of the loop-carried state (vertices are
+            # post-compute of this superstep, msgs the pending inbox for
+            # the next). The parquet writes double as the actions that
+            # materialize the lazy checkpoints. Manifest-last: a crash
+            # mid-write leaves no committed step.
+            save_checkpoint(
+                recover_dir,
+                ctx.superstep,
+                vertices,
+                msgs,
+                {
+                    "num_vertices": ctx.num_vertices,
+                    "num_messages": ctx.num_messages,
+                    "aggregates": ctx.aggregates,
+                    "prev_aggregates": ctx.prev_aggregates,
+                },
+                recover_fingerprint,
+                retain=recover_retain,
+            )
+            materialized = True
         inbox = msgs
         ctx.superstep += 1
 

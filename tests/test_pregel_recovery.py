@@ -1,0 +1,132 @@
+"""Mid-fixpoint driver-crash recovery (P16): kill the Pregel loop at
+superstep k, rerun with the same recover_dir, and the resumed run
+hash-matches the uninterrupted run — the Spark analogue of the
+reference's superstep recovery (bsp/ft/AsyncRcvdMsgCheckpointImpl.java:
+69-358, replay semantics per bsp/TestCheckpoint.java)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import importlib
+
+# the package __init__ re-exports shadow the submodule attribute names
+pagerank_mod = importlib.import_module("hama_spark.graph.pagerank")
+sssp_mod = importlib.import_module("hama_spark.graph.sssp")
+from hama_spark.plans.recovery import committed_steps, load_checkpoint
+
+
+def _line_edges(spark, n=12):
+    # 0 -> 1 -> ... -> n-1, weight 1: diameter n-1, deep fixpoint
+    return spark.range(n - 1).select(
+        F.col("id").cast("string").alias("src"),
+        (F.col("id") + 1).cast("string").alias("dst"),
+        F.lit(1).cast("int").alias("weight"),
+    )
+
+
+def _killing_pregel(real_pregel, kill_at, seen):
+    """Wrap pregel so the user compute callback records supersteps and
+    raises at ``kill_at`` — a driver-side crash mid-fixpoint."""
+
+    def wrapper(vertices, edges, compute, **kw):
+        def crashing_compute(df, ctx):
+            seen.append(ctx.superstep)
+            if kill_at is not None and ctx.superstep == kill_at:
+                raise RuntimeError("simulated driver crash")
+            return compute(df, ctx)
+
+        return real_pregel(vertices, edges, compute=crashing_compute, **kw)
+
+    return wrapper
+
+
+def test_sssp_resumes_from_last_committed_superstep(spark, tmp_path, monkeypatch):
+    edges = _line_edges(spark, 12)
+    rdir = str(tmp_path / "sssp_ckpt")
+
+    expected = sorted(
+        tuple(r) for r in sssp_mod.sssp(edges, "0", checkpoint_interval=2).collect()
+    )
+
+    # crash at superstep 5; checkpoints committed at supersteps 1 and 3
+    real = sssp_mod.pregel
+    seen_crash: list[int] = []
+    monkeypatch.setattr(sssp_mod, "pregel", _killing_pregel(real, 5, seen_crash))
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    assert committed_steps(spark, rdir) == [1, 3]
+
+    # rerun: must resume from superstep 4 (last committed + 1), never
+    # re-execute supersteps <= 3, and match the uninterrupted result
+    seen_resume: list[int] = []
+    monkeypatch.setattr(sssp_mod, "pregel", _killing_pregel(real, None, seen_resume))
+    resumed = sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    assert sorted(tuple(r) for r in resumed.collect()) == expected
+    assert min(seen_resume) == 4, seen_resume
+
+
+def test_pagerank_resume_matches_uninterrupted_run(spark, tmp_path, monkeypatch):
+    # ring + halving chords (i -> i//2): in-degrees are SKEWED, so the
+    # rank vector is non-uniform and needs many supersteps — a regular
+    # graph would converge to the exact-uniform fixpoint in one step
+    n = 20
+    ring = spark.range(n).select(
+        F.col("id").cast("string").alias("src"),
+        (F.pmod(F.col("id") + 1, F.lit(n))).cast("string").alias("dst"),
+    )
+    chords = spark.range(n).select(
+        F.col("id").cast("string").alias("src"),
+        F.floor(F.col("id") / 2).cast("string").alias("dst"),
+    )
+    edges = ring.union(chords)
+    rdir = str(tmp_path / "pr_ckpt")
+
+    kw = dict(epsilon=1e-9, max_iter=12, checkpoint_interval=3)
+    expected = sorted(
+        (r["id"], round(r["rank"], 12))
+        for r in pagerank_mod.pagerank(edges, **kw).collect()
+    )
+
+    real = pagerank_mod.pregel
+    seen: list[int] = []
+    monkeypatch.setattr(pagerank_mod, "pregel", _killing_pregel(real, 8, seen))
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        pagerank_mod.pagerank(edges, recover_dir=rdir, **kw)
+    assert committed_steps(spark, rdir) == [2, 5]
+
+    seen2: list[int] = []
+    monkeypatch.setattr(pagerank_mod, "pregel", _killing_pregel(real, None, seen2))
+    resumed = pagerank_mod.pagerank(edges, recover_dir=rdir, **kw)
+    got = sorted((r["id"], round(r["rank"], 12)) for r in resumed.collect())
+    assert got == expected
+    # aggregator state (err) survived the crash via the JSON manifest
+    assert min(seen2) == 6, seen2
+
+
+def test_checkpoint_retention_prunes_older_steps(spark, tmp_path):
+    edges = _line_edges(spark, 12)
+    rdir = str(tmp_path / "retain")
+    sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    steps = committed_steps(spark, rdir)
+    assert len(steps) <= 2  # default recover_retain=2
+    assert steps == sorted(steps)
+
+
+def test_fingerprint_mismatch_raises_instead_of_resuming(spark, tmp_path):
+    edges = _line_edges(spark, 8)
+    rdir = str(tmp_path / "fp")
+    sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    with pytest.raises(ValueError, match="different job"):
+        # different start vertex => different fingerprint, same dir
+        sssp_mod.sssp(edges, "1", checkpoint_interval=2, recover_dir=rdir)
+
+
+def test_uncommitted_step_dir_is_invisible(spark, tmp_path):
+    """Manifest-last: a step directory without _PREGEL_COMMITTED (crash
+    mid-write) is ignored by recovery."""
+    rdir = tmp_path / "halfwrite"
+    (rdir / "step=000007" / "vertices").mkdir(parents=True)
+    assert committed_steps(spark, str(rdir)) == []
+    assert load_checkpoint(spark, str(rdir), "x") is None
