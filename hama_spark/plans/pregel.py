@@ -30,9 +30,23 @@ Scale design (100 TB):
   re-anchors attributes each round — the same design GraphFrames'
   AggregateMessages uses (getCachedDataFrame) for the same reason. The
   cost is moot for frontier-style algorithms: Catalyst broadcasts the
-  (small) inbox and never shuffles vertices; for dense-message phases at
-  cluster scale, storage-partitioned joins or qualified aliases in the
-  callbacks recover co-location.
+  (small) inbox and never shuffles vertices.
+- ``dense=True`` removes that cost for dense-message algorithms
+  (PageRank-class: every vertex messages every superstep, the inbox is
+  ~|V| and never broadcasts). The trick — generalized from
+  graph/hits.py's cached-layout loop — is to cut lineage on the INBOX
+  instead of the vertices: messages are eagerly localCheckpointed each
+  superstep (fresh attributes, so the vertex lineage never contains
+  the edges subplan and the self-join check stays happy), which frees
+  the vertices to be ``cache()``-d with a pinned
+  repartition+sortWithinPartitions layout. The inbox-combine SMJ then
+  reads the vertex side exchange-free AND sort-free, and its output
+  keeps hashpartitioning(id)+ordering, so the next superstep's
+  ``cache()`` inherits the layout — ZERO vertex-side Exchanges for the
+  whole fixpoint (one per ``checkpoint_interval`` for the periodic
+  lineage cut that bounds analysis-time plan growth). Costs one action
+  per superstep (the eager inbox checkpoint) — exactly what a dense
+  algorithm's per-superstep work amortizes.
 - checkpoints also truncate the logical plan (without it analysis cost
   grows with supersteps — SURVEY §7 risk register); on a cluster with
   preemptible executors use reliable ``checkpoint()``
@@ -95,6 +109,7 @@ def pregel(
     recover_dir: str | None = None,
     recover_fingerprint: str = "",
     recover_retain: int = 2,
+    dense: bool = False,
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -158,11 +173,31 @@ def pregel(
         different fingerprint raises instead of resuming the wrong
         fixpoint. ``recover_retain`` committed steps are kept (pruned
         after each new commit).
+    dense : exchange-free vertex loop for dense-message algorithms
+        (every vertex messages every superstep, so the combined inbox
+        is ~|V| rows and never broadcasts — PageRank-class). Vertices
+        are kept CACHED in a pinned hash(id)+sorted layout and the
+        inbox is eagerly localCheckpointed instead (fresh attributes
+        keep the send self-join unambiguous), so the per-superstep
+        inbox join reads the vertex side with no Exchange and no Sort,
+        and its output inherits the layout for the next superstep's
+        cache. One vertex Exchange per ``checkpoint_interval`` remains
+        (the periodic lineage cut bounding plan growth). Costs one
+        Spark action per superstep — leave False for frontier-style
+        algorithms, where the broadcast inbox is already exchange-free
+        and the lazy one-job-per-k-supersteps chaining wins (see module
+        docstring).
     """
     if halt_check_interval < 1:
         raise ValueError(f"halt_check_interval must be >= 1, got {halt_check_interval}")
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _dense_layout(df: DataFrame) -> DataFrame:
+        # the pinned exchange-free layout: hash(id) partitioning AND
+        # per-partition ordering, both preserved by InMemoryRelation,
+        # so the inbox-combine SMJ neither exchanges nor sorts this side
+        return df.repartition(n_part, id_col).sortWithinPartitions(id_col).cache()
 
     if edges is not None:
         edges = edges.repartition(n_part, "src").cache()
@@ -178,9 +213,15 @@ def pregel(
         # committed checkpoint — vertices are post-compute of superstep
         # s, inbox holds the messages already sent for superstep s+1,
         # and the scalars restore the aggregator schedule exactly.
-        vertices = (
-            resume["vertices"].repartition(n_part, id_col).localCheckpoint(eager=False)
-        )
+        if dense:
+            vertices = _dense_layout(resume["vertices"])
+            vertices.count()
+        else:
+            vertices = (
+                resume["vertices"]
+                .repartition(n_part, id_col)
+                .localCheckpoint(eager=False)
+            )
         st = resume["state"]
         ctx = PregelContext(
             superstep=resume["superstep"] + 1,
@@ -191,10 +232,19 @@ def pregel(
         )
         inbox = resume["inbox"]
     else:
-        # Pin the partitioning once (see module docstring for why the
-        # loop re-anchors with checkpoints rather than caches). Lazy
-        # checkpoint: the count() below materializes it — one job.
-        vertices = vertices.repartition(n_part, id_col).localCheckpoint(eager=False)
+        if dense:
+            # eager checkpoint FIRST: fresh attributes cut whatever the
+            # caller's vertex plan contains (often the edge relation —
+            # vertex ids are usually derived from edges), so the cached
+            # lineage below can never collide with edges in send()
+            vertices = _dense_layout(vertices.localCheckpoint(eager=True))
+        else:
+            # Pin the partitioning once (see module docstring for why
+            # the loop re-anchors with checkpoints rather than caches).
+            # Lazy checkpoint: the count() below materializes it.
+            vertices = vertices.repartition(n_part, id_col).localCheckpoint(
+                eager=False
+            )
         ctx = PregelContext(superstep=0, num_vertices=vertices.count())
 
         # --- superstep 0 inbox (Hama's "initial superstep", G3) ---------
@@ -202,8 +252,16 @@ def pregel(
             inbox = None  # compute sees ctx.superstep==0 and seeds itself
         elif callable(initial_message):
             inbox = initial_message(vertices, ctx)
+            if inbox is not None and dense:
+                # dense mode's invariant: the inbox carries FRESH
+                # attributes so the cached vertex lineage never contains
+                # the edges subplan — the initial inbox needs the same
+                # anchoring the per-superstep sends get
+                inbox = inbox.localCheckpoint(eager=True)
         else:
             inbox = None
+
+    dense_prev: DataFrame | None = None  # last superstep's still-cached vertices
 
     while True:
         if inbox is not None:
@@ -239,10 +297,25 @@ def pregel(
         # superstep chain executes inside the caller's single action,
         # with each checkpoint still truncating the logical plan (the
         # analysis-time growth is what the checkpoint is for).
-        if (
-            reliable_checkpoint
-            and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
-        ):
+        interval_hit = ctx.superstep % checkpoint_interval == checkpoint_interval - 1
+        if dense:
+            # cache preserves the hash(id)+sorted layout the inbox join
+            # produced (SMJ output partitioning/ordering), so the next
+            # superstep's vertex side is exchange-free. Lineage is cut
+            # only periodically (or after a layout-destroying mutation):
+            # one vertex Exchange per checkpoint_interval instead of one
+            # per superstep.
+            materialized = False
+            if interval_hit or mutated:
+                anchored = (
+                    new_vertices.checkpoint(eager=True)
+                    if reliable_checkpoint and interval_hit
+                    else new_vertices.localCheckpoint(eager=True)
+                )
+                new_vertices = _dense_layout(anchored)
+            else:
+                new_vertices = new_vertices.cache()
+        elif reliable_checkpoint and interval_hit:
             new_vertices = new_vertices.checkpoint(eager=True)
             materialized = True
         else:
@@ -274,6 +347,18 @@ def pregel(
         msgs = send(vertices, edges, ctx)
         if msgs is None:
             break
+        if dense:
+            # EAGER inbox checkpoint: (a) the action that materializes
+            # this superstep's vertex cache, (b) fresh attributes — the
+            # next superstep's vertex lineage will not contain the edges
+            # subplan, which is what lets the vertices stay cached
+            # (module docstring). Only now is the previous superstep's
+            # cache safe to drop.
+            msgs = msgs.localCheckpoint(eager=True)
+            materialized = True
+            if dense_prev is not None:
+                dense_prev.unpersist()
+            dense_prev = vertices
         if detect_halt:
             # Message count doubles as the halt signal (GraphJobRunner
             # halts when no peer saw messages, :398-414). The lazy
@@ -281,8 +366,10 @@ def pregel(
             # messages AND the new vertex state they derive from. With
             # halt_check_interval > 1 the count runs every k-th
             # superstep only; in between, supersteps chain lazily and
-            # the next count executes them all in one job.
-            msgs = msgs.localCheckpoint(eager=False)
+            # the next count executes them all in one job. (In dense
+            # mode the inbox is already eagerly anchored above.)
+            if not dense:
+                msgs = msgs.localCheckpoint(eager=False)
             if ctx.superstep % halt_check_interval == halt_check_interval - 1:
                 ctx.num_messages = msgs.count()
                 # the count computes msgs from the current vertex
@@ -316,6 +403,19 @@ def pregel(
             materialized = True
         inbox = msgs
         ctx.superstep += 1
+
+    if dense:
+        # copy the final state out of the cache chain so every interim
+        # cache (at most: previous + current) can be released without
+        # exposing the caller to a full-loop replay
+        final = vertices.localCheckpoint(eager=True)
+        if dense_prev is not None:
+            dense_prev.unpersist()
+        vertices.unpersist()
+        vertices = final
+        if edges is not None:
+            edges.unpersist()
+        return vertices
 
     if edges is not None:
         if not materialized:
