@@ -1827,6 +1827,55 @@ def _q_matmul(spark, t):
     )
 
 
+def _q_mat_ops(spark, t):
+    """M6 dense-matrix algebra surface (DoubleMatrix.java:79-270 /
+    DenseDoubleMatrix.java): one chain exercising add, subtract, scale,
+    divide-by-vector, elementwise apply, flipped scalar subtract
+    (subtractBy), and the half-open re-indexing slice. A[r][j] and
+    B[r][j] are integer-valued cell aggregates (exact doubles), so
+    every derived value is bit-deterministic across engines."""
+    from hama_spark.functions.linalg import (
+        mat_add,
+        mat_apply,
+        mat_divide_vec,
+        mat_scale,
+        mat_slice,
+        mat_subtract,
+        mat_subtract_by,
+    )
+
+    li = t["lineitem"]
+    a = li.groupBy(F.col("l_linenumber").alias("row")).agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.col("l_partkey") % 8 == j, F.col("l_quantity")).otherwise(0.0)
+                )
+                for j in range(8)
+            ]
+        ).alias("vec")
+    )
+    b = li.groupBy(F.col("l_linenumber").alias("row")).agg(
+        F.array(
+            *[
+                (
+                    F.sum(F.when(F.col("l_partkey") % 8 == j, 1.0).otherwise(0.0))
+                    + F.lit(float(j + 1))
+                )
+                for j in range(8)
+            ]
+        ).alias("vec")
+    )
+    d = mat_subtract(mat_add(a, b), mat_scale(a, 0.5))  # 0.5*A + B
+    e = mat_divide_vec(d, [float(j + 1) for j in range(8)])
+    g = mat_apply(e, lambda x: F.when(x > 100.0, 100.0).otherwise(x))
+    h = mat_subtract_by(g, 50.0)  # 50 - x (the reference's flipped operand)
+    sl = mat_slice(h, 2, 8, 1, 5)  # rows [2,8) x cols [1,5), re-indexed
+    return sl.select("row", F.posexplode("vec").alias("pos", "v")).select(
+        "row", F.col("pos").alias("col"), F.round("v", 6).alias("value")
+    )
+
+
 # --- relational layer --------------------------------------------------
 def _q_inner_join(spark, t):
     from hama_spark.operators import composite_join
@@ -3391,6 +3440,7 @@ QUERIES: dict[str, Callable] = {
     "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
+    "mat_ops": _q_mat_ops,
     "override_join": _q_override_join,
     "agg_lineitem": _q_agg_lineitem,
     "revenue_by_nation": _q_revenue_by_nation,
@@ -3780,6 +3830,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.r AS row, b.r AS col, round(sum(a.v * b.v), 4) AS value
             FROM cells a JOIN cells b ON a.j = b.j
             GROUP BY a.r, b.r
+        """,
+        "mat_ops": """
+            WITH cells AS (
+              SELECT l_linenumber AS r, l_partkey % 8 AS j,
+                     sum(l_quantity) AS qty, count(*) AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT rr.r, jj.j,
+                     coalesce(c.qty, 0.0) AS a,
+                     coalesce(c.cnt, 0) + jj.j + 1.0 AS b
+              FROM (SELECT DISTINCT l_linenumber AS r FROM lineitem) rr
+              CROSS JOIN (SELECT unnest(range(8)) AS j) jj
+              LEFT JOIN cells c ON c.r = rr.r AND c.j = jj.j
+            )
+            SELECT CAST(r - 2 AS INT) AS row, CAST(j - 1 AS INT) AS col,
+                   round(50.0 - least((0.5 * a + b) / (j + 1), 100.0), 6) AS value
+            FROM dense WHERE r >= 2 AND r < 8 AND j >= 1 AND j < 5
         """,
         "dynamic_sum": """
             SELECT 'sum' AS vertex,
