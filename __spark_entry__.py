@@ -3310,7 +3310,9 @@ def _q_key_overlap(spark, t):
     """KMV key-overlap join pre-flight (functions/sketches.py): one
     sketch pass per side, no shuffle of the data; with k=4096 above
     both distinct counts at sf0.01 the sketches never fill, so every
-    estimate is EXACT set algebra the oracle replays directly."""
+    estimate is EXACT set algebra the oracle replays directly — and the
+    ``exact`` output column plus the one-retry 4k auto-escalation keep
+    that true at sf0.1 too (the r5 selfcheck's one divergence)."""
     from hama_spark.functions.sketches import key_overlap_report
 
     a = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(
@@ -3722,7 +3724,8 @@ def oracle_sql() -> dict[str, str]:
                    round((i / u) * u, 2) AS intersect_est,
                    round(i / u, 6) AS jaccard_est,
                    round(least((i / u) * u / da, 1.0), 6) AS containment_a_in_b,
-                   round(least((i / u) * u / db, 1.0), 6) AS containment_b_in_a
+                   round(least((i / u) * u / db, 1.0), 6) AS containment_b_in_a,
+                   TRUE AS exact
             FROM s
         """,
         "length_buckets": """

@@ -331,6 +331,58 @@ def _kmeans_cells(
     return cb, km.centers
 
 
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int,
+    kmeans_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Large-k IVF training: coarse-quantizer k-means with the centers
+    kept as a DATAFRAME end-to-end (ml.kmeans.kmeans_df) — the scale
+    path for n_cells ≈ √n at corpus scale, where ``_kmeans_cells``'s
+    per-iteration collect of k·dim sums and literal re-broadcast become
+    the bottleneck (at k=4096·dim=64 the literal plan alone is ~260k
+    expression nodes and every Lloyd round re-compiles it).
+
+    Seeds are a hash-bucketed pick (top-n_cells by xxhash64(id) — a
+    per-partition heap TakeOrdered, not a global sort), deterministic
+    for a given corpus. Returns ``(assigned(id, v, cell), centers)``
+    with ``centers`` a (center_id, center) DataFrame — feed the pair to
+    :func:`ivf_topk` via ``cells=`` (it accepts DataFrame centers)."""
+    from hama_spark.ml.kmeans import (
+        _centers_np,
+        assign_with_centers_df,
+        assign_with_centers_np,
+        kmeans_df,
+    )
+    from hama_spark.functions.distance import MEASURES
+
+    c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    # deterministic distributed seed pick; the row_number window runs
+    # over the n_cells surviving rows only (k rows, not the corpus)
+    seeds = c.select(F.xxhash64(F.col("id")).alias("_h"), "v").orderBy("_h").limit(
+        int(n_cells)
+    )
+    init = seeds.select(
+        (F.row_number().over(Window.orderBy("_h")) - 1).alias("center_id"),
+        F.col("v").alias("center"),
+    )
+    km = kmeans_df(
+        c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter
+    )
+    dim = c.select(F.size("v")).first()[0]
+    if int(n_cells) * int(dim) >= 32768:  # mirror kmeans_df's auto kernel
+        assigned = assign_with_centers_np(
+            c, _centers_np(km.centers), "euclidean", feat="v", out_col="cell"
+        ).select("id", "v", "cell")
+    else:
+        assigned = assign_with_centers_df(
+            c, km.centers, MEASURES["euclidean"], feat="v", out_col="cell"
+        ).select("id", "v", "cell")
+    return assigned, km.centers
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,7 +402,11 @@ def ivf_topk(
     offset 1 probes cells ranked 2..nprobe+1 (see hard_negatives).
     ``cells`` accepts a precomputed ``(assigned, centers)`` pair from
     an earlier call so a pipeline probing the same index several ways
-    (search + hard negatives) trains k-means once."""
+    (search + hard negatives) trains k-means once — either
+    ``_kmeans_cells``'s list centers or :func:`ivf_build`'s DataFrame
+    centers (the large-k path: the centroid table is aggregated to one
+    row and broadcast JVM-side instead of unrolled into ~k·dim plan
+    literals)."""
     from hama_spark.functions.distance import MEASURES
 
     cb, centers = cells or _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
@@ -360,15 +416,28 @@ def ivf_topk(
         F.col("id").alias("qid"), F.col("v").alias("qv")
     )
     # nprobe nearest cells per query, after skipping cell_offset
-    dists = F.array(
-        *[
-            F.struct(
-                measure(F.col("qv"), F.array(*[F.lit(x) for x in ctr])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, ctr in enumerate(centers)
-        ]
-    )
+    if isinstance(centers, DataFrame):
+        rel = centers.agg(
+            F.array_sort(F.collect_list(F.struct("center_id", "center"))).alias("_cs")
+        )
+        dists = F.transform(
+            F.col("_cs"),
+            lambda s: F.struct(
+                measure(F.col("qv"), s["center"]).alias("d"),
+                s["center_id"].cast("int").alias("cell"),
+            ),
+        )
+        q = q.crossJoin(F.broadcast(rel))
+    else:
+        dists = F.array(
+            *[
+                F.struct(
+                    measure(F.col("qv"), F.array(*[F.lit(x) for x in ctr])).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
     qcells = q.select(
         "qid",
         "qv",

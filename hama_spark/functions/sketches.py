@@ -233,6 +233,7 @@ def key_overlap_report(
     k: int = 1024,
     seed: int = 1,
     key_b: str | None = None,
+    auto_escalate: bool = True,
 ) -> DataFrame:
     """Join pre-flight: how much do two relations' KEY SETS overlap?
     One KMV sketch pass per side (per-partition top-k merged on the
@@ -241,21 +242,51 @@ def key_overlap_report(
     is contained in which" BEFORE paying a 100 TB shuffle.
 
     One row: (distinct_a_est, distinct_b_est, intersect_est,
-    jaccard_est, containment_a_in_b, containment_b_in_a). Containment =
-    |A∩B| / |A| — the fraction of a's keys that will find a partner
-    (row multiplicity is ``operators.skew.join_explosion_report``'s
-    job; this is the cheap distinct-level screen).
-    """
-    sa = kmv_sketch(a, key, k=k, seed=seed).select(F.col("kmv").alias("kmv_a"))
-    sb = kmv_sketch(b, key_b or key, k=k, seed=seed).select(
-        F.col("kmv").alias("kmv_b")
+    jaccard_est, containment_a_in_b, containment_b_in_a, exact).
+    Containment = |A∩B| / |A| — the fraction of a's keys that will find
+    a partner (row multiplicity is
+    ``operators.skew.join_explosion_report``'s job; this is the cheap
+    distinct-level screen).
+
+    Regime transparency: the KMV estimator silently switches from
+    exact set algebra (sketch never filled) to a ±1/√k estimate once
+    distinct keys exceed ``k`` — ``exact`` makes the regime visible
+    (true iff both side sketches AND their union stayed under k, i.e.
+    every output value is exact). With ``auto_escalate`` (default), a
+    fill triggers ONE retry at 4·k before settling for the estimate —
+    so sketches that missed exactness by a small factor report exact
+    numbers instead of estimates, at the cost of one extra sketch pass.
+    The sketch passes run eagerly (k longs per side to the driver)."""
+
+    def _sketch(df: DataFrame, col: str, kk: int) -> list[int]:
+        row = kmv_sketch(df, col, k=kk, seed=seed).collect()
+        return list(row[0]["kmv"]) if row else []
+
+    k_eff = int(k)
+    sk_a = _sketch(a, key, k_eff)
+    sk_b = _sketch(b, key_b or key, k_eff)
+    # a side fill OR a potentially-filled union (len_a+len_b can exceed
+    # k even when both sides are unfilled) enters the estimate regime
+    if auto_escalate and (len(sk_a) + len(sk_b) >= k_eff):
+        k_eff = 4 * k_eff
+        sk_a = _sketch(a, key, k_eff)
+        sk_b = _sketch(b, key_b or key, k_eff)
+
+    spark = a.sparkSession
+    pair = spark.createDataFrame(
+        [(sk_a, sk_b)], "kmv_a array<bigint>, kmv_b array<bigint>"
     )
-    pair = sa.crossJoin(sb)  # 1 row x 1 row
-    jacc = kmv_jaccard("kmv_a", "kmv_b", k)
-    union_est = kmv_distinct(kmv_union("kmv_a", "kmv_b", k), k)
-    da = kmv_distinct("kmv_a", k)
-    db = kmv_distinct("kmv_b", k)
+    jacc = kmv_jaccard("kmv_a", "kmv_b", k_eff)
+    union = kmv_union("kmv_a", "kmv_b", k_eff)
+    union_est = kmv_distinct(union, k_eff)
+    da = kmv_distinct("kmv_a", k_eff)
+    db = kmv_distinct("kmv_b", k_eff)
     inter = jacc * union_est
+    exact = (
+        (F.size("kmv_a") < k_eff)
+        & (F.size("kmv_b") < k_eff)
+        & (F.size(union) < k_eff)
+    )
     return pair.select(
         F.round(da, 2).alias("distinct_a_est"),
         F.round(db, 2).alias("distinct_b_est"),
@@ -267,4 +298,5 @@ def key_overlap_report(
         F.round(
             F.when(db > 0, F.least(inter / db, F.lit(1.0))).otherwise(0.0), 6
         ).alias("containment_b_in_a"),
+        exact.alias("exact"),
     )

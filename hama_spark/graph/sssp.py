@@ -29,6 +29,7 @@ def sssp(
     num_partitions: int | None = None,
     halt_check_interval: int = 1,
     recover_dir: str | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst, weight:int) + start id -> (id, dist:int).
 
@@ -96,5 +97,6 @@ def sssp(
         halt_check_interval=halt_check_interval,
         recover_dir=recover_dir,
         recover_fingerprint=f"sssp|{start_vertex}|{max_iter}",
+        stats_out=stats_out,
     )
     return result.select("id", "dist")

@@ -110,6 +110,7 @@ def pregel(
     recover_fingerprint: str = "",
     recover_retain: int = 2,
     dense: bool = False,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -187,6 +188,11 @@ def pregel(
         algorithms, where the broadcast inbox is already exchange-free
         and the lazy one-job-per-k-supersteps chaining wins (see module
         docstring).
+    stats_out : a caller-supplied dict filled with run counters on
+        return — ``supersteps_run``, ``num_vertices``, ``num_messages``
+        (last observed), ``aggregates`` (final values). Hama's
+        job-counter surface (P4/P9: superstep count, BSPPeer counters);
+        also what scale harnesses use to normalize cost per superstep.
     """
     if halt_check_interval < 1:
         raise ValueError(f"halt_check_interval must be >= 1, got {halt_check_interval}")
@@ -403,6 +409,14 @@ def pregel(
             materialized = True
         inbox = msgs
         ctx.superstep += 1
+
+    if stats_out is not None:
+        stats_out.update(
+            supersteps_run=ctx.superstep + 1,
+            num_vertices=ctx.num_vertices,
+            num_messages=ctx.num_messages,
+            aggregates=dict(ctx.aggregates),
+        )
 
     if dense:
         # copy the final state out of the cache chain so every interim

@@ -25,7 +25,7 @@ Usage:
         # the tier that exposed the AQE-broadcast failure the
         # sort-merge hints in minhash_lsh_dup_pairs now fence
 
-Writes SCALE_r05.json (repo root): per-op small/big seconds + output
+Writes SCALE_r{ROUND}.json (repo root): per-op small/big seconds + output
 rows, the time ratio, and the calibration shuffle time.
 """
 
@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from hama_spark.session import get_spark
 
-ROUND = os.environ.get("SPARK_GRAFT_ROUND", "05")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "06")
 SCALE = 10  # big = SCALE x small
 SMALL = {"docs": 5_000, "emb": 5_000, "events": 100_000, "graph": 100_000}
 
@@ -127,11 +127,23 @@ def run_sssp(spark, mult: int):
         .select("src", "dst", (F.col("weight") + 1).alias("weight"))
         .localCheckpoint(eager=True)
     )
-    d = sssp(edges, "0", max_iter=50, num_partitions=parts, halt_check_interval=5)
-    return d.agg(
+    stats: dict = {}
+    d = sssp(
+        edges,
+        "0",
+        max_iter=50,
+        num_partitions=parts,
+        halt_check_interval=5,
+        stats_out=stats,
+    )
+    out = d.agg(
         F.count(F.lit(1)).alias("n_vertices"),
         F.sum(F.when(F.col("dist") < 2147483647, 1).otherwise(0)).alias("n_reachable"),
     )
+    # supersteps grow with graph diameter, so raw tier ratios overstate
+    # per-superstep cost — record the count so the ratio can be
+    # normalized (the r5 verdict's sssp follow-up)
+    return out, {"supersteps": stats.get("supersteps_run")}
 
 
 def run_kcore(spark, mult: int):
@@ -190,6 +202,32 @@ def run_semantic_pairs(spark, mult: int):
     )
 
 
+def run_ivf_build(spark, mult: int):
+    """Large-k IVF training (kmeans_df: centers stay a DataFrame, one
+    scalar driver count per Lloyd round). Scale-honest config: k=4096
+    cells FIXED across tiers — a production index spec is chosen for
+    target recall/cell size and the corpus grows under it (the same
+    constant-workload discipline as BM25's query load). Per-iteration
+    cost is then the linear n x k assignment scan plus a constant
+    k*dim-row partial-aggregated shuffle, so tier ratios should be
+    near-linear. This is exactly the regime where the driver-state
+    Lloyd's per-iteration k*dim collect + literal re-broadcast would
+    dominate (4096x64 literals re-compiled per round)."""
+    from hama_spark.extensions.similarity import ivf_build
+
+    n = SMALL["emb"] * mult
+    emb = gen_embeddings(spark, n).localCheckpoint(eager=True)
+    assigned, centers = ivf_build(emb, n_cells=4096, kmeans_iter=3)
+    # summary keeps the output tiny while forcing the full build: cell
+    # occupancy histogram stats + centroid count
+    occ = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.max("sz").alias("max_cell"),
+        F.sum("sz").alias("n_points"),
+    )
+
+
 def run_pack_sequences(spark, mult: int):
     from hama_spark.extensions import pack_sequences, token_count
 
@@ -245,6 +283,7 @@ OPS = {
     "dedup_near": run_dedup_near,
     "bm25_topk": run_bm25,
     "semantic_dup_pairs": run_semantic_pairs,
+    "ivf_build": run_ivf_build,
     "pack_sequences": run_pack_sequences,
     "interval_join": run_interval_join,
     "dedup_exact": run_dedup_exact,
@@ -252,17 +291,20 @@ OPS = {
 }
 
 
-def _time_op(spark, fn, mult: int) -> tuple[float, int]:
+def _time_op(spark, fn, mult: int) -> tuple[float, int, dict]:
     from pyspark.sql import Observation
 
     obs = Observation()
     t0 = time.time()
-    df = fn(spark, mult)
+    result = fn(spark, mult)
+    # ops may return (df, meta) to attach run counters (e.g. sssp's
+    # superstep count) to their tier entry
+    df, meta = result if isinstance(result, tuple) else (result, {})
     df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
         "overwrite"
     ).save()
     sec = round(time.time() - t0, 2)
-    return sec, int(obs.get["n"])
+    return sec, int(obs.get["n"]), meta
 
 
 def main() -> int:
@@ -288,20 +330,21 @@ def main() -> int:
         if xl:
             # 100x tier only: one timed run, merged into the existing
             # entry (requires a prior small/big run for the ratio)
-            xl_sec, xl_rows = _time_op(spark, fn, SCALE * 10)
+            xl_sec, xl_rows, xl_meta = _time_op(spark, fn, SCALE * 10)
             gc.collect()
             out["ops"][name] = {"xl_sec": xl_sec, "xl_out_rows": xl_rows}
+            out["ops"][name].update({f"xl_{k}": v for k, v in xl_meta.items()})
             print(f"# {name} @100x: {xl_sec}s, rows {xl_rows}", file=sys.stderr)
             continue
         # small runs BEFORE and AFTER big; keep the faster small so the
         # ratio is computed against a fully-warmed baseline (the
         # conservative direction: a too-small denominator can only
         # overstate super-linearity, never hide it)
-        small1, small_rows = _time_op(spark, fn, 1)
+        small1, small_rows, small_meta = _time_op(spark, fn, 1)
         gc.collect()
-        big_sec, big_rows = _time_op(spark, fn, SCALE)
+        big_sec, big_rows, big_meta = _time_op(spark, fn, SCALE)
         gc.collect()
-        small2, _ = _time_op(spark, fn, 1)
+        small2, _, _ = _time_op(spark, fn, 1)
         gc.collect()
         small_sec = min(small1, small2)
         ratio = round(big_sec / small_sec, 2) if small_sec > 0 else None
@@ -312,6 +355,8 @@ def main() -> int:
             "small_out_rows": small_rows,
             "big_out_rows": big_rows,
         }
+        out["ops"][name].update({f"small_{k}": v for k, v in small_meta.items()})
+        out["ops"][name].update({f"big_{k}": v for k, v in big_meta.items()})
         print(
             f"# {name}: {small_sec}s -> {big_sec}s (x{ratio}), "
             f"rows {small_rows} -> {big_rows}",

@@ -177,3 +177,31 @@ def test_kmv_jaccard_empty_sets_is_zero_not_nan(spark):
     empty = spark.createDataFrame([], "k long")
     r = key_overlap_report(empty, empty, "k", k=16).first()
     assert r["jaccard_est"] == 0.0 and r["intersect_est"] == 0.0
+
+
+def test_key_overlap_regime_flag_and_escalation(spark):
+    """r5 verdict item 5: the exact->estimate regime switch must be
+    visible (`exact` column), and a fill that 4*k would cover must
+    auto-escalate into the exact regime with ONE retry."""
+    from hama_spark.functions.sketches import key_overlap_report
+
+    a = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    b = spark.createDataFrame([(i + 1500,) for i in range(3000)], "k long")
+    # k=2048 fills (3000 distinct/side, 4500 union); 4*2048=8192 covers
+    # everything -> escalated run is EXACT set algebra
+    r = key_overlap_report(a, b, "k", k=2048).first()
+    assert r["exact"] is True
+    assert r["distinct_a_est"] == 3000.0 and r["distinct_b_est"] == 3000.0
+    assert r["intersect_est"] == 1500.0
+    assert r["jaccard_est"] == round(1500.0 / 4500.0, 6)
+
+    # escalation off: estimate regime, flagged, within the 1/sqrt(k) bound
+    est = key_overlap_report(a, b, "k", k=2048, auto_escalate=False).first()
+    assert est["exact"] is False
+    assert est["distinct_a_est"] == pytest.approx(3000.0, rel=0.1)
+    assert est["intersect_est"] == pytest.approx(1500.0, rel=0.15)
+
+    # escalation that still fills: stays an estimate, flagged as such
+    big = key_overlap_report(a, b, "k", k=512).first()
+    assert big["exact"] is False
+    assert big["distinct_a_est"] == pytest.approx(3000.0, rel=0.1)
