@@ -1,6 +1,7 @@
 from hama_spark.plans.audit import (
     PlanAuditError,
     assert_scalable_plan,
+    audit_broadcast_sizes,
     audit_plan,
     plan_text,
     scan_report,
@@ -16,6 +17,7 @@ __all__ = [
     "run_supersteps",
     "rand_bench",
     "audit_plan",
+    "audit_broadcast_sizes",
     "assert_scalable_plan",
     "plan_text",
     "scan_report",

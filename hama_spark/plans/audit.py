@@ -105,6 +105,121 @@ def _global_window_funnel(plan: str) -> bool:
     return False
 
 
+_UNKNOWN_SIZE_FLOOR = 1 << 60  # stats defaulted (≈ defaultSizeInBytes)
+
+
+def _has_file_scan(node) -> bool:
+    """True when the physical subtree reads from files (its size stats
+    are then on-disk compressed bytes, not row footprint)."""
+    name = node.nodeName().strip()
+    # "Scan ExistingRDD" (checkpoints) carries row-based stats — only
+    # format scans report on-disk bytes
+    if (
+        "FileSourceScan" in name
+        or name == "BatchScan"
+        or any(
+            name == f"Scan {fmt}" for fmt in ("parquet", "orc", "csv", "json", "text")
+        )
+    ):
+        return True
+    return any(
+        _has_file_scan(node.children().apply(i))
+        for i in range(node.children().size())
+    )
+
+
+def audit_broadcast_sizes(
+    df: DataFrame,
+    max_broadcast_bytes: int = 256 * 1024 * 1024,
+    flag_unknown: bool = True,
+    file_compression_factor: float = 4.0,
+) -> list[dict]:
+    """Flag every BroadcastExchange whose build side's DECOMPRESSED
+    size estimate exceeds ``max_broadcast_bytes``.
+
+    Why this exists: Spark's broadcast decisions (including AQE's
+    runtime SMJ→BHJ conversion) compare against COMPRESSED shuffle
+    sizes — a highly compressible build side (minhash bucket keys,
+    repeated tokens) can slip under the threshold compressed and then
+    explode 10-50x when materialized as JVM rows on every executor.
+    That exact failure killed a 100x minhash run before sort-merge
+    hints fenced it (r5 scale tier); this check is the user-facing
+    pre-flight for it. Catalyst's logical ``sizeInBytes`` is an
+    uncompressed row-size estimate, so it catches what the compressed
+    comparison misses.
+
+    Walks the pre-adaptive physical plan (``queryExecution.sparkPlan``
+    — never executes; exchanges are not materialized there yet, so the
+    check targets the Broadcast*Join nodes and their build side
+    directly). Returns one finding per oversized broadcast:
+    {node, est_bytes (None = stats unavailable/defaulted),
+    max_broadcast_bytes, detail}.
+
+    File-backed build sides get ``file_compression_factor`` applied:
+    Catalyst's sizeInBytes for a file scan is the ON-DISK (compressed)
+    byte count — the very number whose optimism causes the failure —
+    while JVM row footprint runs 3-10x that for parquet (default 4.0;
+    ``spark.sql.sources.fileCompressionFactor`` exists for the same
+    reason and defaults to a trusting 1.0). Build sides with DEFAULTED
+    stats
+    (e.g. a localCheckpoint behind an explicit broadcast() hint) are
+    flagged as unknown when ``flag_unknown`` — an un-sized forced
+    broadcast is exactly where the estimate discipline breaks down;
+    pass ``flag_unknown=False`` to accept them knowingly."""
+    root = df._jdf.queryExecution().sparkPlan()
+    findings: list[dict] = []
+
+    def walk(node) -> None:
+        if (
+            node.nodeName() in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+            and node.children().size() == 2
+        ):
+            build_left = node.buildSide().toString() == "BuildLeft"
+            child = node.children().apply(0 if build_left else 1)
+            est: int | None = None
+            link = child.logicalLink()
+            if link.isDefined():
+                # py4j maps scala.BigInt through to a Python int when it
+                # fits; fall back to string parsing otherwise
+                raw = link.get().stats().sizeInBytes()
+                est = raw if isinstance(raw, int) else int(str(raw))
+                if est < _UNKNOWN_SIZE_FLOOR and _has_file_scan(child):
+                    est = int(est * float(file_compression_factor))
+            if est is None or est >= _UNKNOWN_SIZE_FLOOR:
+                if flag_unknown:
+                    findings.append(
+                        {
+                            "node": child.nodeName(),
+                            "est_bytes": None,
+                            "max_broadcast_bytes": int(max_broadcast_bytes),
+                            "detail": (
+                                "broadcast build side has no usable size "
+                                "estimate (stats defaulted) — size it "
+                                "explicitly or drop the broadcast hint"
+                            ),
+                        }
+                    )
+            elif est > int(max_broadcast_bytes):
+                findings.append(
+                    {
+                        "node": child.nodeName(),
+                        "est_bytes": est,
+                        "max_broadcast_bytes": int(max_broadcast_bytes),
+                        "detail": (
+                            f"broadcast build side estimated at {est} bytes "
+                            f"decompressed (> {int(max_broadcast_bytes)}); a "
+                            "compressed-size check may still convert this — "
+                            "hint merge/shuffle_hash on the join instead"
+                        ),
+                    }
+                )
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(root)
+    return findings
+
+
 def assert_scalable_plan(df: DataFrame, **allow) -> None:
     """Raise :class:`PlanAuditError` listing every finding; no-op when
     the plan is clean. Keyword flags as in :func:`audit_plan`."""

@@ -127,3 +127,34 @@ def test_suggest_shuffle_partitions(spark, tables):
 
     empty = suggest_shuffle_partitions(docs.where("doc_id < 0"))
     assert empty["suggested_partitions"] == 1 and empty["rows"] == 0
+
+
+def test_broadcast_size_guardrail_flags_oversized_build_side(spark):
+    """r5 verdict item 7: Spark's broadcast decisions (AQE's SMJ->BHJ
+    conversion included) compare COMPRESSED sizes, so a compressible
+    build side can slip under the threshold and explode decompressed —
+    the failure mode that killed the first 100x minhash run. The audit
+    must flag a forced broadcast whose DECOMPRESSED estimate exceeds
+    the bound, and stay quiet for genuinely small build sides."""
+    from hama_spark.plans.audit import audit_broadcast_sizes
+
+    probe = spark.range(100).select(F.col("id").alias("k"))
+
+    # planted regression: ~540 MB decompressed estimate behind an
+    # explicit broadcast hint
+    big = spark.range(30_000_000).select(
+        "id", F.repeat(F.lit("x"), 200).alias("pad")
+    )
+    bad = probe.join(F.broadcast(big), probe["k"] == big["id"])
+    findings = audit_broadcast_sizes(bad, max_broadcast_bytes=64 * 1024 * 1024)
+    assert len(findings) == 1, findings
+    assert findings[0]["est_bytes"] > 64 * 1024 * 1024
+    assert "decompressed" in findings[0]["detail"]
+
+    # clean: a small dimension broadcast passes
+    small = spark.range(100).select(F.col("id").alias("k2"))
+    ok = probe.join(F.broadcast(small), probe["k"] == small["k2"])
+    assert audit_broadcast_sizes(ok, max_broadcast_bytes=64 * 1024 * 1024) == []
+
+    # plans with no broadcast at all are clean
+    assert audit_broadcast_sizes(probe.groupBy("k").count()) == []
