@@ -85,12 +85,16 @@ def pagerank(
         alpha_expr = F.when(is_src, F.lit(1.0 - damping)).otherwise(F.lit(0.0))
 
     if dense is None:
-        # auto: the exchange-free cached-vertex loop wins once the
-        # combined inbox (~|V| rows) is big enough that its join cost
-        # dwarfs dense mode's one-action-per-superstep floor; measured
-        # crossover on local[32] is well under 50k vertices (22% faster
-        # at 50k x 8 supersteps), while a toy graph is pure overhead.
-        dense = n >= 50_000
+        # default OFF: on local[32] the per-superstep vertex exchange is
+        # an in-process block transfer, and A/B at 1M vertices measures
+        # the sparse loop's single pipelined job faster than dense
+        # mode's per-superstep eager materialization (22 s vs 30 s fixed
+        # -iteration, ~even with convergence checks). Opt in on a real
+        # cluster, where that exchange is a NETWORK all-to-all of the
+        # full vertex state every superstep and the cached layout
+        # removes it (the plan property tests/test_pregel_dense.py
+        # pins); widest win = wide vertex state + many supersteps.
+        dense = False
     vertices = vertices_ids.select(
         "id", init_expr.alias("rank"), F.lit(0.0).alias("delta")
     )
@@ -146,8 +150,8 @@ def pagerank(
         ),
         # PageRank is the canonical dense-message algorithm: EVERY vertex
         # sends every superstep, the combined inbox is ~|V| rows and
-        # never broadcasts — the exchange-free cached vertex layout
-        # (pregel dense mode) is the right physical loop for it.
+        # never broadcasts — pregel's dense mode removes the resulting
+        # per-superstep vertex exchange (opt-in; see the default above).
         dense=dense,
     )
     return result.select("id", "rank")
