@@ -1242,6 +1242,18 @@ def _q_cc(spark, t):
     )
 
 
+def _q_cc_twophase(spark, t):
+    """O(log n) large-star/small-star connected components
+    (graph/cc_twophase.py, Kiveris et al. SoCC'14) — same component
+    labels as min-label propagation (min id per component), reachable
+    in O(log n) alternating rounds instead of O(diameter) supersteps;
+    the scale path for the long-chain components near-dup clustering
+    produces. Same graph and oracle as ``connected_components``."""
+    from hama_spark.graph import connected_components_twophase
+
+    return connected_components_twophase(_cc_edges(spark, t))
+
+
 def _q_pagerank(spark, t):
     from hama_spark.graph import pagerank
 
@@ -3388,6 +3400,7 @@ QUERIES: dict[str, Callable] = {
     "inlink_count": _q_inlink,
     "sssp": _q_sssp,
     "connected_components": _q_cc,
+    "connected_components_twophase": _q_cc_twophase,
     "pagerank": _q_pagerank,
     "dynamic_sum": _q_dynamic_sum,
     "kcore": _q_kcore,
@@ -3582,6 +3595,14 @@ def oracle_sql() -> dict[str, str]:
     deterministic schedules (md5 hash streams, unrolled/recursive
     supersteps), so every query is value-hash-checked, not just
     row-counted."""
+    d = _oracle_sql_literal()
+    # two algorithms, one contract: star contraction must produce the
+    # SAME (id, min-id component) labels as min-label propagation
+    d["connected_components_twophase"] = d["connected_components"]
+    return d
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         # --- round-5 additions ----------------------------------------
         # SCC by its defining property: scc(v) = max id u with v ->* u

@@ -3,6 +3,7 @@ from hama_spark.graph.scc import strongly_connected_components
 from hama_spark.graph.hits import hits
 from hama_spark.graph.centrality import harmonic_centrality
 from hama_spark.graph.betweenness import betweenness_centrality
+from hama_spark.graph.cc_twophase import connected_components_twophase
 from hama_spark.graph.components import mindist_search
 from hama_spark.graph.degrees import degree_histogram
 from hama_spark.graph.dynamic import dynamic_sum
@@ -25,6 +26,7 @@ __all__ = [
     "inlink_count",
     "sssp",
     "mindist_search",
+    "connected_components_twophase",
     "pagerank",
     "dynamic_sum",
     "kcore",

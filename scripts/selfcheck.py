@@ -104,8 +104,9 @@ def main() -> int:
     if not only:
         import json
 
-        rnd = os.environ.get("SPARK_GRAFT_ROUND", "04")
-        path = f"/root/repo/SELFCHECK_r{rnd}.json"
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "06")
+        suffix = "_sf01" if "sf0.1" in SF_DIR else ""
+        path = f"/root/repo/SELFCHECK_r{rnd}{suffix}.json"
         with open(path, "w") as f:
             json.dump(
                 {"sf_dir": SF_DIR, "failures": failures, "results": results},
