@@ -3348,20 +3348,23 @@ def _q_length_buckets(spark, t):
 
 
 QUERIES: dict[str, Callable] = {
-    # Ordering note (round 5): the driver truncates its correctness
+    # Ordering note (round 6): the driver truncates its correctness
     # check at the first 50 dict entries, so the window holds (a) the
-    # ten round-5-new queries — SCC / HyperBall diameter /
-    # interval_join / Kneser-Ney / privacy pair / budget select /
-    # key-overlap / length buckets (the pytest-only operators VERDICT
-    # r4 §next.2+7 asked to give hard driver rows) plus the
-    # bloom-pruned decontamination and the exact-regime kNN graph
-    # added mid-round — (b) the
-    # three text queries displaced below the boundary since r3
-    # (text_stats/quality_score/heuristic_flags, r4-modified), and
-    # (c) the r4 window minus thirteen displaced refresh slots, every
-    # one of which holds a green r4 row on code unchanged since
-    # (re-verified by the full selfcheck recorded per round).
+    # round-6-new queries — mat_ops (M6 dense-matrix chain) and the
+    # O(log n) two-phase CC — (b) key_overlap, whose OUTPUT SCHEMA
+    # changed this round (exact column + 4k auto-escalation), (c) every
+    # pregel-backed query (plans/pregel.py gained dense mode +
+    # recover_dir this round — init/loop restructure touches them all)
+    # plus the kmeans/ivf family (ml/kmeans.py gained the DataFrame-
+    # centers path) and the bloom-backed pair (functions/bloom.py
+    # validation rework), and (d) as much of the r5 window as still
+    # fits. Displaced entries (online_cf/gradient_descent — own loops,
+    # untouched this round — and the r5-green-and-unmodified tail) keep
+    # their green r5 rows and are re-verified by the full per-round
+    # selfcheck.
     #
+    # new in round 6
+    "mat_ops": _q_mat_ops,
     # new in round 5
     "strongly_connected_components": _q_scc,
     "graph_diameter": _q_graph_diameter,
@@ -3393,6 +3396,7 @@ QUERIES: dict[str, Callable] = {
     "cosine_topk": _q_cosine_topk,
     "lsh_cosine_topk": _q_lsh_topk,
     "ivf_topk": _q_ivf_topk,
+    "kmeans_sizes": _q_kmeans,
     # shared_span_pairs before scrub_shared_spans: the removal reuses
     # the memoized cross-document shingle relation
     "shared_span_pairs": _q_shared_span_pairs,
@@ -3425,7 +3429,6 @@ QUERIES: dict[str, Callable] = {
     "online_cf_topk": _q_online_cf,
     "gradient_descent_linear": _q_gd,
     "gradient_descent_logistic": _q_gd_logistic,
-    "kmeans_sizes": _q_kmeans,
     # ---- driver window boundary (entry 50 above this line) ----------
     # Everything below holds a green row (r2, r3 or r4) on code
     # unchanged since, re-verified per round by the full-inventory
@@ -3455,7 +3458,6 @@ QUERIES: dict[str, Callable] = {
     "randbench": _q_randbench,
     "spmv": _q_spmv,
     "matmul": _q_matmul,
-    "mat_ops": _q_mat_ops,
     "override_join": _q_override_join,
     "agg_lineitem": _q_agg_lineitem,
     "revenue_by_nation": _q_revenue_by_nation,

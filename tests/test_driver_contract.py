@@ -66,37 +66,33 @@ def test_modified_or_new_queries_lead_the_dict():
 
     first50 = set(list(entry.QUERIES)[:50])
     must_lead = {
-        # new in round 5 — the pytest-only r4 operators VERDICT r4
-        # §next.2+7 asked to give hard driver rows, plus the r5
-        # SCC/backward-collect rewrite
-        "strongly_connected_components", "graph_diameter",
-        "interval_join", "kneser_ney_perplexity", "k_anonymity",
-        "l_diversity", "select_under_budget", "key_overlap",
-        "length_buckets",
-        # new mid-round-5: the Bloom-pruned decontamination path and
-        # the exact-regime kNN graph (displaced quality_classifier and
-        # importance_weights, both r4-green and unmodified, below the
-        # boundary — selfcheck keeps re-verifying them)
-        "bloom_decontaminate", "knn_graph",
-        # displaced below the boundary since r3, modified in r4 —
-        # restored per VERDICT r4 §next.2
-        "text_stats", "quality_score", "heuristic_flags",
-        # r4-new/modified block retained for a second consecutive row
-        # (heavies whose plans the round-5 session may still perturb)
-        "hits_scores", "harmonic_centrality", "betweenness",
-        "fuzzy_match_customers", "entity_clusters",
-        "bpe_train_merges", "bpe_vocab_token_count", "ann_recall",
-        "cosine_topk", "lsh_cosine_topk", "ivf_topk",
-        "shared_span_pairs", "scrub_shared_spans",
-        # core graph/ML block (driver-green every round since r2)
+        # new in round 6
+        "mat_ops", "connected_components_twophase",
+        # output schema changed in round 6 (exact column + escalation)
+        "key_overlap",
+        # pregel-backed (plans/pregel.py gained dense mode + recover_dir
+        # in round 6 — the init/loop restructure touches every consumer)
         "inlink_count", "sssp", "connected_components", "pagerank",
         "dynamic_sum", "kcore", "bipartite_matching", "semi_clustering",
-        "pagerank_gen_100k", "sssp_gen_100k", "online_cf_topk",
-        "gradient_descent_linear", "gradient_descent_logistic",
-        "kmeans_sizes",
-        "personalized_pagerank", "random_walks", "label_communities",
-        "minhash_lsh_pairs", "dedup_near", "lsh_cosine_pairs",
-        "dedup_embedding", "semantic_dup_pairs", "semantic_dedup",
+        "pagerank_gen_100k", "sssp_gen_100k", "personalized_pagerank",
+        "random_walks", "label_communities", "strongly_connected_components",
+        "graph_diameter", "harmonic_centrality", "betweenness",
+        "dedup_near", "dedup_embedding", "semantic_dedup",
+        "entity_clusters", "fuzzy_match_customers",
+        # kmeans/ivf family (ml/kmeans.py gained the DataFrame-centers
+        # path; extensions/similarity.py gained ivf_build) and the
+        # bloom-backed pair (functions/bloom.py validation rework)
+        "kmeans_sizes", "ivf_topk", "ann_recall", "knn_graph",
+        "semantic_dup_pairs", "bloom_decontaminate",
+        # r5-new retained for a second consecutive row
+        "interval_join", "kneser_ney_perplexity", "k_anonymity",
+        "l_diversity", "select_under_budget", "length_buckets",
+        # pair-producers feeding collapse consumers in the window
+        "minhash_lsh_pairs", "lsh_cosine_pairs",
+        "shared_span_pairs", "scrub_shared_spans",
+        "cosine_topk", "lsh_cosine_topk",
+        "bpe_train_merges", "bpe_vocab_token_count",
+        "hits_scores", "text_stats", "quality_score", "heuristic_flags",
     }
     missing = must_lead - first50
     assert not missing, f"queries outside the driver's 50-entry window: {sorted(missing)}"
