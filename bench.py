@@ -93,6 +93,8 @@ _PRIORITY = [
     "quality_score", "randbench", "revenue_by_nation", "semi_clustering",
     "sessionize", "simhash_pairs", "spmv", "sssp", "sssp_gen_100k",
     "text_stats", "token_count", "top_customers", "video_frames",
+    # round-6 additions (new/changed this round — keep in the tail)
+    "mat_ops", "connected_components_twophase", "key_overlap",
     # headline heavies added since r1, cost-ranked
     "harmonic_centrality", "betweenness", "hits_scores",
     "entity_clusters", "strongly_connected_components", "graph_diameter",
