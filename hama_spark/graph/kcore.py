@@ -15,8 +15,11 @@ reproducible in ANSI SQL (window-function h-index), which is what makes
 this oracle-checkable.
 
 Scale: each iteration is one shuffle (messages grouped by dst) plus a
-window over (vertex, neighbor-core) rows; only vertices whose core
-dropped re-send, so late iterations touch a shrinking frontier.
+window over (vertex, neighbor-core) rows; after round 0 the h-index is
+recomputed ONLY for vertices adjacent to a changed vertex (a vertex's
+h can only move when a neighbor's core moved), so late iterations — and
+the no-op tail of a fixed replay schedule — touch a shrinking frontier
+instead of the full graph, with a bit-identical synchronous fixpoint.
 """
 
 from __future__ import annotations
@@ -60,10 +63,28 @@ def kcore(
     cores = cores.localCheckpoint(eager=False)
 
     iters = fixed_iters if fixed_iters is not None else max_iter
+    # frontier: ids whose core changed last round. A vertex's h-index can
+    # only change when a NEIGHBOR's core changed, so later rounds
+    # recompute h only for vertices adjacent to the changed set — the
+    # synchronous fixpoint is bit-identical (unchanged inputs give
+    # unchanged outputs), but converged regions stop paying the
+    # join+window every round. Round 0 recomputes everyone (core just
+    # initialized to degree).
+    changed = None
     for i in range(iters):
+        if changed is None:
+            edges_in = sym
+        else:
+            # dsts adjacent to a changed src are the only candidates
+            aff = (
+                sym.join(changed.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            edges_in = sym.join(aff.withColumnRenamed("id", "dst"), "dst")
         # neighbor estimates: core of src delivered to dst
-        nbr = sym.join(cores, sym["src"] == cores["id"]).select(
-            F.col("dst").alias("id"), F.col("core").alias("nbr_core")
+        nbr = edges_in.join(cores, edges_in["src"] == cores["id"]).select(
+            edges_in["dst"].alias("id"), F.col("core").alias("nbr_core")
         )
         # h-index H = max over distinct core values c of min(c, N_c),
         # N_c = #neighbors with core >= c (equivalent to the sorted-rank
@@ -81,26 +102,26 @@ def kcore(
             .groupBy("id")
             .agg(F.max(F.least(F.col("nbr_core").cast("long"), F.col("cum"))).alias("h"))
         )
+        # h is null for vertices outside the affected set (their inputs
+        # did not change) — they keep their core unchanged
+        new_core = F.least(F.col("core"), F.coalesce(F.col("h"), F.col("core")))
         new_cores = (
             cores.join(h, "id", "left")
             .select(
                 "id",
-                F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(1)))
-                .cast("int")
-                .alias("core"),
-                (F.col("core") != F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(1)))).alias(
-                    "_chg"
-                ),
+                new_core.cast("int").alias("core"),
+                (F.col("core") != new_core).alias("_chg"),
             )
         )
         # lazy checkpoint still truncates the plan (attribute re-anchor +
         # bounded analysis cost); the convergence count — or in fixed
         # mode the caller's action — materializes the chain
         new_cores = new_cores.localCheckpoint(eager=False)
+        changed = new_cores.filter("_chg").select("id")
         if fixed_iters is None:
-            changed = new_cores.filter("_chg").limit(1).count()
+            n_changed = changed.limit(1).count()
             cores = new_cores.drop("_chg")
-            if changed == 0:
+            if n_changed == 0:
                 break
         else:
             cores = new_cores.drop("_chg")
