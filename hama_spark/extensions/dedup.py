@@ -368,20 +368,16 @@ def dedup_near(
     pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Collapse near-duplicate CLUSTERS (not just pairs): MinHash-LSH
-    pairs -> connected components via Pregel min-label propagation
-    (SURVEY §7 Phase 6: dedup clustering reuses the graph layer) -> keep
-    the lowest id per component. Returns (doc_id, n_dups) where n_dups
-    counts the component (1 = unique doc).
+    pairs -> connected components via two-phase star contraction
+    (graph/cc_twophase.py; see ``_label_components`` for why it
+    replaces min-label propagation here) -> keep the lowest id per
+    component. Returns (doc_id, n_dups) where n_dups counts the
+    component (1 = unique doc).
 
     ``pairs`` lets a pipeline that already materialized the LSH pairs
     (columns id_a, id_b) feed them in instead of re-shingling and
     re-signing the corpus — cluster collapse then costs only the
-    connected-components pass.
-
-    ids propagate as zero-padded strings so the string-min label equals
-    the numeric min (mindist_search compares lexicographically, A3)."""
-    from hama_spark.graph import mindist_search
-
+    connected-components pass."""
     if pairs is None:
         pairs = minhash_lsh_dup_pairs(
             df, threshold, num_hashes, bands, k, id_col, text_col
@@ -393,21 +389,23 @@ def _label_components(
     df: DataFrame, pairs: DataFrame, id_col: str, extra_cols: list[str] = ()
 ) -> DataFrame:
     """Shared cluster-labeling preamble for both survivor rules:
-    duplicate pairs (id_a, id_b) -> connected components via Pregel
-    min-label propagation (SURVEY §7 Phase 6: dedup clustering reuses
-    the graph layer). Returns (id_col, *extra_cols, _comp, _pid) — one
-    row per df row, labeled with its component (own padded id when
-    unpaired).
+    duplicate pairs (id_a, id_b) -> connected components (SURVEY §7
+    Phase 6: dedup clustering reuses the graph layer). Returns
+    (id_col, *extra_cols, _comp, _pid) — one row per df row, labeled
+    with its component (own padded id when unpaired).
 
-    ids propagate as zero-padded strings so the string-min label equals
-    the numeric min (mindist_search compares lexicographically, A3)."""
-    from hama_spark.graph import mindist_search
+    Components run as two-phase star contraction
+    (graph/cc_twophase.py): near-dup clusters are often CHAINS of
+    pairwise-similar documents (a path graph), where min-label
+    propagation (graph/components.py, the A3 twin) needs O(chain
+    length) supersteps — star contraction converges in O(log n) rounds
+    with the same min-id labels. ids propagate as zero-padded strings
+    so the string-min label equals the numeric min."""
+    from hama_spark.graph.cc_twophase import connected_components_twophase
 
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
-    # dup clusters are shallow (label converges in ~cluster-diameter
-    # rounds) but the halt check still batches 3 supersteps per job
-    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
+    comp = connected_components_twophase(edges)
 
     ids = df.select(F.col(id_col), *extra_cols, pad(id_col).alias("_pid"))
     return ids.join(comp, ids["_pid"] == comp["id"], "left").select(

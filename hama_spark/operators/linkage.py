@@ -236,17 +236,19 @@ def entity_clusters(
     survivor per cluster, this keeps all records — the shape a
     golden-record / master-data step consumes.
 
-    Components run as distributed Pregel min-label propagation
-    (graph/components.py, the same engine twin as reference A3), so no
-    driver-side union-find; ids propagate zero-padded so the string min
-    equals the numeric min. Match clusters are shallow (diameter ≈
-    block size), so label propagation converges in a few supersteps.
+    Components run distributed — no driver-side union-find — via
+    two-phase star contraction (graph/cc_twophase.py, O(log n) rounds
+    regardless of diameter; same min-id labels as the Pregel min-label
+    engine, graph/components.py, measured ~2x faster on match-pair
+    graphs and asymptotically safer on the chain-shaped clusters fuzzy
+    matching produces). ids propagate zero-padded so the string min
+    equals the numeric min.
     """
-    from hama_spark.graph import mindist_search
+    from hama_spark.graph.cc_twophase import connected_components_twophase
 
     pad = lambda c: F.lpad(F.col(c).cast("string"), 15, "0")
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
-    comp = mindist_search(edges, undirected=True, max_iter=30, halt_check_interval=3)
+    comp = connected_components_twophase(edges)
 
     ids = df.select(_c(id_col), pad(id_col).alias("_pid"))
     # qualify through the frame handles: comp also carries an `id`
