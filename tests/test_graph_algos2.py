@@ -72,6 +72,46 @@ def test_kcore_fixed_iters_deterministic(spark):
     assert set(full.values()) == {2}
 
 
+def _sync_hindex_rounds(edges: list[tuple[str, str]], iters: int) -> dict[str, int]:
+    """Unpruned synchronous Montresor rounds (the pre-frontier loop):
+    every vertex recomputes its h-index from ALL neighbor estimates each
+    round. The frontier-pruned operator must match this EXACTLY at every
+    fixed iteration count, converged or not."""
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    core = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(iters):
+        nxt = {}
+        for v, ns in adj.items():
+            vals = sorted((core[n] for n in ns), reverse=True)
+            h = max(min(c, i + 1) for i, c in enumerate(vals))
+            nxt[v] = min(core[v], h)
+        core = nxt
+    return core
+
+
+def test_kcore_frontier_matches_unpruned_mid_convergence(spark):
+    # seeded random graph; assert at iteration counts BELOW and AT
+    # convergence — the frontier prune may only skip recomputation whose
+    # inputs did not change, never alter the synchronous schedule
+    import hashlib
+
+    n = 40
+    el = []
+    for i in range(n):
+        for j in range(3):
+            h = int(hashlib.md5(f"kc:{i}:{j}".encode()).hexdigest()[:8], 16) % n
+            if h != i:
+                el.append((str(i), str(h)))
+    edges = spark.createDataFrame(el, "src string, dst string")
+    for iters in (1, 2, 3, 8):
+        got = {r["id"]: r["core"] for r in kcore(edges, fixed_iters=iters).collect()}
+        assert got == _sync_hindex_rounds(el, iters), f"diverged at iters={iters}"
+
+
 # ------------------------------------------------------------- matching
 def _matching_fixture(spark, n_left=40, n_right=30):
     verts = [(f"l{i}", "L") for i in range(n_left)] + [
