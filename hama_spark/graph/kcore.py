@@ -73,19 +73,29 @@ def kcore(
     changed = None
     for i in range(iters):
         if changed is None:
-            edges_in = sym
+            # neighbor estimates: core of src delivered to dst
+            nbr = sym.join(cores, sym["src"] == cores["id"]).select(
+                F.col("dst").alias("id"), F.col("core").alias("nbr_core")
+            )
         else:
-            # dsts adjacent to a changed src are the only candidates
+            # affected = vertices adjacent to a changed vertex. sym is
+            # SYMMETRIC, so "edges whose dst is affected, delivering
+            # core(src) to dst" is the same multiset as "edges whose
+            # src is affected, delivering core(dst) to src" — and the
+            # latter keys BOTH frontier joins on src/id, so the cached
+            # src-partitioned edge relation never re-shuffles (the
+            # dst-filtered form would exchange the full edge set by dst
+            # every round, which at 10x scale cost more than the prune
+            # saved on graphs that keep changing)
             aff = (
                 sym.join(changed.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"))
                 .distinct()
             )
-            edges_in = sym.join(aff.withColumnRenamed("id", "dst"), "dst")
-        # neighbor estimates: core of src delivered to dst
-        nbr = edges_in.join(cores, edges_in["src"] == cores["id"]).select(
-            edges_in["dst"].alias("id"), F.col("core").alias("nbr_core")
-        )
+            edges_in = sym.join(aff.withColumnRenamed("id", "src"), "src")
+            nbr = edges_in.join(cores, edges_in["dst"] == cores["id"]).select(
+                edges_in["src"].alias("id"), F.col("core").alias("nbr_core")
+            )
         # h-index H = max over distinct core values c of min(c, N_c),
         # N_c = #neighbors with core >= c (equivalent to the sorted-rank
         # definition, but the window runs over distinct (id, core) pairs
