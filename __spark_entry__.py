@@ -3427,8 +3427,6 @@ QUERIES: dict[str, Callable] = {
     "semantic_dup_pairs": _q_semantic_dup_pairs,
     "semantic_dedup": _q_semantic_dedup,
     "online_cf_topk": _q_online_cf,
-    "gradient_descent_linear": _q_gd,
-    "gradient_descent_logistic": _q_gd_logistic,
     # ---- driver window boundary (entry 50 above this line) ----------
     # Everything below holds a green row (r2, r3 or r4) on code
     # unchanged since, re-verified per round by the full-inventory
@@ -3439,7 +3437,12 @@ QUERIES: dict[str, Callable] = {
     # the new bloom_decontaminate and knn_graph rows), nb_lang_confusion,
     # bm25_topk, hybrid_rrf, scd2_orders, link_prediction, corpus_diff,
     # hard_negatives, scrub_boilerplate, bpe_top_tokens, bpe_fertility,
-    # corpus_stats, value_quantiles.
+    # corpus_stats, value_quantiles. Displaced r6: the two gradient
+    # descent queries (green r2-r5 rows, ml/gradient_descent.py untouched
+    # since) — they sat at positions 51-52 while the marker claimed 50,
+    # i.e. OUTSIDE the driver's real truncation window.
+    "gradient_descent_linear": _q_gd,
+    "gradient_descent_logistic": _q_gd_logistic,
     "importance_weights": _q_importance_weights,
     "quality_classifier": _q_quality_classifier,
     "nb_lang_confusion": _q_nb_confusion,

@@ -359,6 +359,10 @@ def ivf_build(
     from hama_spark.functions.distance import MEASURES
 
     c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
+    first = c.select(F.size("v").alias("_d")).first()
+    if first is None:
+        raise ValueError("ivf_build: corpus has no rows")
+    dim = int(first["_d"])
     # deterministic distributed seed pick; the row_number window runs
     # over the n_cells surviving rows only (k rows, not the corpus)
     seeds = c.select(F.xxhash64(F.col("id")).alias("_h"), "v").orderBy("_h").limit(
@@ -367,12 +371,16 @@ def ivf_build(
     init = seeds.select(
         (F.row_number().over(Window.orderBy("_h")) - 1).alias("center_id"),
         F.col("v").alias("center"),
-    )
+    ).localCheckpoint(eager=True)
+    # the TRAINED center count (≤ n_cells when the corpus is small) —
+    # the kernel mirror below must use the same k kmeans_df's auto rule
+    # saw, or a small corpus trains float64-expr but assigns float32-
+    # numpy and near-tie points land in different cells than training
+    k_actual = init.count()
     km = kmeans_df(
         c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter
     )
-    dim = c.select(F.size("v")).first()[0]
-    if int(n_cells) * int(dim) >= 32768:  # mirror kmeans_df's auto kernel
+    if k_actual * dim >= 32768:  # mirror kmeans_df's auto kernel
         assigned = assign_with_centers_np(
             c, _centers_np(km.centers), "euclidean", feat="v", out_col="cell"
         ).select("id", "v", "cell")

@@ -339,6 +339,8 @@ def _merge_side_params(df: DataFrame, label: str) -> tuple[int, int, int, int]:
     row = df.agg(
         F.count("*").alias("rows"),
         F.count_distinct("shard").alias("shards"),
+        F.min("shard").alias("shard_min"),
+        F.max("shard").alias("shard_max"),
         F.count_distinct("num_bits", "num_hashes", "seed", "n_shards").alias("tuples"),
         F.min("num_bits").alias("bits"),
         F.min("num_hashes").alias("hashes"),
@@ -353,12 +355,22 @@ def _merge_side_params(df: DataFrame, label: str) -> tuple[int, int, int, int]:
             "(num_bits, num_hashes, seed, n_shards)"
         )
     n_shards = int(row["n_shards"])
-    if row["rows"] != n_shards or row["shards"] != n_shards:
+    # n distinct integer ids with min 0 and max n-1 is exactly
+    # {0..n_shards-1} (pigeonhole) — cardinality alone would accept a
+    # RE-KEYED skeleton (e.g. shards {4..7} with n_shards=4), whose
+    # inner join against a {0..3} side silently drops every shard
+    if (
+        row["rows"] != n_shards
+        or row["shards"] != n_shards
+        or int(row["shard_min"]) != 0
+        or int(row["shard_max"]) != n_shards - 1
+    ):
         raise ValueError(
             f"bloom_merge: {label} input declares n_shards={n_shards} but has "
-            f"{row['rows']} rows ({row['shards']} distinct shards) — a filter "
-            "missing shards would merge into silent false negatives; merge "
-            "only complete bloom_build/bloom_merge outputs"
+            f"{row['rows']} rows ({row['shards']} distinct shards in "
+            f"[{row['shard_min']}, {row['shard_max']}]) — an incomplete or "
+            "re-keyed shard skeleton would merge into silent false "
+            "negatives; merge only complete bloom_build/bloom_merge outputs"
         )
     return (int(row["bits"]), int(row["hashes"]), int(row["seed"]), n_shards)
 

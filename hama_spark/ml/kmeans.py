@@ -75,13 +75,24 @@ def _centers_relation(centers: DataFrame) -> DataFrame:
     """k-row (center_id, center) relation -> ONE-ROW ``ctrs
     array<array<double>>`` ordered by center_id, assembled JVM-side
     (collect_list into a single executor row — the centers never visit
-    the driver) and small enough to broadcast. Requires center_id to be
-    contiguous 0..k-1 so array position maps back to the id."""
+    the driver) and small enough to broadcast. center_id MUST be
+    contiguous 0..k-1 so array position maps back to the id — enforced
+    here with a guard INSIDE the consumed ctrs expression (gapped ids,
+    e.g. {0,2,5}, would otherwise silently relabel every point by sort
+    position; the numpy path's ``_centers_np`` raises the same way)."""
+    structs = F.array_sort(F.collect_list(F.struct("center_id", "center")))
+    contiguous = F.forall(
+        F.transform(structs, lambda s, i: s["center_id"] == i), lambda x: x
+    )
     return centers.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("center_id", "center"))),
-            lambda s: s["center"],
-        ).alias("ctrs")
+        F.when(contiguous, F.transform(structs, lambda s: s["center"]))
+        .otherwise(
+            F.raise_error(
+                F.lit("center_id must be contiguous 0..k-1 (gapped or "
+                      "duplicate ids would silently mislabel assignments)")
+            )
+        )
+        .alias("ctrs")
     )
 
 
@@ -289,7 +300,15 @@ def kmeans_df(
         if moved == 0 or iterations >= max_iterations:
             break
 
-    assignments = _assign(points, centers).select("center_id", "features")
+    # materialize BEFORE dropping the cache: the returned assignments
+    # must be the rows training saw — a lazy plan re-evaluated after
+    # unpersist would recompute the caller's input lineage (wrong rows
+    # entirely if that lineage is nondeterministic: sample(), rand())
+    assignments = (
+        _assign(points, centers)
+        .select("center_id", "features")
+        .localCheckpoint(eager=True)
+    )
     points.unpersist()
     return KMeansDFResult(
         assignments=assignments, centers=centers, iterations=iterations
@@ -352,8 +371,11 @@ def kmeans(
         if converged_counter == 0 or iterations >= max_iterations:
             break
 
+    # materialize before dropping the cache (same reason as kmeans_df):
+    # the returned assignments must be the rows training saw, not a
+    # recompute of the caller's (possibly nondeterministic) lineage
     assignments = points.select(
         _assign_expr(centers, measure).alias("center_id"), "features"
-    )
+    ).localCheckpoint(eager=True)
     points.unpersist()
     return KMeansResult(assignments=assignments, centers=centers, iterations=iterations)

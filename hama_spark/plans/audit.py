@@ -113,12 +113,15 @@ def _has_file_scan(node) -> bool:
     are then on-disk compressed bytes, not row footprint)."""
     name = node.nodeName().strip()
     # "Scan ExistingRDD" (checkpoints) carries row-based stats — only
-    # format scans report on-disk bytes
+    # format scans report on-disk bytes. Catalog tables append the
+    # qualified table name ("Scan parquet spark_catalog.default.t"),
+    # so match on the format PREFIX, not exact equality.
     if (
         "FileSourceScan" in name
         or name == "BatchScan"
         or any(
-            name == f"Scan {fmt}" for fmt in ("parquet", "orc", "csv", "json", "text")
+            name == f"Scan {fmt}" or name.startswith(f"Scan {fmt} ")
+            for fmt in ("parquet", "orc", "csv", "json", "text")
         )
     ):
         return True

@@ -66,7 +66,11 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+from hama_spark.plans.recovery import (
+    clear_checkpoints,
+    load_checkpoint,
+    save_checkpoint,
+)
 
 MSG = "_msg"  # column name the combined inbox arrives under
 
@@ -170,10 +174,15 @@ def pregel(
         ``reliable_checkpoint`` covers executor loss only; this covers
         the whole driver. Aggregator values must be JSON-serializable.
     recover_fingerprint : opaque string identifying the JOB (hash the
-        algorithm parameters into it); a checkpoint written under a
+        algorithm parameters into it — and, for recurring jobs over
+        changing data, an INPUT identity such as a snapshot id or
+        content fingerprint: parameters alone cannot distinguish
+        yesterday's run from today's). A checkpoint written under a
         different fingerprint raises instead of resuming the wrong
-        fixpoint. ``recover_retain`` committed steps are kept (pruned
-        after each new commit).
+        fixpoint; a run that COMPLETES clears its step checkpoints, so
+        a later same-fingerprint run starts fresh instead of resuming
+        the finished state. ``recover_retain`` committed steps are kept
+        (pruned after each new commit).
     dense : exchange-free vertex loop for dense-message algorithms
         (every vertex messages every superstep, so the combined inbox
         is ~|V| rows and never broadcasts — PageRank-class). Vertices
@@ -383,10 +392,7 @@ def pregel(
                 materialized = True
                 if ctx.num_messages == 0:
                     break
-        if (
-            recover_dir is not None
-            and ctx.superstep % checkpoint_interval == checkpoint_interval - 1
-        ):
+        if recover_dir is not None and interval_hit:
             # Durable commit of the loop-carried state (vertices are
             # post-compute of this superstep, msgs the pending inbox for
             # the next). The parquet writes double as the actions that
@@ -429,8 +435,21 @@ def pregel(
         vertices = final
         if edges is not None:
             edges.unpersist()
+        if recover_dir is not None:
+            # the eager checkpoint above copied the final state into
+            # executor blocks, so the step parquet is no longer part of
+            # any live lineage — safe to clear, and clearing is REQUIRED:
+            # a completed run's checkpoints left behind would be silently
+            # resumed by the next same-fingerprint run over new input
+            clear_checkpoints(spark, recover_dir)
         return vertices
 
+    if recover_dir is not None and not materialized:
+        # a resumed run's lazy lineage roots at the step parquet about
+        # to be cleared — pin the final state into checkpoint blocks
+        # first (also covers the fixed-iteration exit below)
+        vertices.count()
+        materialized = True
     if edges is not None:
         if not materialized:
             # Fixed-iteration exits (detect_halt=False / max_iter mid
@@ -440,4 +459,7 @@ def pregel(
             # the whole loop against uncached edges.
             vertices.count()
         edges.unpersist()
+    if recover_dir is not None:
+        # completed runs must not leave resumable state (see dense exit)
+        clear_checkpoints(spark, recover_dir)
     return vertices

@@ -125,6 +125,23 @@ def save_checkpoint(
         )
 
 
+def clear_checkpoints(spark: SparkSession, recover_dir: str) -> None:
+    """Delete every step checkpoint (committed or half-written) under
+    ``recover_dir``. Called by the Pregel loop on SUCCESSFUL completion:
+    a finished run's checkpoints must not survive, or a LATER run with
+    the same directory and fingerprint would silently resume the
+    finished fixpoint's final state instead of computing over its own
+    input. Only ``step=NNNNNN`` directories are touched — anything else
+    a user placed under the directory is left alone."""
+    fs, jpath, jvm = _fs_and_path(spark, recover_dir)
+    if not fs.exists(jpath):
+        return
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if _STEP_RE.fullmatch(name):
+            fs.delete(status.getPath(), True)
+
+
 def load_checkpoint(
     spark: SparkSession, recover_dir: str, fingerprint: str
 ) -> dict | None:

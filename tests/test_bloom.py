@@ -136,6 +136,21 @@ def test_merge_rejects_incomplete_shard_skeleton(spark):
         bloom_merge(a, b)
 
 
+def test_merge_rejects_rekeyed_shard_skeleton(spark):
+    """Same cardinality, wrong ids: a side whose shard ids were offset
+    (e.g. {4..11} vs {0..7}) passes a count-only check but its inner
+    join drops every shard — must raise, not false-negative."""
+    from pyspark.sql import functions as F
+
+    params = dict(num_bits=512, num_hashes=3, n_shards=8)
+    a = bloom_build(_members(spark, 200, "a"), "key", **params)
+    b = bloom_build(_members(spark, 200, "b"), "key", **params).withColumn(
+        "shard", F.col("shard") + 4
+    )
+    with pytest.raises(Exception, match="re-keyed|complete"):
+        bloom_merge(a, b)
+
+
 def test_num_hashes_derived_from_callers_num_bits(spark):
     """When num_bits is pinned but num_hashes is not, k must come from
     the caller's m (k = m/n·ln2), not from an auto-sized m the filter

@@ -111,3 +111,53 @@ def test_numpy_kernel_matches_expr_kernel_on_separated_clusters(spark):
         for r in b.assignments.groupBy("center_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert sa == sb
+
+
+def test_expr_kernel_rejects_gapped_center_ids(spark):
+    """Gapped center ids would silently relabel every point by sort
+    position in the expr kernel (the numpy kernel already raises) —
+    the guard lives inside the consumed ctrs expression so no
+    projection can prune it away."""
+    import pytest
+    from hama_spark.ml.kmeans import assign_with_centers_df
+    from hama_spark.functions.distance import MEASURES
+
+    pts = spark.createDataFrame(
+        [([0.0, 0.0],), ([5.0, 5.0],)], "features array<double>"
+    )
+    gapped = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (2, [5.0, 5.0])], "center_id int, center array<double>"
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        assign_with_centers_df(pts, gapped, MEASURES["euclidean"]).collect()
+    ok = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0])], "center_id int, center array<double>"
+    )
+    got = assign_with_centers_df(pts, ok, MEASURES["euclidean"]).collect()
+    assert sorted(r["center_id"] for r in got) == [0, 1]
+
+
+def test_assignments_survive_source_recompute(spark):
+    """kmeans_df must return the rows training saw even when the input
+    lineage is nondeterministic — the final assignment is materialized
+    before the points cache is dropped."""
+    src = spark.range(400).select(
+        F.array(F.rand(seed=None), F.rand(seed=None)).alias("features")
+    )
+    res = kmeans_df(src, [[0.2, 0.2], [0.8, 0.8]], max_iterations=3)
+    # two evaluations of a lazy plan over rand(seed=None) would differ;
+    # a materialized result is stable
+    a = res.assignments.groupBy("center_id").count().collect()
+    b = res.assignments.groupBy("center_id").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_build_empty_corpus_raises(spark):
+    import pytest
+    from hama_spark.extensions.similarity import ivf_build
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        ivf_build(empty, n_cells=4)

@@ -158,3 +158,33 @@ def test_broadcast_size_guardrail_flags_oversized_build_side(spark):
 
     # plans with no broadcast at all are clean
     assert audit_broadcast_sizes(probe.groupBy("k").count()) == []
+
+
+def test_broadcast_guardrail_applies_compression_factor_to_catalog_tables(
+    spark, tables, tmp_path
+):
+    """Catalog-table scans report nodeName 'Scan parquet <catalog.db.t>'
+    (not the bare 'Scan parquet' of path reads) — the file-compression
+    factor must still apply, or warehouse-table build sides are
+    under-estimated ~4x, exactly the optimism the guardrail exists to
+    remove."""
+    from hama_spark.plans.audit import _has_file_scan, audit_broadcast_sizes
+
+    tables["part"].write.mode("overwrite").parquet(str(tmp_path / "p"))
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW _audit_probe "
+        f"USING parquet OPTIONS (path '{tmp_path / 'p'}')"
+    )
+    cat = spark.table("_audit_probe")
+    assert _has_file_scan(cat._jdf.queryExecution().sparkPlan())
+
+    probe = spark.range(100).select(F.col("id").alias("k"))
+    joined = probe.join(F.broadcast(cat), probe["k"] == cat["p_partkey"])
+    # a 1-byte bound guarantees a finding; the estimate must be the
+    # on-disk size TIMES the factor (asserted via monotonicity in it)
+    low = audit_broadcast_sizes(joined, max_broadcast_bytes=1,
+                                file_compression_factor=1.0)
+    high = audit_broadcast_sizes(joined, max_broadcast_bytes=1,
+                                 file_compression_factor=4.0)
+    assert len(low) == 1 and len(high) == 1
+    assert high[0]["est_bytes"] == 4 * low[0]["est_bytes"]

@@ -114,13 +114,44 @@ def test_checkpoint_retention_prunes_older_steps(spark, tmp_path):
     assert steps == sorted(steps)
 
 
-def test_fingerprint_mismatch_raises_instead_of_resuming(spark, tmp_path):
+def test_fingerprint_mismatch_raises_instead_of_resuming(
+    spark, tmp_path, monkeypatch
+):
     edges = _line_edges(spark, 8)
     rdir = str(tmp_path / "fp")
-    sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    # only a CRASHED run leaves checkpoints behind (completed runs clear
+    # them — see test_completed_run_clears_checkpoints)
+    real = sssp_mod.pregel
+    monkeypatch.setattr(sssp_mod, "pregel", _killing_pregel(real, 4, []))
+    with pytest.raises(RuntimeError, match="simulated driver crash"):
+        sssp_mod.sssp(edges, "0", checkpoint_interval=2, recover_dir=rdir)
+    assert committed_steps(spark, rdir), "crash must leave committed steps"
+    monkeypatch.setattr(sssp_mod, "pregel", real)
     with pytest.raises(ValueError, match="different job"):
         # different start vertex => different fingerprint, same dir
         sssp_mod.sssp(edges, "1", checkpoint_interval=2, recover_dir=rdir)
+
+
+def test_completed_run_clears_checkpoints(spark, tmp_path):
+    """A finished fixpoint must leave NO resumable state: a later run
+    with the same dir+fingerprint over different data would otherwise
+    silently resume the finished run's final vertices."""
+    edges = _line_edges(spark, 8)
+    rdir = str(tmp_path / "done")
+    first = sorted(
+        tuple(r)
+        for r in sssp_mod.sssp(
+            edges, "0", checkpoint_interval=2, recover_dir=rdir
+        ).collect()
+    )
+    assert committed_steps(spark, rdir) == []
+    # same fingerprint, LONGER line: must compute fresh, not resume
+    edges2 = _line_edges(spark, 10)
+    second = sssp_mod.sssp(
+        edges2, "0", checkpoint_interval=2, recover_dir=rdir
+    ).collect()
+    assert len(second) == 10 and len(first) == 8
+    assert max(int(r["dist"]) for r in second) == 9
 
 
 def test_uncommitted_step_dir_is_invisible(spark, tmp_path):
