@@ -61,6 +61,27 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     )
 
 
+def _guard_quadratic(
+    df: DataFrame, bound: int, override: bool, fn: str, scale_path: str
+) -> None:
+    """Refuse to run an O(n²) ground-truth twin on an input big enough
+    to make that a mistake. One cheap count() pre-flight; the oracle /
+    test fixtures (≤ thousands of rows) pass untouched, a user pointing
+    the twin at a corpus gets an actionable error instead of a
+    cluster-melting job. ``override`` (the i_know_this_is_quadratic
+    flag) skips the guard AND the count."""
+    if override:
+        return
+    n = df.count()
+    if n > bound:
+        raise ValueError(
+            f"{fn} is a brute-force O(n²) ground-truth twin and the input "
+            f"has {n} rows (> max_input_rows={bound}); use {scale_path} "
+            f"for corpus-scale inputs, or pass i_know_this_is_quadratic="
+            f"True to proceed anyway"
+        )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -68,11 +89,23 @@ def ngram_jaccard_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_input_rows: int = 100_000,
+    i_know_this_is_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs (a<b) with Jaccard similarity of word-k-gram sets >=
     threshold. The self-join is on the shingle (inverted index), so cost
     is Σ df(shingle)² — fine when shingles are selective; for hot
-    shingles prefer minhash_lsh_dup_pairs."""
+    shingles prefer minhash_lsh_dup_pairs.
+
+    GROUND-TRUTH TWIN, not a scale path: hot shingles (boilerplate,
+    stopword k-grams) make the bucket join effectively all-pairs. The
+    guard refuses inputs above ``max_input_rows`` unless
+    ``i_know_this_is_quadratic=True`` — on a real corpus you want
+    ``minhash_lsh_dup_pairs``."""
+    _guard_quadratic(
+        df, max_input_rows, i_know_this_is_quadratic,
+        "ngram_jaccard_pairs", "minhash_lsh_dup_pairs",
+    )
     sh = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -507,11 +540,20 @@ def embedding_cosine_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_input_rows: int = 100_000,
+    i_know_this_is_quadratic: bool = False,
 ) -> DataFrame:
     """Exact near-duplicate pairs by cosine similarity >= threshold.
     Brute force O(n²) — the oracle/ground-truth path; use
-    similarity.lsh_cosine_topk for the scale path. Cosine computed on
-    L2-normalized doubles, rounded to 9 dp for cross-engine stability."""
+    similarity.lsh_cosine_dup_pairs / semantic_dup_pairs for the scale
+    path. Cosine computed on L2-normalized doubles, rounded to 9 dp for
+    cross-engine stability. Inputs above ``max_input_rows`` raise
+    unless ``i_know_this_is_quadratic=True`` (100k rows is already a
+    10¹⁰-pair join)."""
+    _guard_quadratic(
+        df, max_input_rows, i_know_this_is_quadratic,
+        "embedding_cosine_dup_pairs", "lsh_cosine_dup_pairs",
+    )
     norm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )

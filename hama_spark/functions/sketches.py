@@ -252,23 +252,35 @@ def key_overlap_report(
     exact set algebra (sketch never filled) to a ±1/√k estimate once
     distinct keys exceed ``k`` — ``exact`` makes the regime visible
     (true iff both side sketches AND their union stayed under k, i.e.
-    every output value is exact). With ``auto_escalate`` (default), a
-    fill triggers ONE retry at 4·k before settling for the estimate —
+    every output value is exact). With ``auto_escalate`` (default),
+    sketches that would fill at ``k`` are automatically read at 4·k —
     so sketches that missed exactness by a small factor report exact
-    numbers instead of estimates, at the cost of one extra sketch pass.
-    The sketch passes run eagerly (k longs per side to the driver)."""
+    numbers instead of estimates. This costs NO extra pass: each side
+    is sketched ONCE at 4·k, and because KMV's k smallest hashes are a
+    prefix of its 4k smallest, slicing that sketch back to ``k``
+    reproduces the plain k-sketch exactly when no escalation is needed.
+    The sketch passes run eagerly (<=4·k longs per side to the driver)."""
 
     def _sketch(df: DataFrame, col: str, kk: int) -> list[int]:
         row = kmv_sketch(df, col, k=kk, seed=seed).collect()
         return list(row[0]["kmv"]) if row else []
 
-    k_eff = int(k)
-    sk_a = _sketch(a, key, k_eff)
-    sk_b = _sketch(b, key_b or key, k_eff)
-    # a side fill OR a potentially-filled union (len_a+len_b can exceed
-    # k even when both sides are unfilled) enters the estimate regime
-    if auto_escalate and (len(sk_a) + len(sk_b) >= k_eff):
-        k_eff = 4 * k_eff
+    k = int(k)
+    if auto_escalate:
+        # ONE pass per side at 4k; the k-sketch is its length-k prefix.
+        # Escalate (keep the 4k sketches) exactly when the k-sketches
+        # could have a filled union: len_a@k + len_b@k >= k, where
+        # len@k = min(len@4k, k). Output is bit-identical to the old
+        # sketch-at-k-then-retry-at-4k flow, minus the second scan.
+        sk_a = _sketch(a, key, 4 * k)
+        sk_b = _sketch(b, key_b or key, 4 * k)
+        if min(len(sk_a), k) + min(len(sk_b), k) >= k:
+            k_eff = 4 * k
+        else:
+            k_eff = k
+            sk_a, sk_b = sk_a[:k], sk_b[:k]
+    else:
+        k_eff = k
         sk_a = _sketch(a, key, k_eff)
         sk_b = _sketch(b, key_b or key, k_eff)
 

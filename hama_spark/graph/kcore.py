@@ -107,5 +107,11 @@ def kcore(
             # fixpoint: every remaining scheduled round is the identity
             break
 
+    if iters == 0:
+        # degenerate schedule: the loop body never ran, so the lazy
+        # degree checkpoint was never materialized — force it while sym
+        # is still cached, or the caller's first action recomputes the
+        # symmetrized-distinct edge set uncached (perf only)
+        cores.count()
     sym.unpersist()
     return cores

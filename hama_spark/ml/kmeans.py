@@ -200,6 +200,7 @@ def kmeans_df(
     distance: str = "euclidean",
     features_col: str = "features",
     kernel: str = "auto",
+    materialize_assignments: bool = True,
 ) -> KMeansDFResult:
     """Lloyd with the centers kept as a DataFrame END-TO-END — the
     large-k training path (IVF at corpus scale wants k ≈ √n cells; at
@@ -223,6 +224,18 @@ def kmeans_df(
     (:func:`assign_with_centers_np`, ~1000x faster at k=4096, distances
     differ only by float summation order); ``"auto"`` picks numpy once
     k·dim ≥ 32768 (k≈512 at dim 64).
+
+    ``materialize_assignments``: True (default) eagerly localCheckpoints
+    the returned assignments — ONE ROW PER INPUT POINT pinned into
+    executor storage (memory, spilling to local disk), unrecoverable on
+    executor loss. That pin is what guarantees the assignments are the
+    rows training saw even when the caller's lineage is
+    nondeterministic (``sample()``, ``rand()``). Callers that only
+    aggregate the assignments (cluster sizes, IVF cell routing) and
+    whose input lineage is deterministic should pass False: the result
+    is then a LAZY plan that recomputes the caller's input on first
+    use — zero storage footprint, but nondeterministic lineage would
+    yield assignments for different rows than training saw.
     """
     measure = MEASURES[distance]
     spark = points.sparkSession
@@ -303,12 +316,12 @@ def kmeans_df(
     # materialize BEFORE dropping the cache: the returned assignments
     # must be the rows training saw — a lazy plan re-evaluated after
     # unpersist would recompute the caller's input lineage (wrong rows
-    # entirely if that lineage is nondeterministic: sample(), rand())
-    assignments = (
-        _assign(points, centers)
-        .select("center_id", "features")
-        .localCheckpoint(eager=True)
-    )
+    # entirely if that lineage is nondeterministic: sample(), rand()).
+    # The pin costs one row per input point of executor storage; see
+    # the materialize_assignments docstring for the opt-out.
+    assignments = _assign(points, centers).select("center_id", "features")
+    if materialize_assignments:
+        assignments = assignments.localCheckpoint(eager=True)
     points.unpersist()
     return KMeansDFResult(
         assignments=assignments, centers=centers, iterations=iterations
@@ -322,10 +335,16 @@ def kmeans(
     distance: str = "euclidean",
     features_col: str = "features",
     feature_transformer=None,
+    materialize_assignments: bool = True,
 ) -> KMeansResult:
     """points(features array<double>) + seed centers -> assignments/centers.
     ``feature_transformer`` (M7, ml/util/FeatureTransformer.java:41) is a
-    Column->Column pre-transform applied once before the loop."""
+    Column->Column pre-transform applied once before the loop.
+    ``materialize_assignments`` as in :func:`kmeans_df`: True pins one
+    row per input point into executor storage so the result matches the
+    rows training saw even under nondeterministic lineage; False returns
+    a lazy zero-footprint plan (deterministic-lineage callers that
+    immediately aggregate)."""
     if feature_transformer is not None:
         from hama_spark.ml.feature import apply_features
 
@@ -376,6 +395,8 @@ def kmeans(
     # recompute of the caller's (possibly nondeterministic) lineage
     assignments = points.select(
         _assign_expr(centers, measure).alias("center_id"), "features"
-    ).localCheckpoint(eager=True)
+    )
+    if materialize_assignments:
+        assignments = assignments.localCheckpoint(eager=True)
     points.unpersist()
     return KMeansResult(assignments=assignments, centers=centers, iterations=iterations)

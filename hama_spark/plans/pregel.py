@@ -441,7 +441,7 @@ def pregel(
             # any live lineage — safe to clear, and clearing is REQUIRED:
             # a completed run's checkpoints left behind would be silently
             # resumed by the next same-fingerprint run over new input
-            clear_checkpoints(spark, recover_dir)
+            clear_checkpoints(spark, recover_dir, recover_fingerprint)
         return vertices
 
     if recover_dir is not None and not materialized:
@@ -461,5 +461,5 @@ def pregel(
         edges.unpersist()
     if recover_dir is not None:
         # completed runs must not leave resumable state (see dense exit)
-        clear_checkpoints(spark, recover_dir)
+        clear_checkpoints(spark, recover_dir, recover_fingerprint)
     return vertices

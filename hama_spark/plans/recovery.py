@@ -120,26 +120,45 @@ def save_checkpoint(
     )
     fs, _, jvm = _fs_and_path(spark, recover_dir)
     for old in committed_steps(spark, recover_dir)[:-retain]:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(_step_dir(recover_dir, old)), True
-        )
+        odir = _step_dir(recover_dir, old)
+        # prune only steps THIS job committed — a shared recover_dir
+        # must never lose another in-flight job's recovery points
+        m = _read_json(spark, f"{odir}/{MANIFEST}")
+        if m is not None and m.get("fingerprint") == fingerprint:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(odir), True)
 
 
-def clear_checkpoints(spark: SparkSession, recover_dir: str) -> None:
-    """Delete every step checkpoint (committed or half-written) under
-    ``recover_dir``. Called by the Pregel loop on SUCCESSFUL completion:
-    a finished run's checkpoints must not survive, or a LATER run with
-    the same directory and fingerprint would silently resume the
-    finished fixpoint's final state instead of computing over its own
-    input. Only ``step=NNNNNN`` directories are touched — anything else
-    a user placed under the directory is left alone."""
+def clear_checkpoints(
+    spark: SparkSession, recover_dir: str, fingerprint: str | None = None
+) -> None:
+    """Delete step checkpoints under ``recover_dir``. Called by the
+    Pregel loop on SUCCESSFUL completion: a finished run's checkpoints
+    must not survive, or a LATER run with the same directory and
+    fingerprint would silently resume the finished fixpoint's final
+    state instead of computing over its own input.
+
+    With a ``fingerprint`` (what the loop passes), a committed step is
+    deleted only when its manifest carries the SAME fingerprint —
+    a recover_dir shared (even accidentally) with another in-flight job
+    keeps that job's crash checkpoints intact. Manifest-less step
+    directories (half-written by a crash) are always swept; directories
+    that don't match ``step=NNNNNN`` are never touched. Passing
+    ``fingerprint=None`` keeps the old sweep-everything behavior for
+    explicit directory resets."""
     fs, jpath, jvm = _fs_and_path(spark, recover_dir)
     if not fs.exists(jpath):
         return
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
-        if _STEP_RE.fullmatch(name):
-            fs.delete(status.getPath(), True)
+        if not _STEP_RE.fullmatch(name):
+            continue
+        if fingerprint is not None:
+            mpath = jvm.org.apache.hadoop.fs.Path(status.getPath(), MANIFEST)
+            if fs.exists(mpath):
+                m = _read_json(spark, f"{recover_dir}/{name}/{MANIFEST}")
+                if m is not None and m.get("fingerprint") != fingerprint:
+                    continue
+        fs.delete(status.getPath(), True)
 
 
 def load_checkpoint(

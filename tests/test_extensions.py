@@ -687,3 +687,32 @@ def test_corr_matrix_guards_and_nulls(spark):
         corr_matrix(df, ["a"])
     with _pytest.raises(ValueError):
         corr_matrix(df, [f"c{i}" for i in range(61)])
+
+
+def test_quadratic_twins_guard_large_inputs(spark):
+    """r6 ADVICE item 8: the brute-force ground-truth twins refuse
+    corpus-sized inputs unless the caller opts in explicitly."""
+    import pytest as _pytest
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d").alias("text")
+    )
+    with _pytest.raises(ValueError, match="i_know_this_is_quadratic"):
+        ngram_jaccard_pairs(docs, max_input_rows=10)
+    # opt-in proceeds (and skips the pre-flight count)
+    ngram_jaccard_pairs(
+        docs, max_input_rows=10, i_know_this_is_quadratic=True
+    ).limit(1).collect()
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="lsh_cosine_dup_pairs"):
+        embedding_cosine_dup_pairs(vecs, max_input_rows=10)
+    assert (
+        embedding_cosine_dup_pairs(
+            vecs, max_input_rows=10, i_know_this_is_quadratic=True
+        ).count()
+        > 0
+    )

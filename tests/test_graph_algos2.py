@@ -315,3 +315,14 @@ def test_random_walks_super_node_cap(spark):
         r["walk_src"]: r["walk"]
         for r in random_walks(small, walk_len=5, seed=7, max_degree=2).collect()
     }
+
+
+def test_kcore_fixed_iters_zero_returns_degrees(spark):
+    """Degenerate schedule: zero rounds = core_0 = degree, and the
+    result must be usable AFTER kcore returns (the r6 ADVICE case: the
+    lazy degree checkpoint must be materialized before the edge cache
+    is dropped, so this collect doesn't replay the symmetrize)."""
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r["id"]: r["core"] for r in kcore(edges, fixed_iters=0).collect()}
+    assert got == {"a": 2, "b": 2, "c": 3, "d": 1}

@@ -205,3 +205,17 @@ def test_key_overlap_regime_flag_and_escalation(spark):
     big = key_overlap_report(a, b, "k", k=512).first()
     assert big["exact"] is False
     assert big["distinct_a_est"] == pytest.approx(3000.0, rel=0.1)
+
+
+def test_key_overlap_one_pass_slice_matches_plain_k_sketch(spark):
+    """The one-pass escalation sketches at 4k and slices back to k when
+    no escalation is needed; that must be bit-identical to the plain
+    k-sketch path (KMV's k smallest are a prefix of its 4k smallest)."""
+    from hama_spark.functions.sketches import key_overlap_report
+
+    a = spark.createDataFrame([(i * 7,) for i in range(120)], "k long")
+    b = spark.createDataFrame([(i * 5,) for i in range(150)], "k long")
+    one_pass = key_overlap_report(a, b, "k", k=4096).first()
+    plain = key_overlap_report(a, b, "k", k=4096, auto_escalate=False).first()
+    assert one_pass == plain
+    assert one_pass["exact"] is True

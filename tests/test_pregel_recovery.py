@@ -198,3 +198,42 @@ def test_dense_mode_resume_matches_uninterrupted_run(spark, tmp_path, monkeypatc
     assert got == expected
     assert min(seen) >= 6, seen  # resumed, not restarted
     assert committed_steps(spark, rdir) == []  # completion cleared state
+
+
+def test_clear_checkpoints_spares_other_jobs_steps(spark, tmp_path):
+    """r6 ADVICE: completing in a recover_dir shared with another
+    in-flight job must only sweep THIS job's (same-fingerprint) steps
+    plus manifest-less half-writes — never the other job's recovery
+    points. Fingerprint-less clear keeps the old sweep-all reset."""
+    from hama_spark.plans.recovery import clear_checkpoints, save_checkpoint
+
+    rdir = str(tmp_path / "shared")
+    vs = spark.range(3).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 4, vs, None, {"s": 1}, "jobA")
+    save_checkpoint(rdir, 6, vs, None, {"s": 2}, "jobB")
+    # half-written step (crash mid-write, no manifest): always swept
+    (tmp_path / "shared" / "step=000009" / "vertices").mkdir(parents=True)
+
+    clear_checkpoints(spark, rdir, "jobA")
+    assert committed_steps(spark, rdir) == [6]
+    assert not (tmp_path / "shared" / "step=000009").exists()
+    ck = load_checkpoint(spark, rdir, "jobB")
+    assert ck["superstep"] == 6 and ck["state"] == {"s": 2}
+
+    clear_checkpoints(spark, rdir)  # explicit reset: no fingerprint
+    assert committed_steps(spark, rdir) == []
+
+
+def test_retention_prune_spares_other_jobs_steps(spark, tmp_path):
+    """save_checkpoint's retain-pruning must also be fingerprint-scoped:
+    jobB's single old step survives jobA committing many."""
+    from hama_spark.plans.recovery import save_checkpoint
+
+    rdir = str(tmp_path / "shared2")
+    vs = spark.range(2).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 2, vs, None, {}, "jobB")
+    for step in (4, 6, 8, 10):
+        save_checkpoint(rdir, step, vs, None, {}, "jobA", retain=2)
+    steps = committed_steps(spark, rdir)
+    assert 2 in steps, "jobB's step must survive jobA's retention"
+    assert steps[-2:] == [8, 10]
