@@ -88,6 +88,7 @@ def connected_components_twophase(
     edges: DataFrame,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) undirected -> (id, component), component = min id
     in the component. Converges in O(log n) large-star/small-star
@@ -109,15 +110,21 @@ def connected_components_twophase(
         .localCheckpoint(eager=True)
     )
     prev = _edge_checksum(e)
+    rounds_run = 0
     for _ in range(max_iter):
         # eager checkpoint per round: cuts the 4-shuffle round's lineage
         # AND materializes it for the checksum (one job does both)
+        rounds_run += 1
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _edge_checksum(e)
         if cur == prev:
             break
         prev = cur
 
+    if stats_out is not None:
+        # alternating large/small-star rounds executed (incl. the final
+        # checksum-equal round) — for tier-ratio normalization
+        stats_out["rounds"] = rounds_run
     # fixpoint edge set is a star forest: (child, root) with root < child
     parents = e.select(
         F.greatest("u", "v").alias("id"), F.least("u", "v").alias("component")

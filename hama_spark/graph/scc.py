@@ -154,6 +154,7 @@ def strongly_connected_components(
     max_iter: int = 100,
     num_partitions: int | None = None,
     halt_check_interval: int = 8,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Directed edges (src, dst) -> (id, scc) where scc is the maximum
     vertex id of the component (a canonical, deterministic label).
@@ -182,9 +183,11 @@ def strongly_connected_components(
         raise ValueError("strongly_connected_components needs a non-empty edge relation")
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     done_parts: list[DataFrame] = []
+    rounds_run = 0
     for _ in range(max_rounds):
         if active.isEmpty():
             break
+        rounds_run += 1
         colored = _forward_colors(
             active, e, max_iter, num_partitions, halt_check_interval
         )
@@ -251,6 +254,11 @@ def strongly_connected_components(
                 f"raise it (deep adversarially-ordered DAG chains need "
                 f"more rounds)"
             )
+    if stats_out is not None:
+        # color/collect rounds executed — the scale harness normalizes
+        # tier ratios with this (round count grows with graph shape,
+        # not implementation cost)
+        stats_out["rounds"] = rounds_run
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), done_parts)

@@ -275,6 +275,105 @@ def run_bloom_decontaminate(spark, mult: int):
     )
 
 
+def _gen_edges(spark, mult: int, seed: int = 42, n: int | None = None):
+    from hama_spark.sources import fast_graph_gen
+
+    n = (n or SMALL["graph"]) * mult
+    return (
+        fast_graph_gen(spark, n, max_out=3, seed=seed)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+
+def run_hits(spark, mult: int):
+    """Constant 5 iterations at every tier (an analyst picks the
+    iteration budget, the graph grows under it), so the ratio isolates
+    per-iteration join/agg cost."""
+    from hama_spark.graph import hits
+
+    h = hits(_gen_edges(spark, mult), iterations=5)
+    return h.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("hub"), 3).alias("sum_hub"),
+        F.round(F.sum("authority"), 3).alias("sum_auth"),
+    )
+
+
+def run_harmonic(spark, mult: int):
+    """Landmark count FIXED across tiers (the BM25-style constant-
+    workload discipline: a sampled-centrality budget is an analyst
+    choice, not a function of corpus size); per-landmark BFS balls grow
+    with the graph, so near-linear ratios are the pass bar."""
+    from hama_spark.graph import harmonic_centrality
+
+    hc = harmonic_centrality(_gen_edges(spark, mult), landmarks=8, radius=4)
+    return hc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("harmonic"), 3).alias("sum_harmonic"),
+    )
+
+
+def run_betweenness(spark, mult: int):
+    """Sampled truncated-Brandes episodes, source count FIXED across
+    tiers (same constant-workload discipline as harmonic)."""
+    from hama_spark.graph import betweenness_centrality
+
+    bc = betweenness_centrality(_gen_edges(spark, mult), sources=4, radius=3)
+    return bc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("betweenness"), 3).alias("sum_btw"),
+    )
+
+
+def run_scc(spark, mult: int):
+    """Directed random graph; rounds (color+collect passes) are logged
+    so the tier ratio can be normalized by algorithmic round growth."""
+    from hama_spark.graph import strongly_connected_components
+
+    stats: dict = {}
+    scc = strongly_connected_components(
+        _gen_edges(spark, mult, seed=11),
+        halt_check_interval=8,
+        stats_out=stats,
+    )
+    out = scc.groupBy("scc").agg(F.count(F.lit(1)).alias("sz")).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("sz").alias("max_scc"),
+        F.sum("sz").alias("n_vertices"),
+    )
+    return out, {"rounds": stats.get("rounds")}
+
+
+def run_random_walks(spark, mult: int):
+    """walk_len fixed at 8: cost is walk_len joins against the capped
+    neighbor lists — each a map-side lookup join on the pinned src
+    partitioning, so the tier ratio should track the vertex count."""
+    from hama_spark.graph import random_walks
+
+    w = random_walks(_gen_edges(spark, mult, seed=5), walk_len=8)
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("walk").cast("decimal(38,0)")).alias("sum_len"),
+    )
+
+
+def run_cc_twophase(spark, mult: int):
+    """O(log n) star contraction: rounds are logged — they should grow
+    ~log(10) ≈ +1 per tier while per-round cost grows linearly."""
+    from hama_spark.graph.cc_twophase import connected_components_twophase
+
+    stats: dict = {}
+    cc = connected_components_twophase(
+        _gen_edges(spark, mult, seed=23), stats_out=stats
+    )
+    out = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz")).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.max("sz").alias("max_component"),
+    )
+    return out, {"rounds": stats.get("rounds")}
+
+
 OPS = {
     "pagerank_gen": run_pagerank,
     "sssp_gen": run_sssp,
@@ -288,6 +387,13 @@ OPS = {
     "interval_join": run_interval_join,
     "dedup_exact": run_dedup_exact,
     "bloom_decontaminate": run_bloom_decontaminate,
+    # round-7: the analytics family (verdict item 5)
+    "hits_gen": run_hits,
+    "harmonic_gen": run_harmonic,
+    "betweenness_gen": run_betweenness,
+    "scc_gen": run_scc,
+    "random_walks_gen": run_random_walks,
+    "cc_twophase_gen": run_cc_twophase,
 }
 
 
