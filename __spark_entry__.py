@@ -3323,8 +3323,9 @@ def _q_key_overlap(spark, t):
     sketch pass per side, no shuffle of the data; with k=4096 above
     both distinct counts at sf0.01 the sketches never fill, so every
     estimate is EXACT set algebra the oracle replays directly — and the
-    ``exact`` output column plus the one-retry 4k auto-escalation keep
-    that true at sf0.1 too (the r5 selfcheck's one divergence)."""
+    ``exact`` output column plus the 4k auto-escalation (one-pass since
+    r7: sketch once at 4k, slice back to k when unfilled) keep that
+    true at sf0.1 too (the r5 selfcheck's one divergence)."""
     from hama_spark.functions.sketches import key_overlap_report
 
     a = t["orders"].filter(F.col("o_orderkey") % 2 == 0).select(

@@ -13,10 +13,23 @@ from pyspark.sql import functions as F
 def edge_relation(
     edges: DataFrame, symmetrize: bool, prepared: bool
 ) -> DataFrame:
-    """(src, dst), deduplicated and materialized. ``prepared=True``
-    trusts the caller's relation as-is (already symmetrized-as-desired,
-    distinct, and checkpointed/cached); ``symmetrize`` is then
-    ignored."""
+    """(src, dst), deduplicated and materialized in a PINNED
+    hash(src)-partitioned, src-sorted layout. ``prepared=True`` trusts
+    the caller's relation as-is (already symmetrized-as-desired,
+    distinct, and checkpointed/cached); ``symmetrize`` is then ignored.
+
+    The layout is the point (round-7 scale finding): the BFS-style
+    consumers (harmonic_centrality, betweenness_centrality) join this
+    relation on ``src`` once per expansion round. Below the broadcast
+    threshold Catalyst broadcasts it and the layout is moot — but at
+    scale each round otherwise re-shuffles AND re-sorts the full edge
+    set for its SortMergeJoin, which measured SUPER-linear at the 100x
+    tier (10M vertices: harmonic 18.8x, betweenness 26.2x per 10x data,
+    sort-spill-bound). A localCheckpoint carries its physical
+    partitioning and ordering into the plan (same mechanism as the
+    Pregel loop's pinned layout), so every per-round SMJ reads the edge
+    side with zero Exchange and zero Sort — only the (ball-bounded,
+    tiny) frontier side shuffles per round."""
     if prepared:
         return edges.select("src", "dst")
     e = edges.select("src", "dst")
@@ -24,4 +37,11 @@ def edge_relation(
         e = e.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    return e.distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        e.distinct()
+        .repartition(n_part, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
