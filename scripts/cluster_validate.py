@@ -337,7 +337,9 @@ def main() -> int:
             out["checks"][name] = {"error": f"{type(e).__name__}: {e}"}
         print(f"# {name}: {out['checks'][name]}", file=sys.stderr)
 
-    path = os.path.join(REPO, f"CLUSTER_r{ROUND}.json")
+    path = os.environ.get(
+        "SPARK_GRAFT_CLUSTER_OUT", os.path.join(REPO, f"CLUSTER_r{ROUND}.json")
+    )
     if only and os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
