@@ -284,20 +284,60 @@ def key_overlap_report(
         sk_a = _sketch(a, key, k_eff)
         sk_b = _sketch(b, key_b or key, k_eff)
 
+    # The INTEGER set algebra (union top-k, intersection membership)
+    # runs right here in Python — the sketches are already driver-side
+    # lists, and shipping 2x16k longs back through createDataFrame plus
+    # evaluating array_union/sort/intersect once per output column was
+    # the dominant cost of the whole report (measured ~2.2s of a 3.3s
+    # warm query at k=4096-escalated-to-16k). Only the FLOAT pipeline
+    # stays a Spark expression, operating on these integer scalars with
+    # the exact same operations in the exact same order as the old
+    # array form — the doubles (and their F.round results, and the
+    # DuckDB oracle hash) are bit-identical.
+    set_a, set_b = set(sk_a), set(sk_b)
+    u = sorted(set_a | set_b)[:k_eff]  # kmv_union: k smallest of dedup
+    both = set_a & set_b
+    matches = sum(1 for h in u if h in both)  # kmv_jaccard numerator
+
+    def _kth(sk: list[int]) -> int | None:
+        return sk[k_eff - 1] if len(sk) >= k_eff else None
+
     spark = a.sparkSession
     pair = spark.createDataFrame(
-        [(sk_a, sk_b)], "kmv_a array<bigint>, kmv_b array<bigint>"
+        [
+            (
+                len(sk_a), _kth(sk_a),
+                len(sk_b), _kth(sk_b),
+                len(u), _kth(u),
+                matches,
+            )
+        ],
+        "sz_a int, kth_a bigint, sz_b int, kth_b bigint, "
+        "sz_u int, kth_u bigint, matches int",
     )
-    jacc = kmv_jaccard("kmv_a", "kmv_b", k_eff)
-    union = kmv_union("kmv_a", "kmv_b", k_eff)
-    union_est = kmv_distinct(union, k_eff)
-    da = kmv_distinct("kmv_a", k_eff)
-    db = kmv_distinct("kmv_b", k_eff)
+
+    def _distinct(sz: str, kth: str):
+        # mirrors kmv_distinct on the (size, k-th smallest) pair
+        est = (
+            F.lit(float(k_eff - 1))
+            * F.lit(_KMV_SPACE)
+            / F.col(kth).cast("double")
+        )
+        return F.when(F.col(sz) < k_eff, F.col(sz).cast("double")).otherwise(est)
+
+    # mirrors kmv_jaccard: matches / |union sketch|, 0.0 on empty union
+    jacc = F.when(
+        F.col("sz_u") > 0,
+        F.col("matches").cast("double") / F.col("sz_u").cast("double"),
+    ).otherwise(F.lit(0.0))
+    union_est = _distinct("sz_u", "kth_u")
+    da = _distinct("sz_a", "kth_a")
+    db = _distinct("sz_b", "kth_b")
     inter = jacc * union_est
     exact = (
-        (F.size("kmv_a") < k_eff)
-        & (F.size("kmv_b") < k_eff)
-        & (F.size(union) < k_eff)
+        (F.col("sz_a") < k_eff)
+        & (F.col("sz_b") < k_eff)
+        & (F.col("sz_u") < k_eff)
     )
     return pair.select(
         F.round(da, 2).alias("distinct_a_est"),
