@@ -3532,6 +3532,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _q(fn) for name, fn in QUERIES.items()}
 
 
+def _evict_topk_method(method: str) -> Callable[[], None]:
+    """Evict one searcher's _TOPK_MEMO entries (and, for ivf-family
+    methods, the shared trained-cells entry so a repeat prices the
+    k-means training too)."""
+    def _evict() -> None:
+        drop = [
+            k for k in _TOPK_MEMO
+            if k[2] == method
+            or (method in ("ivf", "hard_negatives") and k[2] == "_cells")
+        ]
+        for k in drop:
+            del _TOPK_MEMO[k]
+    return _evict
+
+
+def bench_memo_resets() -> dict[str, Callable[[], None]]:
+    """Query name -> zero-arg callable that evicts the memo THAT query
+    populates. bench.py min-of-N calls the reset BETWEEN repeat runs of
+    a memo-producing query, so a repeat re-prices the full pipeline
+    instead of timing a memo hit (~0s, which would corrupt the min).
+    The LAST repeat repopulates the memo, so downstream consumer
+    queries (dedup_near, scrub_shared_spans, entity_clusters, ...)
+    still ride a warm memo exactly as in a single-run bench. Consumers
+    themselves need no reset: every one of their repeats does the same
+    post-memo work. _SYM_EDGES_MEMO is deliberately absent — it is
+    shared prep across the iterative graph block (already min-of-N
+    since r6) and evicting it would change what those rows have
+    measured since BENCH_r06."""
+    return {
+        "minhash_lsh_pairs": _LSH_MEMO.clear,
+        "lsh_cosine_pairs": _EMB_PAIRS_MEMO.clear,
+        "semantic_dup_pairs": _SEM_PAIRS_MEMO.clear,
+        "bpe_train_merges": _BPE_MEMO.clear,
+        "shared_span_pairs": _SPAN_MEMO.clear,
+        "fuzzy_match_customers": _FUZZY_MEMO.clear,
+        "bm25_topk": _BM25_MEMO.clear,
+        "cosine_topk": _evict_topk_method("cosine"),
+        "lsh_cosine_topk": _evict_topk_method("lsh"),
+        "ivf_topk": _evict_topk_method("ivf"),
+        "hard_negatives": _evict_topk_method("hard_negatives"),
+    }
+
+
 _BM25_TOPK_SQL = r"""
             WITH toks AS (
               SELECT doc_id,

@@ -119,13 +119,23 @@ def save_checkpoint(
         },
     )
     fs, _, jvm = _fs_and_path(spark, recover_dir)
-    for old in committed_steps(spark, recover_dir)[:-retain]:
-        odir = _step_dir(recover_dir, old)
-        # prune only steps THIS job committed — a shared recover_dir
-        # must never lose another in-flight job's recovery points
-        m = _read_json(spark, f"{odir}/{MANIFEST}")
+    # Prune only steps THIS job committed — a shared recover_dir must
+    # never lose another in-flight job's recovery points, and another
+    # job's HIGHER step numbers must not push this job's newest steps
+    # into the prune window: filter to this fingerprint FIRST, then
+    # keep the newest `retain` of that same-fingerprint list.
+    mine = []
+    for step in committed_steps(spark, recover_dir):
+        odir = _step_dir(recover_dir, step)
+        try:
+            m = _read_json(spark, f"{odir}/{MANIFEST}")
+        except (ValueError, OSError):  # unreadable manifest: not mine
+            continue
         if m is not None and m.get("fingerprint") == fingerprint:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(odir), True)
+            mine.append(step)
+    for old in mine[:-retain] if retain > 0 else mine:
+        odir = _step_dir(recover_dir, old)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(odir), True)
 
 
 def clear_checkpoints(
@@ -140,10 +150,14 @@ def clear_checkpoints(
     With a ``fingerprint`` (what the loop passes), a committed step is
     deleted only when its manifest carries the SAME fingerprint —
     a recover_dir shared (even accidentally) with another in-flight job
-    keeps that job's crash checkpoints intact. Manifest-less step
-    directories (half-written by a crash) are always swept; directories
-    that don't match ``step=NNNNNN`` are never touched. Passing
-    ``fingerprint=None`` keeps the old sweep-everything behavior for
+    keeps that job's crash checkpoints intact. In that scoped mode a
+    manifest-less step directory is ALSO spared: it may be another job
+    mid-write (parquet down, manifest not yet), and its owner will
+    either commit it or sweep it on its own completion. An unreadable
+    or corrupt manifest is treated as not-mine (spared) rather than
+    aborting the sweep. Directories that don't match ``step=NNNNNN``
+    are never touched. Passing ``fingerprint=None`` keeps the old
+    sweep-everything behavior (including manifest-less debris) for
     explicit directory resets."""
     fs, jpath, jvm = _fs_and_path(spark, recover_dir)
     if not fs.exists(jpath):
@@ -154,41 +168,59 @@ def clear_checkpoints(
             continue
         if fingerprint is not None:
             mpath = jvm.org.apache.hadoop.fs.Path(status.getPath(), MANIFEST)
-            if fs.exists(mpath):
+            if not fs.exists(mpath):
+                continue  # possibly another job mid-write: spare it
+            try:
                 m = _read_json(spark, f"{recover_dir}/{name}/{MANIFEST}")
-                if m is not None and m.get("fingerprint") != fingerprint:
-                    continue
+            except (ValueError, OSError):
+                continue  # unreadable manifest: treat as not-mine
+            if m is None or m.get("fingerprint") != fingerprint:
+                continue
         fs.delete(status.getPath(), True)
 
 
 def load_checkpoint(
     spark: SparkSession, recover_dir: str, fingerprint: str
 ) -> dict | None:
-    """Latest committed checkpoint, or None when the directory has
-    none (fresh start). Raises when a checkpoint exists but was written
-    by a job with a different ``fingerprint`` — resuming someone else's
-    fixpoint must be impossible, not silent."""
+    """Latest committed checkpoint WITH THIS JOB'S ``fingerprint``, or
+    None when the directory holds none at all (fresh start). Scans
+    newest-to-oldest so a shared recover_dir where another job holds
+    HIGHER superstep numbers still resumes this job's own newest step.
+    Raises when committed checkpoints exist but every readable one was
+    written by a different job — resuming (or silently restarting over)
+    someone else's fixpoint must be impossible, not silent. Unreadable
+    manifests (corrupt / pruned between list and read) are skipped."""
     steps = committed_steps(spark, recover_dir)
     if not steps:
         return None
-    last = steps[-1]
-    sdir = _step_dir(recover_dir, last)
-    manifest = _read_json(spark, f"{sdir}/{MANIFEST}")
-    if manifest is None:  # pruned between list and read; retry cheaply
-        return load_checkpoint(spark, recover_dir, fingerprint)
-    if manifest.get("fingerprint") != fingerprint:
+    others: list[str] = []
+    for last in reversed(steps):
+        sdir = _step_dir(recover_dir, last)
+        try:
+            manifest = _read_json(spark, f"{sdir}/{MANIFEST}")
+        except (ValueError, OSError):
+            continue
+        if manifest is None:
+            continue
+        if manifest.get("fingerprint") != fingerprint:
+            others.append(manifest.get("fingerprint"))
+            continue
+        vertices = spark.read.parquet(f"{sdir}/vertices")
+        inbox = (
+            spark.read.parquet(f"{sdir}/inbox")
+            if manifest["has_inbox"]
+            else None
+        )
+        return {
+            "superstep": int(manifest["superstep"]),
+            "vertices": vertices,
+            "inbox": inbox,
+            "state": manifest["state"],
+        }
+    if others:
         raise ValueError(
-            f"pregel recover_dir {recover_dir!r} holds a checkpoint for a "
-            f"different job (fingerprint {manifest.get('fingerprint')!r} != "
+            f"pregel recover_dir {recover_dir!r} holds checkpoints only for "
+            f"different job(s) (fingerprints {sorted(set(others))!r} != "
             f"{fingerprint!r}); point recover_dir at a fresh directory"
         )
-    vertices = spark.read.parquet(f"{sdir}/vertices")
-    inbox = (
-        spark.read.parquet(f"{sdir}/inbox") if manifest["has_inbox"] else None
-    )
-    return {
-        "superstep": int(manifest["superstep"]),
-        "vertices": vertices,
-        "inbox": inbox,
-        "state": manifest["state"],
-    }
+    return None

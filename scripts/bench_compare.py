@@ -19,25 +19,32 @@ Exits 1 if any normalized ratio breaches the fence (so it can gate).
 
 from __future__ import annotations
 
+import ast
 import json
 import math
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], float]:
+def load(path: str) -> tuple[dict[str, float], float, dict]:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d and "queries" not in d:
         # driver wrapper format (BENCH_r01.json): the bench line lives
-        # under "parsed", as a python-repr string in old rounds
+        # under "parsed", as a python-repr string in old rounds —
+        # literal_eval parses the repr'd dict without executing anything
         p = d["parsed"]
-        d = eval(p, {"__builtins__": {}}) if isinstance(p, str) else p  # noqa: S307
+        d = ast.literal_eval(p) if isinstance(p, str) else p
     qs = {
         k: float(v)
         for k, v in d.get("queries", {}).items()
         if isinstance(v, (int, float)) and v > 0
     }
-    return qs, float(d.get("cal_shuffle_sec") or 0.0)
+    meta = {
+        "minof_iterative": d.get("minof_iterative", 1),
+        "minof_threshold_sec": d.get("minof_threshold_sec"),
+        "repeated": set(d.get("repeats", {})),
+    }
+    return qs, float(d.get("cal_shuffle_sec") or 0.0), meta
 
 
 def main() -> int:
@@ -49,13 +56,28 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
-    new_q, new_cal = load(args[0])
-    base_q, base_cal = load(args[1])
+    new_q, new_cal, new_meta = load(args[0])
+    base_q, base_cal, base_meta = load(args[1])
     cal_factor = (new_cal / base_cal) if new_cal and base_cal else 1.0
     common = sorted(set(new_q) & set(base_q))
     if not common:
         print("no common queries")
         return 2
+    # estimator parity: min-of-N totals are systematically lower than
+    # single-run totals — flag apples-to-oranges comparisons instead of
+    # letting calibration normalization imply they're like-for-like
+    if new_meta["minof_iterative"] != base_meta["minof_iterative"] or (
+        new_meta["minof_threshold_sec"] != base_meta["minof_threshold_sec"]
+    ):
+        print(
+            "# WARN estimator mismatch: new minof="
+            f"{new_meta['minof_iterative']}/thr={new_meta['minof_threshold_sec']} "
+            f"vs base minof={base_meta['minof_iterative']}/thr="
+            f"{base_meta['minof_threshold_sec']} — min-of-N biases totals "
+            "low vs single-run; per-query ratios where only one side "
+            "repeated are marked *"
+        )
+    one_sided = new_meta["repeated"] ^ base_meta["repeated"]
     rows = []
     for q in common:
         raw = new_q[q] / base_q[q]
@@ -72,7 +94,8 @@ def main() -> int:
         flag = " <-- BREACH" if norm > fence else ""
         if norm > fence:
             breaches.append(q)
-        print(f"{q:34} {b:8.2f} {n:8.2f} {raw:6.2f} {norm:6.2f}{flag}")
+        star = "*" if q in one_sided else " "
+        print(f"{q:34} {b:8.2f} {n:8.2f} {raw:6.2f} {norm:6.2f}{star}{flag}")
     print(
         f"# geomean raw {geo(3):.3f}x | normalized {geo(4):.3f}x | "
         f"total {sum(r[1] for r in rows):.1f}s -> {sum(r[2] for r in rows):.1f}s"

@@ -202,26 +202,34 @@ def test_dense_mode_resume_matches_uninterrupted_run(spark, tmp_path, monkeypatc
 
 def test_clear_checkpoints_spares_other_jobs_steps(spark, tmp_path):
     """r6 ADVICE: completing in a recover_dir shared with another
-    in-flight job must only sweep THIS job's (same-fingerprint) steps
-    plus manifest-less half-writes — never the other job's recovery
-    points. Fingerprint-less clear keeps the old sweep-all reset."""
+    in-flight job must only sweep THIS job's (same-fingerprint) steps —
+    never the other job's recovery points. r7 ADVICE: a manifest-less
+    step dir may be the OTHER job mid-write (parquet down, manifest not
+    yet), so the scoped sweep spares it too; only the fingerprint-less
+    reset clears everything."""
     from hama_spark.plans.recovery import clear_checkpoints, save_checkpoint
 
     rdir = str(tmp_path / "shared")
     vs = spark.range(3).select(F.col("id"), F.lit(0).alias("x"))
     save_checkpoint(rdir, 4, vs, None, {"s": 1}, "jobA")
     save_checkpoint(rdir, 6, vs, None, {"s": 2}, "jobB")
-    # half-written step (crash mid-write, no manifest): always swept
+    # manifest-less step: could be jobB mid-write — scoped sweep spares
     (tmp_path / "shared" / "step=000009" / "vertices").mkdir(parents=True)
+    # corrupt manifest: treated as not-mine, spared, sweep not aborted
+    cdir = tmp_path / "shared" / "step=000011"
+    cdir.mkdir(parents=True)
+    (cdir / "_PREGEL_COMMITTED").write_text("{not json")
 
     clear_checkpoints(spark, rdir, "jobA")
-    assert committed_steps(spark, rdir) == [6]
-    assert not (tmp_path / "shared" / "step=000009").exists()
+    assert committed_steps(spark, rdir) == [6, 11]
+    assert (tmp_path / "shared" / "step=000009").exists()
+    assert (cdir / "_PREGEL_COMMITTED").exists()
     ck = load_checkpoint(spark, rdir, "jobB")
     assert ck["superstep"] == 6 and ck["state"] == {"s": 2}
 
     clear_checkpoints(spark, rdir)  # explicit reset: no fingerprint
     assert committed_steps(spark, rdir) == []
+    assert not (tmp_path / "shared" / "step=000009").exists()
 
 
 def test_retention_prune_spares_other_jobs_steps(spark, tmp_path):
@@ -237,3 +245,45 @@ def test_retention_prune_spares_other_jobs_steps(spark, tmp_path):
     steps = committed_steps(spark, rdir)
     assert 2 in steps, "jobB's step must survive jobA's retention"
     assert steps[-2:] == [8, 10]
+
+
+def test_retention_prune_survives_other_jobs_higher_steps(spark, tmp_path):
+    """r7 ADVICE medium: the retain window must be computed over THIS
+    job's same-fingerprint steps, not the global step list — another
+    job's HIGHER superstep numbers must not push this job's newest
+    steps (including the one just committed) into the prune window."""
+    from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+
+    rdir = str(tmp_path / "shared3")
+    vs = spark.range(2).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 50, vs, None, {"s": "B"}, "jobB")
+    save_checkpoint(rdir, 52, vs, None, {"s": "B"}, "jobB")
+    for step in (2, 4, 6):
+        save_checkpoint(rdir, step, vs, None, {"s": step}, "jobA", retain=2)
+    steps = committed_steps(spark, rdir)
+    assert {4, 6} <= set(steps), "jobA's newest steps must survive"
+    assert 2 not in steps, "jobA's own oldest is still pruned"
+    assert {50, 52} <= set(steps), "jobB untouched"
+    # and recovery finds jobA's OWN newest step despite jobB's higher
+    # superstep numbers sorting after it
+    ck = load_checkpoint(spark, rdir, "jobA")
+    assert ck["superstep"] == 6 and ck["state"] == {"s": 6}
+
+
+def test_corrupt_manifest_is_skipped_not_fatal(spark, tmp_path):
+    """An unreadable manifest must not abort retention pruning, the
+    completion sweep, or recovery — it is treated as not-mine."""
+    from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+
+    rdir = str(tmp_path / "corrupt")
+    vs = spark.range(2).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 2, vs, None, {"s": 2}, "jobA")
+    cdir = tmp_path / "corrupt" / "step=000008"
+    cdir.mkdir(parents=True)
+    (cdir / "_PREGEL_COMMITTED").write_text("{definitely not json")
+    # prune path reads every manifest; the corrupt one must be skipped
+    save_checkpoint(rdir, 4, vs, None, {"s": 4}, "jobA", retain=1)
+    assert committed_steps(spark, rdir) == [4, 8]
+    # recovery scans newest-first: corrupt step 8 skipped, step 4 found
+    ck = load_checkpoint(spark, rdir, "jobA")
+    assert ck["superstep"] == 4 and ck["state"] == {"s": 4}
