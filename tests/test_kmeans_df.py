@@ -161,3 +161,30 @@ def test_ivf_build_empty_corpus_raises(spark):
     )
     with pytest.raises(ValueError, match="no rows"):
         ivf_build(empty, n_cells=4)
+
+
+def test_materialize_assignments_gate(spark):
+    """r6 ADVICE low: the default eager localCheckpoint of assignments
+    pins ONE ROW PER INPUT POINT in executor storage; callers that
+    immediately aggregate a deterministic input can opt out. Pinned =
+    the returned plan is a bare checkpoint scan (no compute above the
+    leaf); lazy = the assignment expression is still in the plan (zero
+    storage footprint, recomputed on use). Values identical either way
+    on deterministic lineage."""
+    df, pts = _points(spark, n=120)
+    init = [pts[0].tolist(), pts[50].tolist(), pts[90].tolist()]
+    for fn in (kmeans, kmeans_df):
+        pinned = fn(df, init, max_iterations=4)
+        lazy = fn(df, init, max_iterations=4, materialize_assignments=False)
+        plan_pinned = (
+            pinned.assignments._jdf.queryExecution().optimizedPlan().toString()
+        )
+        plan_lazy = (
+            lazy.assignments._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Project" not in plan_pinned, (fn.__name__, plan_pinned)
+        assert "Project" in plan_lazy, (fn.__name__, plan_lazy)
+        sizes = lambda r: sorted(
+            map(tuple, r.assignments.groupBy("center_id").count().collect())
+        )
+        assert sizes(pinned) == sizes(lazy), fn.__name__
