@@ -35,43 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def betweenness_centrality(
-    edges: DataFrame,
-    sources: int = 4,
-    radius: int = 3,
-    seed: int = 42,
-    symmetrize: bool = True,
-    prepared: bool = False,
-) -> DataFrame:
-    """edges(src, dst) -> (id, betweenness) with betweenness the
-    dependency mass accumulated over ``sources`` sampled truncated
-    Brandes episodes (rounded to 6 dp). Scores are a K/|V| sample of
-    the exact sum — rank order converges long before the exact values
-    do, which is what centrality consumers use.
-
-    ``prepared=True``: edges are already symmetrized-as-desired,
-    deduplicated, and materialized — used as-is (``symmetrize``
-    ignored), so multi-pass centrality over one graph builds the edge
-    set once (see ``harmonic_centrality``).
-    """
-    from hama_spark.graph.prep import edge_relation
-
-    e = edge_relation(edges, symmetrize, prepared)
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    src_pick = (
-        verts.orderBy(
-            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id"))), "id"
-        )
-        .limit(sources)
-        .select(F.col("id").alias("s"))
-    )
-
+def _brandes_delta(
+    e: DataFrame, src_pick: DataFrame, radius: int
+) -> DataFrame | None:
+    """Truncated Brandes episodes for one batch of sources:
+    src_pick(s) -> delta(s, id, delta), or None at radius 0. Two
+    fixed-length keyed-join passes; all state is (s, id)-keyed."""
     # forward: sp(s, id, d, sigma) — sigma sums are integer-exact
     frontier = src_pick.select(
         "s", F.col("s").alias("id"), F.lit(0).alias("d"), F.lit(1).alias("sigma")
@@ -133,6 +102,92 @@ def betweenness_centrality(
         )
         delta = contrib if delta is None else delta.union(contrib)
         delta = delta.localCheckpoint(eager=False)
+    return delta
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: int = 4,
+    radius: int = 3,
+    seed: int = 42,
+    symmetrize: bool = True,
+    prepared: bool = False,
+    batch_sources: int | None = None,
+) -> DataFrame:
+    """edges(src, dst) -> (id, betweenness) with betweenness the
+    dependency mass accumulated over ``sources`` sampled truncated
+    Brandes episodes (rounded to 6 dp). Scores are a K/|V| sample of
+    the exact sum — rank order converges long before the exact values
+    do, which is what centrality consumers use.
+
+    ``prepared=True``: edges are already symmetrized-as-desired,
+    deduplicated, and materialized — used as-is (``symmetrize``
+    ignored), so multi-pass centrality over one graph builds the edge
+    set once (see ``harmonic_centrality``).
+
+    ``batch_sources``: run the K episodes in ⌈K/B⌉ batches of B,
+    materializing each batch's (s, id, delta) relation before the next
+    batch starts. Episodes are independent, so the union of batch
+    deltas is row-for-row the single-pass delta relation and the final
+    per-vertex sum is unchanged — same result, but live sp/dag/delta
+    join state is bounded at B·V (resp. B·E for the DAG) rows instead
+    of K·V/K·E. The single-box memory lever for large graphs: the
+    unbatched 100x tier spills/OOMs per-round sort state once K·V
+    outgrows one JVM's heap. Default None = one batch (plan unchanged).
+    """
+    from hama_spark.graph.prep import edge_relation
+
+    e = edge_relation(edges, symmetrize, prepared)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    src_pick = (
+        verts.orderBy(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("id"))), "id"
+        )
+        .limit(sources)
+        .select(F.col("id").alias("s"))
+    )
+
+    if batch_sources is None or batch_sources >= sources:
+        delta = _brandes_delta(e, src_pick, radius)
+    else:
+        if batch_sources <= 0:
+            raise ValueError("batch_sources must be positive")
+        # rank the K picked sources in pick order (K rows — the single-
+        # partition window runs over the already-limited set)
+        from pyspark.sql import Window
+
+        ranked = src_pick.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("s"))),
+                    "s",
+                )
+            ),
+        ).localCheckpoint(eager=True)
+        parts: list[DataFrame] = []
+        lo = 1
+        while lo <= sources:
+            batch = ranked.where(
+                (F.col("_rn") >= lo) & (F.col("_rn") < lo + batch_sources)
+            ).select("s")
+            d = _brandes_delta(e, batch, radius)
+            if d is not None:
+                # eager: this batch's episode state must be DONE (and
+                # released) before the next starts — a lazy union would
+                # run every batch in one job, rebuilding the K·V
+                # working set batching exists to avoid
+                parts.append(d.localCheckpoint(eager=True))
+            lo += batch_sources
+        delta = None
+        for p in parts:
+            delta = p if delta is None else delta.union(p)
 
     if delta is None:  # radius 0: no dependency mass at all
         return verts.select("id", F.lit(0.0).alias("betweenness"))

@@ -33,6 +33,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bfs_dist(e: DataFrame, seeds: DataFrame, radius: int) -> DataFrame:
+    """One level-synchronous multi-source BFS: seeds(lm, id, d=0) ->
+    dist(lm, id, d) for all vertices within ``radius`` of their
+    landmark. State is keyed (lm, id) throughout; per-round lazy
+    localCheckpoint bounds the plan like the Pregel loops."""
+    dist = seeds
+    frontier = seeds
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.select("lm", F.col("id").alias("src"))
+            .join(e, "src")
+            .select("lm", F.col("dst").alias("id"), F.lit(r).alias("d"))
+            .distinct()
+            .join(dist.select("lm", "id"), ["lm", "id"], "left_anti")
+        )
+        if r < radius:
+            nxt = nxt.localCheckpoint(eager=False)
+        dist = dist.union(nxt)
+        frontier = nxt
+    return dist
+
+
 def harmonic_centrality(
     edges: DataFrame,
     landmarks: int = 8,
@@ -40,6 +62,7 @@ def harmonic_centrality(
     seed: int = 42,
     symmetrize: bool = True,
     prepared: bool = False,
+    batch_landmarks: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (id, harmonic, n_lm).
 
@@ -58,6 +81,17 @@ def harmonic_centrality(
     uses them as-is, so a caller running several centrality passes over
     one graph (this and ``betweenness_centrality``) pays the edge-set
     build once instead of per call; ``symmetrize`` is ignored.
+
+    ``batch_landmarks``: run the BFS in ⌈L/B⌉ landmark batches,
+    materializing each batch's (lm, id, d) relation before the next
+    starts. The landmark balls are independent, so this is a pure
+    partition of the work: the union of batch relations is row-for-row
+    the single-pass relation and the final aggregation is unchanged —
+    same result, but the LIVE join/anti-join state is bounded at B·V
+    rows instead of L·V. This is the single-box memory lever for large
+    graphs (the 100x tier spills/OOMs the per-round sort state when L·V
+    outgrows one JVM's heap; a real cluster adds memory with data, a
+    single box cannot). Default None = one batch (unchanged plan).
     """
     from hama_spark.graph.prep import edge_relation
 
@@ -81,20 +115,39 @@ def harmonic_centrality(
         .localCheckpoint(eager=True)
     )
 
-    dist = lm
-    frontier = lm
-    for r in range(1, radius + 1):
-        nxt = (
-            frontier.select("lm", F.col("id").alias("src"))
-            .join(e, "src")
-            .select("lm", F.col("dst").alias("id"), F.lit(r).alias("d"))
-            .distinct()
-            .join(dist.select("lm", "id"), ["lm", "id"], "left_anti")
-        )
-        if r < radius:
-            nxt = nxt.localCheckpoint(eager=False)
-        dist = dist.union(nxt)
-        frontier = nxt
+    if batch_landmarks is None or batch_landmarks >= landmarks:
+        dist = _bfs_dist(e, lm, radius)
+    else:
+        if batch_landmarks <= 0:
+            raise ValueError("batch_landmarks must be positive")
+        # rank landmarks in the pick order (L rows — the single-
+        # partition window is over the already-limited set)
+        from pyspark.sql import Window
+
+        ranked = lm.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("lm"))),
+                    "lm",
+                )
+            ),
+        ).localCheckpoint(eager=True)
+        parts: list[DataFrame] = []
+        lo = 1
+        while lo <= landmarks:
+            seeds = ranked.where(
+                (F.col("_rn") >= lo) & (F.col("_rn") < lo + batch_landmarks)
+            ).select("lm", "id", "d")
+            # eager: the batch's BFS state must be DONE (and its join
+            # state released) before the next batch starts, or the lazy
+            # union would run every batch in one job — the exact L·V
+            # working set batching exists to avoid
+            parts.append(_bfs_dist(e, seeds, radius).localCheckpoint(eager=True))
+            lo += batch_landmarks
+        dist = parts[0]
+        for p in parts[1:]:
+            dist = dist.union(p)
 
     scores = (
         dist.groupBy("id")

@@ -304,10 +304,19 @@ def run_harmonic(spark, mult: int):
     """Landmark count FIXED across tiers (the BM25-style constant-
     workload discipline: a sampled-centrality budget is an analyst
     choice, not a function of corpus size); per-landmark BFS balls grow
-    with the graph, so near-linear ratios are the pass bar."""
+    with the graph, so near-linear ratios are the pass bar.
+
+    batch_landmarks=2 at EVERY tier (r7 verdict item 2): the landmark
+    balls are independent, so batching is result-identical (pytest-
+    pinned) while bounding live join state at 2·V rows — the lever
+    that kept the unbatched 100x tier from fitting the default 8g heap
+    (r7 needed 48g; plan shapes were unchanged, it was pure working-set
+    size). Same config at all tiers so tier ratios compare one shape."""
     from hama_spark.graph import harmonic_centrality
 
-    hc = harmonic_centrality(_gen_edges(spark, mult), landmarks=8, radius=4)
+    hc = harmonic_centrality(
+        _gen_edges(spark, mult), landmarks=8, radius=4, batch_landmarks=2
+    )
     return hc.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("harmonic"), 3).alias("sum_harmonic"),
@@ -316,10 +325,14 @@ def run_harmonic(spark, mult: int):
 
 def run_betweenness(spark, mult: int):
     """Sampled truncated-Brandes episodes, source count FIXED across
-    tiers (same constant-workload discipline as harmonic)."""
+    tiers (same constant-workload discipline as harmonic).
+    batch_sources=1 at every tier — same rationale and result-identity
+    guarantee as run_harmonic's batch_landmarks."""
     from hama_spark.graph import betweenness_centrality
 
-    bc = betweenness_centrality(_gen_edges(spark, mult), sources=4, radius=3)
+    bc = betweenness_centrality(
+        _gen_edges(spark, mult), sources=4, radius=3, batch_sources=1
+    )
     return bc.agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("betweenness"), 3).alias("sum_btw"),

@@ -72,3 +72,42 @@ def test_betweenness_matches_unrolled_sql_on_fixture_graph(spark, tables, duck):
         duck,
         _betweenness_sql(SP_EDGES_SQL, 4, 3, 42),
     )
+
+
+def test_betweenness_batched_sources_identical(spark):
+    """r7 verdict item 2: episodes are independent, so chunking the K
+    sources into batches (including an uneven last batch) must produce
+    the IDENTICAL relation — batching only bounds live join state."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hama_spark.graph import betweenness_centrality
+
+    rng = random.Random(11)
+    edges = [(f"v{rng.randrange(40)}", f"v{rng.randrange(40)}") for _ in range(120)]
+    e = spark.createDataFrame(
+        [p for p in edges if p[0] != p[1]], "src string, dst string"
+    )
+    base = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(e, sources=7, radius=3).collect()
+    }
+    for b in (1, 3, 7, 100):
+        got = {
+            r.id: r.betweenness
+            for r in betweenness_centrality(
+                e, sources=7, radius=3, batch_sources=b
+            ).collect()
+        }
+        assert got == base, f"batch_sources={b}"
+
+
+def test_betweenness_batch_sources_rejects_nonpositive(spark):
+    import pytest
+
+    from hama_spark.graph import betweenness_centrality
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="positive"):
+        betweenness_centrality(e, sources=2, batch_sources=0)

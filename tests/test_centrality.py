@@ -74,3 +74,40 @@ def test_harmonic_matches_unrolled_sql_on_fixture_graph(spark, tables, duck):
         duck,
         _harmonic_sql(SP_EDGES_SQL, 8, 4, 42),
     )
+
+
+def test_harmonic_batched_landmarks_identical(spark):
+    """r7 verdict item 2: landmark balls are independent, so chunking
+    the L landmarks into batches (including an uneven last batch) must
+    produce the IDENTICAL (harmonic, n_lm) output."""
+    import random
+
+    from hama_spark.graph import harmonic_centrality
+
+    rng = random.Random(13)
+    edges = [(f"v{rng.randrange(40)}", f"v{rng.randrange(40)}") for _ in range(120)]
+    e = spark.createDataFrame(
+        [p for p in edges if p[0] != p[1]], "src string, dst string"
+    )
+    base = {
+        r.id: (r.harmonic, r.n_lm)
+        for r in harmonic_centrality(e, landmarks=7, radius=3).collect()
+    }
+    for b in (1, 3, 7, 100):
+        got = {
+            r.id: (r.harmonic, r.n_lm)
+            for r in harmonic_centrality(
+                e, landmarks=7, radius=3, batch_landmarks=b
+            ).collect()
+        }
+        assert got == base, f"batch_landmarks={b}"
+
+
+def test_harmonic_batch_landmarks_rejects_nonpositive(spark):
+    import pytest
+
+    from hama_spark.graph import harmonic_centrality
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="positive"):
+        harmonic_centrality(e, landmarks=2, batch_landmarks=-1)
