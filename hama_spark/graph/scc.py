@@ -155,15 +155,30 @@ def strongly_connected_components(
     num_partitions: int | None = None,
     halt_check_interval: int = 8,
     stats_out: dict | None = None,
+    trim_iters: int = 3,
 ) -> DataFrame:
     """Directed edges (src, dst) -> (id, scc) where scc is the maximum
     vertex id of the component (a canonical, deterministic label).
 
-    Each round colors the active subgraph forward, collects each
-    root's SCC backward, then recurses on the unassigned remainder
-    with edges filtered to active endpoints. Raises if ``max_rounds``
-    rounds leave vertices unassigned (raise it for adversarially
-    ordered deep DAG chains).
+    Each round first TRIMS, then colors the active subgraph forward,
+    collects each root's SCC backward, and recurses on the unassigned
+    remainder with edges filtered to active endpoints. Raises if
+    ``max_rounds`` rounds leave vertices unassigned (raise it for
+    adversarially ordered deep DAG chains).
+
+    Trim (the standard FW-BW/coloring preprocessing step, e.g. Hong,
+    Rodia & Olukotun 2013, public literature): a vertex whose ACTIVE
+    in-degree or out-degree is 0 (self-loops ignored) cannot lie on any
+    cycle with another active vertex, so its SCC is exactly ``{itself}``
+    — settle it as ``scc = id`` with one degree aggregation instead of
+    two Pregel fixpoints. Removing a layer exposes the next, so up to
+    ``trim_iters`` peeling passes run before each coloring round
+    (capped: a long DAG chain would otherwise peel one layer per pass,
+    which is the coloring phase's job). Singleton tendrils dominate
+    real web/link graphs, so most of the remainder mass never enters a
+    Pregel loop at all. ``trim_iters=0`` disables. Results are
+    IDENTICAL either way — trim settles only vertices whose singleton
+    label the full algorithm would also produce.
 
     ``halt_check_interval`` batches the empty-inbox halt count of both
     Pregel fixpoints: k supersteps execute as ONE Spark job, paying one
@@ -184,7 +199,42 @@ def strongly_connected_components(
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     done_parts: list[DataFrame] = []
     rounds_run = 0
+    trim_settled = 0
     for _ in range(max_rounds):
+        if active.isEmpty():
+            break
+        # ---- Trim: peel acyclic-by-degree layers with aggregations
+        for _t in range(trim_iters):
+            nsl = e.where(F.col("src") != F.col("dst"))
+            core = (
+                nsl.select(F.col("src").alias("id"))
+                .distinct()
+                .join(nsl.select(F.col("dst").alias("id")).distinct(), "id")
+                .localCheckpoint(eager=True)
+            )
+            n_core, n_active = core.count(), active.count()
+            if n_core == n_active:
+                break
+            trimmed = active.join(core, "id", "left_anti")
+            done_parts.append(
+                trimmed.select("id", F.col("id").alias("scc")).localCheckpoint(
+                    eager=True
+                )
+            )
+            trim_settled += n_active - n_core
+            active = core
+            if n_core == 0:
+                break
+            # core ⊆ both endpoint sets of nsl is NOT guaranteed for
+            # self-loop edges — refilter e to core endpoints (keeps
+            # core vertices' self-loops, which the Pregel phases and
+            # invariant checks tolerate as before)
+            e = (
+                e.join(core.withColumnRenamed("id", "src"), "src")
+                .join(core.withColumnRenamed("id", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
         if active.isEmpty():
             break
         rounds_run += 1
@@ -257,8 +307,10 @@ def strongly_connected_components(
     if stats_out is not None:
         # color/collect rounds executed — the scale harness normalizes
         # tier ratios with this (round count grows with graph shape,
-        # not implementation cost)
+        # not implementation cost); trim_settled = vertices that never
+        # entered a Pregel fixpoint
         stats_out["rounds"] = rounds_run
+        stats_out["trim_settled"] = trim_settled
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), done_parts)

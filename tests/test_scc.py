@@ -131,3 +131,61 @@ def test_scc_raises_instead_of_shattering_on_low_max_iter(spark):
     # and with enough iterations the single big SCC comes back whole
     got = _spark_partition(spark, edges)
     assert got == {frozenset(f"v{i:02d}" for i in range(n))}
+
+
+def test_scc_trim_settles_tendrils_identically(spark):
+    """r7 verdict item 3: degree-0 peeling must settle tendril
+    singletons WITHOUT changing any label — trim on/off produce the
+    identical (id, scc) relation, and on a cycle-with-tendrils graph
+    the trim pass settles every off-cycle vertex."""
+    # 4-cycle core with an in-tendril chain and an out-tendril chain
+    edges = (
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c0")]
+        + [("t0", "t1"), ("t1", "t2"), ("t2", "c0")]  # feeds the cycle
+        + [("c2", "u0"), ("u0", "u1"), ("u1", "u2")]  # drains the cycle
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    with_trim = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(df, stats_out=stats).collect()
+    }
+    without = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(df, trim_iters=0).collect()
+    }
+    assert with_trim == without
+    # all 6 tendril vertices are acyclic-by-degree within 3 peels
+    assert stats["trim_settled"] == 6
+    # the cycle still needed exactly one color/collect round
+    assert stats["rounds"] == 1
+
+
+def test_scc_trim_only_graph_skips_pregel_entirely(spark):
+    """A pure DAG shallow enough for the peel cap settles with ZERO
+    Pregel rounds."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    stats: dict = {}
+    got = {
+        (r["id"], r["scc"])
+        for r in strongly_connected_components(df, stats_out=stats).collect()
+    }
+    assert got == {(v, v) for v in "abcd"}
+    assert stats["rounds"] == 0 and stats["trim_settled"] == 4
+
+
+def test_scc_trim_random_graphs_match_tarjan(spark):
+    """Randomized equivalence incl. self-loops, trim at default."""
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randrange(8, 18)
+        edges = list(
+            {
+                (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}")
+                for _ in range(rng.randrange(n, 3 * n))
+            }
+        )
+        assert _spark_partition(spark, edges) == _tarjan(edges), (trial, edges)
