@@ -45,6 +45,7 @@ def random_walks(
     walk_len: int = 8,
     seed: int = 42,
     max_degree: int = 4096,
+    step_join: str = "shuffle_hash",
 ) -> DataFrame:
     """edges(src, dst) -> (walk_src, walk) with one walk per vertex:
     ``walk`` is the '->'-joined vertex sequence of ``walk_len`` steps.
@@ -59,8 +60,22 @@ def random_walks(
     or below the cap (and therefore the SQL oracle on the fixture
     graphs) untouched. The rank is a KEYED window (partitioned by src),
     so no single task ever sees more than one vertex's edges.
+
+    ``step_join``: ``"shuffle_hash"`` (default) hints each step's
+    frontier⋈neighbors join to a shuffled hash join — walkers only
+    need hash(cur) CO-LOCATION, never order, and the sort-merge
+    default would sort BOTH the growing walker paths and the same
+    checkpointed neighbor relation once per step (measured 1.4-2.3x
+    slower at the 10x tier, and the per-step walker sort is exactly
+    the state that spills at 100x; results bit-identical — r7 verdict
+    item 5 A/B). The build side is the degree-capped neighbor list, ~
+    |V|/partitions rows per task. ``"sort_merge"`` restores the
+    unhinted plan.
     """
+    if step_join not in ("shuffle_hash", "sort_merge"):
+        raise ValueError("step_join must be 'shuffle_hash' or 'sort_merge'")
     nbrs = _capped_neighbors(edges, seed, max_degree).localCheckpoint(eager=True)
+    nbrs_rhs = nbrs.hint("shuffle_hash") if step_join == "shuffle_hash" else nbrs
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -89,7 +104,7 @@ def random_walks(
             F.element_at("nbrs", (draw % F.size("nbrs")).cast("int") + 1),
         ).otherwise(F.col("cur"))
         state = (
-            state.join(nbrs, state["cur"] == nbrs["src"], "left")
+            state.join(nbrs_rhs, state["cur"] == nbrs_rhs["src"], "left")
             .select(
                 "walk_src",
                 nxt.alias("cur"),

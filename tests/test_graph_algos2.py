@@ -326,3 +326,28 @@ def test_kcore_fixed_iters_zero_returns_degrees(spark):
     edges = spark.createDataFrame(e, "src string, dst string")
     got = {r["id"]: r["core"] for r in kcore(edges, fixed_iters=0).collect()}
     assert got == {"a": 2, "b": 2, "c": 3, "d": 1}
+
+
+def test_random_walks_join_strategy_identical(spark):
+    """r7 verdict item 5: the shuffle-hash step join (default) and the
+    sort-merge plan must produce identical walks — the hint changes
+    physical co-location only, never the seeded draw."""
+    import random as _random
+
+    from hama_spark.graph import random_walks
+
+    rng = _random.Random(3)
+    e = spark.createDataFrame(
+        list({(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(80)}),
+        "src string, dst string",
+    )
+    a = {r["walk_src"]: r["walk"] for r in random_walks(e, walk_len=6, seed=9).collect()}
+    b = {
+        r["walk_src"]: r["walk"]
+        for r in random_walks(e, walk_len=6, seed=9, step_join="sort_merge").collect()
+    }
+    assert a == b and len(a) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="step_join"):
+        random_walks(e, step_join="broadcast")
