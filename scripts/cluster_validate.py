@@ -122,20 +122,43 @@ def check_dense_pregel_ab(spark) -> dict:
     )
     parts = WORKERS * CORES * 2
     out: dict = {"graph_n": GRAPH_N, "num_partitions": parts}
-    hashes = {}
+    prs = {}
     for label, dense in (("sparse", False), ("dense", True)):
         t0 = time.time()
-        pr = pagerank(
+        prs[label] = pagerank(
             edges,
             epsilon=None,
             max_iter=5,
             self_ref=True,
             num_partitions=parts,
             dense=dense,
-        )
-        hashes[label] = _value_hash(pr, ["id", "rank"])
+        ).localCheckpoint(eager=True)
         out[f"{label}_sec"] = round(time.time() - t0, 2)
-    out["hash_match"] = hashes["sparse"] == hashes["dense"]
+    # Dense and sparse aggregate neighbor contributions under DIFFERENT
+    # physical plans, so their float fold orders differ legitimately —
+    # and across real executors the arrival order varies per run.
+    # A rounded-value hash therefore flips whenever a rank lands near a
+    # rounding boundary (observed flaky r8: same code, pass then fail).
+    # Compare the relations the way floats must be compared: full outer
+    # join on id, exact id-set match, max absolute rank difference
+    # under tolerance.
+    j = (
+        prs["sparse"]
+        .select("id", F.col("rank").alias("r_s"))
+        .join(prs["dense"].select("id", F.col("rank").alias("r_d")), "id", "full")
+    )
+    row = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("r_s").isNull() | F.col("r_d").isNull(), 1).otherwise(0)
+        ).alias("missing"),
+        F.max(F.abs(F.col("r_s") - F.col("r_d"))).alias("mx"),
+    ).first()
+    out["rows"] = int(row["n"])
+    out["max_abs_rank_diff"] = float(row["mx"]) if row["mx"] is not None else None
+    out["values_match"] = bool(
+        row["missing"] == 0 and row["mx"] is not None and row["mx"] <= 1e-9
+    )
     out["dense_speedup"] = round(out["sparse_sec"] / out["dense_sec"], 3)
     edges.unpersist()
     return out

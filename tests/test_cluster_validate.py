@@ -50,7 +50,10 @@ def test_local_cluster_checks_smoke(tmp_path):
     d = json.loads(out.read_text())
     assert d["executors_seen"] == 2, d
     ab = d["checks"]["dense_pregel_ab"]
-    assert ab.get("hash_match") is True, ab
+    # tolerance compare, not a rounded-value hash: dense/sparse fold
+    # orders differ by plan and by executor arrival order, so rounded
+    # hashes flip near boundaries (flaky observed r8)
+    assert ab.get("values_match") is True, ab
     cj = d["checks"]["co_located_join"]
     assert cj.get("hash_match") is True, cj
     assert cj.get("rows_match") is True, cj
@@ -58,3 +61,10 @@ def test_local_cluster_checks_smoke(tmp_path):
     # the plain-parquet twin really did shuffle both sides — the
     # contrast the bucketed layout exists to remove
     assert cj.get("plain_join_shuffles", 0) >= 2, cj
+    # r7 verdict item 7 — loose wall-clock fence: a regression that
+    # re-introduces an Exchange into the bucketed path shows up here as
+    # bucketed ~= shuffled, long before the next 100x-tier run would
+    # catch it. 1.2x + 1s slack because smoke-scale timings are
+    # second-scale and share a loaded CI box; the plan assertion above
+    # stays the exact check, this is the belt-and-braces timing one.
+    assert cj["bucketed_sec"] <= cj["shuffled_sec"] * 1.2 + 1.0, cj
