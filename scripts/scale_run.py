@@ -286,6 +286,22 @@ def _gen_edges(spark, mult: int, seed: int = 42, n: int | None = None):
     )
 
 
+def _scale_shuffle(spark, n_vertices: int, rows_per_part: int = 50_000) -> None:
+    """Size shuffle partitions to the TIER's data, not the core count —
+    what any real cluster submit does. At 32 fixed partitions the 100x
+    graph tier put ~1M (key, id) rows through every task's hash
+    aggregation with 32 concurrently live tasks in one 8g JVM:
+    AGGREGATE_OUT_OF_MEMORY (observed r8 on the batched harmonic xl —
+    in graph GEN's distinct, before any algorithm state). ~50k rows per
+    partition keeps per-task aggregation state flat across tiers; the
+    small/big tiers resolve to the same 32 as before, only xl grows.
+    _time_op resets the conf before every op, so this never leaks
+    across ops."""
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                n_vertices // rows_per_part)
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+
+
 def run_hits(spark, mult: int):
     """Constant 5 iterations at every tier (an analyst picks the
     iteration budget, the graph grows under it), so the ratio isolates
@@ -314,6 +330,7 @@ def run_harmonic(spark, mult: int):
     size). Same config at all tiers so tier ratios compare one shape."""
     from hama_spark.graph import harmonic_centrality
 
+    _scale_shuffle(spark, SMALL["graph"] * mult)
     hc = harmonic_centrality(
         _gen_edges(spark, mult), landmarks=8, radius=4, batch_landmarks=2
     )
@@ -330,6 +347,7 @@ def run_betweenness(spark, mult: int):
     guarantee as run_harmonic's batch_landmarks."""
     from hama_spark.graph import betweenness_centrality
 
+    _scale_shuffle(spark, SMALL["graph"] * mult)
     bc = betweenness_centrality(
         _gen_edges(spark, mult), sources=4, radius=3, batch_sources=1
     )
@@ -364,6 +382,7 @@ def run_random_walks(spark, mult: int):
     partitioning, so the tier ratio should track the vertex count."""
     from hama_spark.graph import random_walks
 
+    _scale_shuffle(spark, SMALL["graph"] * mult)
     w = random_walks(_gen_edges(spark, mult, seed=5), walk_len=8)
     return w.agg(
         F.count(F.lit(1)).alias("n"),
@@ -410,9 +429,20 @@ OPS = {
 }
 
 
+_BASE_SHUFFLE: list[str] = []
+
+
 def _time_op(spark, fn, mult: int) -> tuple[float, int, dict]:
     from pyspark.sql import Observation
 
+    # restore the session's shuffle-partition default so a tier-scaled
+    # override from a previous op (_scale_shuffle) never leaks into
+    # this one; ops that need the override re-set it inside fn, and the
+    # conf stays set through the noop write below (Spark reads it at
+    # exchange-planning time, i.e. during execution)
+    if not _BASE_SHUFFLE:
+        _BASE_SHUFFLE.append(spark.conf.get("spark.sql.shuffle.partitions"))
+    spark.conf.set("spark.sql.shuffle.partitions", _BASE_SHUFFLE[0])
     obs = Observation()
     t0 = time.time()
     result = fn(spark, mult)
