@@ -322,17 +322,22 @@ def run_harmonic(spark, mult: int):
     choice, not a function of corpus size); per-landmark BFS balls grow
     with the graph, so near-linear ratios are the pass bar.
 
-    batch_landmarks=2 at EVERY tier (r7 verdict item 2): the landmark
-    balls are independent, so batching is result-identical (pytest-
-    pinned) while bounding live join state at 2·V rows — the lever
-    that kept the unbatched 100x tier from fitting the default 8g heap
-    (r7 needed 48g; plan shapes were unchanged, it was pure working-set
-    size). Same config at all tiers so tier ratios compare one shape."""
+    Tier-appropriate batching (r7 verdict item 2): batch_landmarks=2
+    ONLY at the 100x tier. The landmark balls are independent, so
+    batching is result-identical (pytest-pinned; sum_harmonic equal at
+    every tier) while bounding live join state at 2·V rows — the lever
+    that kept the unbatched 100x from fitting the default 8g heap (r7
+    needed 48g). Where the working set FITS, batching is pure per-batch
+    fixed cost: measured 2.3x at the 10x tier (46-52s vs 20-21s,
+    interleaved A/B, identical sums — NOTES_r08.md), so small/big run
+    the unbatched default a user at that scale would pick, exactly the
+    tier-honest discipline of BM25's constant query load."""
     from hama_spark.graph import harmonic_centrality
 
     _scale_shuffle(spark, SMALL["graph"] * mult)
     hc = harmonic_centrality(
-        _gen_edges(spark, mult), landmarks=8, radius=4, batch_landmarks=2
+        _gen_edges(spark, mult), landmarks=8, radius=4,
+        batch_landmarks=2 if mult >= SCALE * 10 else None,
     )
     return hc.agg(
         F.count(F.lit(1)).alias("n"),
@@ -343,13 +348,14 @@ def run_harmonic(spark, mult: int):
 def run_betweenness(spark, mult: int):
     """Sampled truncated-Brandes episodes, source count FIXED across
     tiers (same constant-workload discipline as harmonic).
-    batch_sources=1 at every tier — same rationale and result-identity
-    guarantee as run_harmonic's batch_landmarks."""
+    batch_sources=1 only at the 100x tier — same tier-appropriate
+    rationale and result-identity guarantee as run_harmonic."""
     from hama_spark.graph import betweenness_centrality
 
     _scale_shuffle(spark, SMALL["graph"] * mult)
     bc = betweenness_centrality(
-        _gen_edges(spark, mult), sources=4, radius=3, batch_sources=1
+        _gen_edges(spark, mult), sources=4, radius=3,
+        batch_sources=1 if mult >= SCALE * 10 else None,
     )
     return bc.agg(
         F.count(F.lit(1)).alias("n"),
