@@ -324,7 +324,16 @@ def _kmeans_cells(
 
     c = _normalized(corpus, id_col, vec_col).localCheckpoint(eager=True)
     init = [r["v"] for r in c.orderBy("id").limit(n_cells).collect()]
-    km = kmeans(c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter)
+    # materialize_assignments=False: only the trained centers are used —
+    # the assignment below re-derives cells from them, so the default's
+    # eager one-row-per-point checkpoint would be a thrown-away full
+    # pass (c is checkpointed, so lineage is deterministic)
+    km = kmeans(
+        c.select(F.col("v").alias("features")),
+        init,
+        max_iterations=kmeans_iter,
+        materialize_assignments=False,
+    )
     cb = c.select(
         "id", "v", _assign_expr(km.centers, MEASURES["euclidean"], feat="v").alias("cell")
     )
@@ -377,8 +386,15 @@ def ivf_build(
     # saw, or a small corpus trains float64-expr but assigns float32-
     # numpy and near-tie points land in different cells than training
     k_actual = init.count()
+    # materialize_assignments=False: the cell assignment below re-runs
+    # the kernel over the checkpointed c (deterministic lineage), so the
+    # default's eager per-point checkpoint inside kmeans_df would be a
+    # thrown-away full pass
     km = kmeans_df(
-        c.select(F.col("v").alias("features")), init, max_iterations=kmeans_iter
+        c.select(F.col("v").alias("features")),
+        init,
+        max_iterations=kmeans_iter,
+        materialize_assignments=False,
     )
     if k_actual * dim >= 32768:  # mirror kmeans_df's auto kernel
         assigned = assign_with_centers_np(

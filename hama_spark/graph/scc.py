@@ -87,15 +87,18 @@ def _backward_collect(
     for every vertex in a root's SCC, walking reversed edges within the
     SAME color only.
 
-    Wrong-color claims are dropped at COMPUTE time — every vertex knows
-    its own color, so ``array_contains(inbox, color)`` is the claim
-    test. The combiner is ``collect_set`` (bounded by the count of
-    DISTINCT claiming colors among a vertex's reversed in-neighbors, ≤
-    its in-degree): a scalar max-combiner would drop the matching claim
-    when two roots' walks hit one vertex in the same superstep. Earlier
-    revisions filtered at send time via a join against every target's
-    color, costing one extra shuffle join per superstep for the same
-    semantics."""
+    PRECONDITION: ``edges`` must already be restricted to same-color
+    endpoints (the caller filters on the forward coloring — FW-BW).
+    Every claim then carries exactly the receiver's own color, so the
+    combiner is a plain scalar ``max`` and the claim test an equality
+    guard. (Before the edge restriction, cross-color claims could
+    arrive and the combiner had to be ``collect_set`` with an
+    ``array_contains`` test so a matching claim was not dropped when
+    two roots' walks hit one vertex in the same superstep — the
+    restriction makes that array machinery dead weight: smaller
+    messages, no per-vertex set build.) Earlier revisions filtered at
+    send time via a join against every target's color, costing one
+    extra shuffle join per superstep for the same semantics."""
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     verts = colored.select(
         "id",
@@ -117,10 +120,12 @@ def _backward_collect(
         return _claims(v, rev)
 
     def compute(with_inbox: DataFrame, ctx: PregelContext) -> DataFrame:
+        # equality guard kept for defense in depth: with same-color
+        # edges every arriving claim equals the receiver's color
         claimed = (
             F.col("scc").isNull()
             & F.col(MSG).isNotNull()
-            & F.array_contains(F.col(MSG), F.col("color"))
+            & (F.col(MSG) == F.col("color"))
         )
         return with_inbox.select(
             "id",
@@ -140,7 +145,7 @@ def _backward_collect(
         rev,
         compute=compute,
         send=send,
-        combine=F.collect_set,
+        combine=F.max,
         initial_message=initial_message,
         max_iter=max_iter,
         num_partitions=num_partitions,
@@ -246,34 +251,45 @@ def strongly_connected_components(
         # walks permanently assign WRONG singleton components. The exact
         # fixpoint invariant — no edge still carries color(src) >
         # color(dst) — is one join+count per round; raise instead of
-        # returning a shattered partition.
-        cmap = colored.withColumnRenamed("id", "src").withColumnRenamed(
-            "color", "_csrc"
-        )
-        cdst = colored.select(
-            F.col("id").alias("dst"), F.col("color").alias("_cdst")
-        )
-        unconverged = (
-            e.join(cmap, "src").join(cdst, "dst").where(F.col("_csrc") > F.col("_cdst"))
-        )
-        if not unconverged.isEmpty():
+        # returning a shattered partition. The edge-color join is
+        # materialized ONCE and reused to restrict the backward phase.
+        cmap = colored.select(F.col("id").alias("src"), F.col("color").alias("_csrc"))
+        cdst = colored.select(F.col("id").alias("dst"), F.col("color").alias("_cdst"))
+        ewc = e.join(cmap, "src").join(cdst, "dst").localCheckpoint(eager=True)
+        if not ewc.where(F.col("_csrc") > F.col("_cdst")).isEmpty():
             raise RuntimeError(
                 f"forward coloring did not reach fixpoint within "
                 f"max_iter={max_iter} supersteps — raise max_iter above "
                 f"the graph's propagation diameter"
             )
+        # FW-BW edge restriction: a backward claim succeeds only when
+        # color(src) == color(dst) (every claim carries the claimer's
+        # color and compute drops mismatches), so cross-color edges can
+        # NEVER produce a claim — dropping them before the backward
+        # Pregel is result-identical while every backward superstep
+        # joins and shuffles only the candidate-SCC subgraph. At the
+        # forward fixpoint color(src) <= color(dst) on every edge, so
+        # this keeps exactly the equal-color edges.
+        e_bwd = (
+            ewc.where(F.col("_csrc") == F.col("_cdst"))
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
         collected = _backward_collect(
-            colored, e, max_iter, num_partitions, halt_check_interval
+            colored, e_bwd, max_iter, num_partitions, halt_check_interval
         )
         # backward fixpoint invariant: no reversed edge from a claimed
-        # vertex into an unclaimed vertex of the SAME color remains
+        # vertex into an unclaimed vertex of the SAME color remains.
+        # Checked on e_bwd — a pending edge requires scc(dst) ==
+        # color(src), and scc(dst) == color(dst), i.e. only same-color
+        # edges can ever be pending, so the restriction loses nothing.
         cu = collected.where(F.col("scc").isNotNull()).select(
             F.col("id").alias("dst"), F.col("scc").alias("_s")
         )
         cv = collected.where(F.col("scc").isNull()).select(
             F.col("id").alias("src"), F.col("color").alias("_c")
         )
-        pending = e.join(cu, "dst").join(cv, "src").where(F.col("_s") == F.col("_c"))
+        pending = e_bwd.join(cu, "dst").join(cv, "src").where(F.col("_s") == F.col("_c"))
         if not pending.isEmpty():
             raise RuntimeError(
                 f"backward collection did not reach fixpoint within "

@@ -6,10 +6,17 @@ same discipline as the engine's generators — sources/generators.py).
 
 Scale shape: neighbor lists are built once (groupBy + sorted collect —
 out-degree-bounded arrays), and each step is one equi-join of the walk
-frontier against them; walk state is (source, current, path-so-far), so
-the shuffle per step carries O(walk so far) strings. Lazy checkpoints
-chain the fixed-length loop into the caller's single job (kcore-style).
-Dead ends (no out-edges) stay in place, keeping walk length uniform.
+frontier against them; walk state is (source, current) — TWO ids per
+walker — so every per-step shuffle carries O(1) bytes per walker. Each
+step's visited vertex is emitted as a (walk_src, step, vertex) row and
+the '->'-joined path string is assembled ONCE at the end by a single
+groupBy over walk_len·|V| narrow rows. (Earlier revisions carried the
+growing path-so-far string through every step, making step k's shuffle
+O(k) per walker — Σ O(walk_len²)·|V| total; that payload, not the
+joins, was what kept the 100x scale tier super-linear.) Lazy
+checkpoints chain the fixed-length loop into the caller's single job
+(kcore-style). Dead ends (no out-edges) stay in place, keeping walk
+length uniform.
 """
 
 from __future__ import annotations
@@ -76,16 +83,26 @@ def random_walks(
         raise ValueError("step_join must be 'shuffle_hash' or 'sort_merge'")
     nbrs = _capped_neighbors(edges, seed, max_degree).localCheckpoint(eager=True)
     nbrs_rhs = nbrs.hint("shuffle_hash") if step_join == "shuffle_hash" else nbrs
+    # eager: verts feeds both the step-0 emit and the step-1 join chain
+    # — without the checkpoint the distinct would recompute per branch
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     state = verts.select(
         F.col("id").alias("walk_src"),
         F.col("id").alias("cur"),
-        F.col("id").alias("path"),
     )
+    # per-step visited rows: (walk_src, _k, vertex-as-string); the path
+    # string is assembled once at the end instead of being carried (and
+    # re-shuffled, one step longer each time) through every step join
+    steps = [
+        state.select(
+            "walk_src", F.lit(0).alias("_k"), F.col("cur").cast("string").alias("_v")
+        )
+    ]
     for k in range(walk_len):
         draw = F.conv(
             F.substring(
@@ -105,15 +122,34 @@ def random_walks(
         ).otherwise(F.col("cur"))
         state = (
             state.join(nbrs_rhs, state["cur"] == nbrs_rhs["src"], "left")
-            .select(
-                "walk_src",
-                nxt.alias("cur"),
-                F.concat(F.col("path"), F.lit("->"), nxt).alias("path"),
-            )
+            .select("walk_src", nxt.alias("cur"))
             .localCheckpoint(eager=False)
         )
-    # materialize the chained steps in one job; the checkpointed nbrs
-    # blocks are released by the ContextCleaner once out of scope
-    return state.select("walk_src", F.col("path").alias("walk")).localCheckpoint(
-        eager=True
+        steps.append(
+            state.select(
+                "walk_src",
+                F.lit(k + 1).alias("_k"),
+                F.col("cur").cast("string").alias("_v"),
+            )
+        )
+    from functools import reduce
+
+    visited = reduce(lambda a, b: a.unionByName(b), steps)
+    # one narrow shuffle of (walk_len+1)·|V| (src, step, vertex) rows;
+    # array_sort on the (int, string) struct orders by _k (unique per
+    # walk), reproducing the step order regardless of collect order.
+    # materialized in one job; the checkpointed nbrs/step blocks are
+    # released by the ContextCleaner once out of scope
+    return (
+        visited.groupBy("walk_src")
+        .agg(
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_k", "_v"))),
+                    lambda s: s["_v"],
+                ),
+            ).alias("walk")
+        )
+        .localCheckpoint(eager=True)
     )

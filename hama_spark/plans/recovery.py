@@ -133,7 +133,11 @@ def save_checkpoint(
             continue
         if m is not None and m.get("fingerprint") == fingerprint:
             mine.append(step)
-    for old in mine[:-retain] if retain > 0 else mine:
+    # clamp retain to >= 1: the just-committed step must survive its own
+    # prune (retain=0 would otherwise delete EVERY step including the
+    # one this call just wrote, violating the module invariant that at
+    # least one recoverable step exists at all times)
+    for old in mine[: -max(retain, 1)]:
         odir = _step_dir(recover_dir, old)
         fs.delete(jvm.org.apache.hadoop.fs.Path(odir), True)
 
@@ -152,13 +156,18 @@ def clear_checkpoints(
     a recover_dir shared (even accidentally) with another in-flight job
     keeps that job's crash checkpoints intact. In that scoped mode a
     manifest-less step directory is ALSO spared: it may be another job
-    mid-write (parquet down, manifest not yet), and its owner will
-    either commit it or sweep it on its own completion. An unreadable
-    or corrupt manifest is treated as not-mine (spared) rather than
-    aborting the sweep. Directories that don't match ``step=NNNNNN``
-    are never touched. Passing ``fingerprint=None`` keeps the old
-    sweep-everything behavior (including manifest-less debris) for
-    explicit directory resets."""
+    mid-write (parquet down, manifest not yet), and ownership of a
+    half-write cannot be established without a manifest — so SCOPED
+    sweeps never remove half-written debris, not even this job's own
+    crashed writes (they carry no fingerprint to match). Such debris
+    accumulates until an explicit ``fingerprint=None`` reset of the
+    directory; that is the deliberate trade — deleting an unowned
+    half-write could destroy another in-flight job's step mid-commit.
+    An unreadable or corrupt manifest is treated as not-mine (spared)
+    rather than aborting the sweep. Directories that don't match
+    ``step=NNNNNN`` are never touched. Passing ``fingerprint=None``
+    keeps the old sweep-everything behavior (including manifest-less
+    debris) for explicit directory resets."""
     fs, jpath, jvm = _fs_and_path(spark, recover_dir)
     if not fs.exists(jpath):
         return
@@ -218,9 +227,12 @@ def load_checkpoint(
             "state": manifest["state"],
         }
     if others:
+        # str() each fingerprint: a foreign manifest MISSING the key
+        # yields None, and sorting None against str raises TypeError,
+        # masking this descriptive error
         raise ValueError(
             f"pregel recover_dir {recover_dir!r} holds checkpoints only for "
-            f"different job(s) (fingerprints {sorted(set(others))!r} != "
+            f"different job(s) (fingerprints {sorted({str(f) for f in others})!r} != "
             f"{fingerprint!r}); point recover_dir at a fresh directory"
         )
     return None

@@ -39,8 +39,12 @@ def load(path: str) -> tuple[dict[str, float], float, dict]:
         for k, v in d.get("queries", {}).items()
         if isinstance(v, (int, float)) and v > 0
     }
+    # estimator fields default to None (= unknown), NOT to 1: pre-r8
+    # printed-line artifacts omit them even though they were measured
+    # with min-of-2 iteratives — defaulting to 1 made a like-for-like
+    # comparison against such a base emit a spurious mismatch WARN
     meta = {
-        "minof_iterative": d.get("minof_iterative", 1),
+        "minof_iterative": d.get("minof_iterative"),
         "minof_threshold_sec": d.get("minof_threshold_sec"),
         "repeated": set(d.get("repeats", {})),
     }
@@ -65,9 +69,16 @@ def main() -> int:
         return 2
     # estimator parity: min-of-N totals are systematically lower than
     # single-run totals — flag apples-to-oranges comparisons instead of
-    # letting calibration normalization imply they're like-for-like
-    if new_meta["minof_iterative"] != base_meta["minof_iterative"] or (
-        new_meta["minof_threshold_sec"] != base_meta["minof_threshold_sec"]
+    # letting calibration normalization imply they're like-for-like.
+    # Warn only when BOTH sides carry an explicit, differing value: a
+    # side with None simply predates the descriptor fields (its
+    # estimator is unknown, not single-run), so a mismatch cannot be
+    # asserted.
+    def _differs(a, b):
+        return a is not None and b is not None and a != b
+
+    if _differs(new_meta["minof_iterative"], base_meta["minof_iterative"]) or _differs(
+        new_meta["minof_threshold_sec"], base_meta["minof_threshold_sec"]
     ):
         print(
             "# WARN estimator mismatch: new minof="

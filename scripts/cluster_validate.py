@@ -179,12 +179,16 @@ def check_co_located_join(spark) -> dict:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(f"/tmp/hama_spark_lc_warehouse/{tbl}", ignore_errors=True)
 
-    n = 2_000_000
+    # env-tunable size (r8 verdict item 6): at the 2M smoke default the
+    # Exchange saving is noise-level across 4 executors (0.97-1.28x
+    # between rounds); a bigger tier makes the shuffled bytes matter
+    n = int(os.environ.get("SPARK_GRAFT_LC_JOIN_N", "2000000"))
+    n_dim = n // 4
     fact = spark.range(n).select(
-        (F.col("id") % 500_000).alias("k"),
+        (F.col("id") % n_dim).alias("k"),
         F.xxhash64("id").alias("payload"),
     )
-    dim = spark.range(500_000).select(
+    dim = spark.range(n_dim).select(
         F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
     )
     plain_f, plain_d = "/tmp/hama_spark_lc_plain_f", "/tmp/hama_spark_lc_plain_d"
@@ -227,6 +231,7 @@ def check_co_located_join(spark) -> dict:
     # checking the plan BELOW the SortMergeJoin node
     join_plan = plan[plan.find("SortMergeJoin"):]
     return {
+        "join_n": n,
         "rows": int(bucketed["n"]),
         "rows_match": bucketed["n"] == shuffled["n"],
         "hash_match": bucketed["h"] == shuffled["h"],

@@ -287,3 +287,45 @@ def test_corrupt_manifest_is_skipped_not_fatal(spark, tmp_path):
     # recovery scans newest-first: corrupt step 8 skipped, step 4 found
     ck = load_checkpoint(spark, rdir, "jobA")
     assert ck["superstep"] == 4 and ck["state"] == {"s": 4}
+
+
+def test_retain_zero_keeps_just_committed_step(spark, tmp_path):
+    """r8 ADVICE low: retain <= 0 must not delete the step the call
+    just committed — the module invariant is that at least one
+    recoverable step exists at all times (retain is clamped to 1)."""
+    from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+
+    rdir = str(tmp_path / "retain0")
+    vs = spark.range(2).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 2, vs, None, {"s": 2}, "jobA", retain=0)
+    save_checkpoint(rdir, 4, vs, None, {"s": 4}, "jobA", retain=0)
+    assert committed_steps(spark, rdir) == [4]
+    ck = load_checkpoint(spark, rdir, "jobA")
+    assert ck["superstep"] == 4 and ck["state"] == {"s": 4}
+
+
+def test_foreign_manifest_without_fingerprint_raises_descriptive(spark, tmp_path):
+    """r8 ADVICE low: a foreign manifest MISSING the fingerprint key
+    must still produce the descriptive ValueError (None used to make
+    sorted() raise TypeError and mask it)."""
+    import json as _json
+
+    import pytest
+
+    from hama_spark.plans.recovery import load_checkpoint, save_checkpoint
+
+    rdir = str(tmp_path / "nofp")
+    vs = spark.range(2).select(F.col("id"), F.lit(0).alias("x"))
+    save_checkpoint(rdir, 2, vs, None, {"s": 2}, "jobB")
+    mpath = tmp_path / "nofp" / "step=000002" / "_PREGEL_COMMITTED"
+    m = _json.loads(mpath.read_text())
+    del m["fingerprint"]
+    mpath.write_text(_json.dumps(m))
+    # drop the Hadoop LocalFileSystem checksum sibling: rewriting the
+    # manifest directly invalidates it and the read would die with a
+    # ChecksumException instead of exercising the None-fingerprint path
+    crc = mpath.parent / f".{mpath.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(ValueError, match="different job"):
+        load_checkpoint(spark, rdir, "jobA")
