@@ -6,17 +6,14 @@ same discipline as the engine's generators — sources/generators.py).
 
 Scale shape: neighbor lists are built once (groupBy + sorted collect —
 out-degree-bounded arrays), and each step is one equi-join of the walk
-frontier against them; walk state is (source, current) — TWO ids per
-walker — so every per-step shuffle carries O(1) bytes per walker. Each
-step's visited vertex is emitted as a (walk_src, step, vertex) row and
-the '->'-joined path string is assembled ONCE at the end by a single
-groupBy over walk_len·|V| narrow rows. (Earlier revisions carried the
-growing path-so-far string through every step, making step k's shuffle
-O(k) per walker — Σ O(walk_len²)·|V| total; that payload, not the
-joins, was what kept the 100x scale tier super-linear.) Lazy
-checkpoints chain the fixed-length loop into the caller's single job
-(kcore-style). Dead ends (no out-edges) stay in place, keeping walk
-length uniform.
+frontier against them. HOW the path string is produced is a measured
+lever (``path_assembly``): short walks carry the path through the step
+joins (one pass, no extra shuffle); long walks keep the per-step
+shuffle O(1) per walker and assemble the path once at the end — the
+carried string costs Σ O(walk_len²)·|V| shuffle bytes, the final
+assembly a flat (walk_len+1)·|V|-row groupBy. Lazy checkpoints chain
+the fixed-length loop into the caller's single job (kcore-style). Dead
+ends (no out-edges) stay in place, keeping walk length uniform.
 """
 
 from __future__ import annotations
@@ -53,6 +50,7 @@ def random_walks(
     seed: int = 42,
     max_degree: int = 4096,
     step_join: str = "shuffle_hash",
+    path_assembly: str = "carry",
 ) -> DataFrame:
     """edges(src, dst) -> (walk_src, walk) with one walk per vertex:
     ``walk`` is the '->'-joined vertex sequence of ``walk_len`` steps.
@@ -71,38 +69,62 @@ def random_walks(
     ``step_join``: ``"shuffle_hash"`` (default) hints each step's
     frontier⋈neighbors join to a shuffled hash join — walkers only
     need hash(cur) CO-LOCATION, never order, and the sort-merge
-    default would sort BOTH the growing walker paths and the same
-    checkpointed neighbor relation once per step (measured 1.4-2.3x
-    slower at the 10x tier, and the per-step walker sort is exactly
-    the state that spills at 100x; results bit-identical — r7 verdict
-    item 5 A/B). The build side is the degree-capped neighbor list, ~
-    |V|/partitions rows per task. ``"sort_merge"`` restores the
-    unhinted plan.
+    default would sort BOTH the walker state and the same checkpointed
+    neighbor relation once per step (measured 1.4-2.3x slower at the
+    10x tier; results bit-identical — r7 verdict item 5 A/B). The
+    build side is the degree-capped neighbor list, ~|V|/partitions
+    rows per task. ``"sort_merge"`` restores the unhinted plan.
+
+    ``path_assembly``: results BIT-IDENTICAL either way (pytest-pinned
+    + interleaved xxhash A/Bs at 1M/10M vertices), the choice is pure
+    plan shape. ``"carry"`` (default) threads the growing path string
+    through every step join — one pass over the walkers, no extra
+    shuffle, but step k's shuffle carries O(k) path bytes per walker.
+    ``"final"`` keeps walk state at (walk_src, cur) — O(1) shuffle
+    bytes per walker per step — emitting a narrow (walk_src, step,
+    vertex) row per step and assembling the path ONCE at the end with
+    a (walk_len+1)·|V|-row groupBy. Interleaved r9 A/Bs (order-
+    balanced, identical output hashes): at walk_len=8 carry wins —
+    warm 9.3s vs 12.6s at 1M vertices, ~parity at 10M (174s vs 184s
+    mean) — the ~60 B carried string is cheaper than the extra final
+    shuffle; at walk_len=32 FINAL wins 45.3s vs 75.5s (0.60x) at 1M,
+    because the carried payload grows quadratically with walk length
+    while the final groupBy grows linearly. Rule of thumb: carry for
+    walk_len ≲ 16, final for DeepWalk/node2vec-scale walk lengths
+    (40-80) or whenever step-state spill is the constraint.
     """
     if step_join not in ("shuffle_hash", "sort_merge"):
         raise ValueError("step_join must be 'shuffle_hash' or 'sort_merge'")
+    if path_assembly not in ("carry", "final"):
+        raise ValueError("path_assembly must be 'carry' or 'final'")
+    carry = path_assembly == "carry"
     nbrs = _capped_neighbors(edges, seed, max_degree).localCheckpoint(eager=True)
     nbrs_rhs = nbrs.hint("shuffle_hash") if step_join == "shuffle_hash" else nbrs
-    # eager: verts feeds both the step-0 emit and the step-1 join chain
-    # — without the checkpoint the distinct would recompute per branch
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if not carry:
+        # eager: in final mode verts feeds both the step-0 emit and the
+        # step-1 join chain — without the checkpoint the distinct would
+        # recompute per branch (carry mode has a single consumer)
+        verts = verts.localCheckpoint(eager=True)
     state = verts.select(
         F.col("id").alias("walk_src"),
         F.col("id").alias("cur"),
+        *([F.col("id").alias("path")] if carry else []),
     )
-    # per-step visited rows: (walk_src, _k, vertex-as-string); the path
-    # string is assembled once at the end instead of being carried (and
-    # re-shuffled, one step longer each time) through every step join
-    steps = [
-        state.select(
-            "walk_src", F.lit(0).alias("_k"), F.col("cur").cast("string").alias("_v")
-        )
-    ]
+    # final mode: per-step visited rows (walk_src, _k, vertex-as-string)
+    steps = (
+        []
+        if carry
+        else [
+            state.select(
+                "walk_src", F.lit(0).alias("_k"), F.col("cur").cast("string").alias("_v")
+            )
+        ]
+    )
     for k in range(walk_len):
         draw = F.conv(
             F.substring(
@@ -122,24 +144,34 @@ def random_walks(
         ).otherwise(F.col("cur"))
         state = (
             state.join(nbrs_rhs, state["cur"] == nbrs_rhs["src"], "left")
-            .select("walk_src", nxt.alias("cur"))
+            .select(
+                "walk_src",
+                nxt.alias("cur"),
+                *([F.concat(F.col("path"), F.lit("->"), nxt).alias("path")] if carry else []),
+            )
             .localCheckpoint(eager=False)
         )
-        steps.append(
-            state.select(
-                "walk_src",
-                F.lit(k + 1).alias("_k"),
-                F.col("cur").cast("string").alias("_v"),
+        if not carry:
+            steps.append(
+                state.select(
+                    "walk_src",
+                    F.lit(k + 1).alias("_k"),
+                    F.col("cur").cast("string").alias("_v"),
+                )
             )
+    if carry:
+        # materialize the chained steps in one job; the checkpointed
+        # nbrs blocks are released by the ContextCleaner once out of
+        # scope
+        return state.select("walk_src", F.col("path").alias("walk")).localCheckpoint(
+            eager=True
         )
     from functools import reduce
 
     visited = reduce(lambda a, b: a.unionByName(b), steps)
     # one narrow shuffle of (walk_len+1)·|V| (src, step, vertex) rows;
     # array_sort on the (int, string) struct orders by _k (unique per
-    # walk), reproducing the step order regardless of collect order.
-    # materialized in one job; the checkpointed nbrs/step blocks are
-    # released by the ContextCleaner once out of scope
+    # walk), reproducing the step order regardless of collect order
     return (
         visited.groupBy("walk_src")
         .agg(

@@ -351,3 +351,34 @@ def test_random_walks_join_strategy_identical(spark):
 
     with pytest.raises(ValueError, match="step_join"):
         random_walks(e, step_join="broadcast")
+
+
+def test_random_walks_path_assembly_identical(spark):
+    """r9 lever: the carry (default) and final path-assembly plans must
+    produce identical walks — final only changes WHERE the path string
+    is built (end-of-run groupBy vs per-step concat), never the seeded
+    draw. Covers dead ends (d has no out-edges) and walk_len=0."""
+    import random as _random
+
+    import pytest
+
+    from hama_spark.graph import random_walks
+
+    rng = _random.Random(7)
+    pairs = {(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(80)}
+    pairs.add(("zz", "d"))  # 'd' is a dead end: no out-edges
+    e = spark.createDataFrame(sorted(pairs), "src string, dst string")
+    for L in (0, 6):
+        a = {
+            r["walk_src"]: r["walk"]
+            for r in random_walks(e, walk_len=L, seed=9).collect()
+        }
+        b = {
+            r["walk_src"]: r["walk"]
+            for r in random_walks(
+                e, walk_len=L, seed=9, path_assembly="final"
+            ).collect()
+        }
+        assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="path_assembly"):
+        random_walks(e, path_assembly="streaming")
