@@ -556,6 +556,72 @@ def knn_graph(
     )
 
 
+def _cell_pair_candidates_np(slim: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b, cell) pairs whose partial-dot upper bound
+    can reach ``threshold`` — the numpy kernel for semantic_dup_pairs'
+    prune: one Arrow batch per cell (applyInPandas keyed on cell), the
+    whole cell's bound matrix as a float64 BLAS matmul instead of a
+    per-pair interpreted HOF. Rows are sorted by id inside the batch so
+    positional upper-triangle == id_a < id_b (UTF-8 byte order equals
+    code-point order, so pandas string sort matches Spark's binary
+    string comparison; numeric ids trivially match). Row-blocked
+    (1024-row strips) so a cell above the resplit cap cannot allocate
+    an unblocked |cell|² index set. float64 GEMM vs the JVM fold
+    differs only by summation order (≤ ~1e-15 on unit vectors), inside
+    the caller's 1e-9 slack — no true pair can be pruned; equal-id
+    pairs are excluded exactly like the expr join's strict <."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = slim.schema["id"].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    thr = float(threshold) - 1e-9
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty_id = pdf["id"].iloc[:0]
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": empty_id, "id_b": empty_id, "cell": pd.Series([], dtype="int32")}
+            )
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        vh = np.stack(pdf["vh"].to_numpy()).astype(np.float64, copy=False)
+        vt = pdf["vt"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, n - 1, block):
+            e = min(s + block, n)
+            bound = vh[s:e] @ vh.T + np.outer(vt[s:e], vt)
+            ii, jj = np.nonzero(bound >= thr)
+            keep = jj > (ii + s)
+            ia, ib = ids[ii[keep] + s], ids[jj[keep]]
+            ne = ia != ib  # strict <: drop duplicate-id pairs exactly
+            out_a.append(ia[ne])
+            out_b.append(ib[ne])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": empty_id, "id_b": empty_id, "cell": pd.Series([], dtype="int32")}
+            )
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {
+                "id_a": a,
+                "id_b": np.concatenate(out_b),
+                "cell": np.full(len(a), int(pdf["cell"].iloc[0]), dtype="int32"),
+            }
+        )
+
+    return slim.groupBy("cell").applyInPandas(pairs, out_schema)
+
+
 def semantic_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -564,6 +630,7 @@ def semantic_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_size: int | None = None,
+    pair_kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style candidate pairs: coarse-cluster the L2-normalized
     embeddings with k-means (same deterministic Lloyd as ivf_topk —
@@ -579,9 +646,29 @@ def semantic_dup_pairs(
     above that cap via ``resplit_oversized_cells`` — the skew fence for
     when k alone can't bound the quadratic). Centroids are
     O(n_cells·dim) driver state embedded as plan literals; the
-    assignment pass is one map-side projection, the pair join a plain
-    equi-join on cell.
+    assignment pass is one map-side projection.
+
+    ``pair_kernel`` picks HOW the Σ|cell|² prune bound is evaluated —
+    the OUTPUT is identical either way (both kernels only generate
+    candidates; every survivor is re-scored with the same exact JVM
+    fold whose summation order matches the SQL oracle):
+
+    - ``"expr"``: self-join on cell + the JVM higher-order-function
+      bound — the original plan. Per-PAIR interpreted HOF evaluation
+      makes it CPU-bound at Σ|cell|² scale (measured: the pair phase
+      dominated the 10x tier at ~27 s of a ~42 s warm pipeline).
+    - ``"numpy"``: one Arrow batch per cell (applyInPandas keyed by
+      cell) computes the whole cell's bound matrix with a float64 BLAS
+      matmul (guide-§4.2 shape: Spark does distribution, the batch
+      kernel does the math). The per-task matrix is |cell|² floats —
+      bounded by the same ``max_cell_size`` fence as the join, and the
+      float64 GEMM differs from the HOF fold only by summation order
+      (≤ ~1e-15 on unit vectors), which the existing 1e-9 slack already
+      absorbs, so no true pair can be lost.
+    - ``"auto"``: numpy.
     """
+    if pair_kernel not in ("auto", "expr", "numpy"):
+        raise ValueError(f"pair_kernel must be auto/expr/numpy, got {pair_kernel}")
     cb, _ = _kmeans_cells(corpus, n_cells, kmeans_iter, id_col, vec_col)
     if max_cell_size is not None:
         cb = resplit_oversized_cells(cb, max_cell_size, kmeans_iter=kmeans_iter)
@@ -589,14 +676,14 @@ def semantic_dup_pairs(
     # v L2-normalized, cos(a,b) = <a_h,b_h> + <a_t,b_t> where h/t split
     # the vector at dim 16, and Cauchy-Schwarz bounds the tail:
     # <a_t,b_t> <= |a_t|·|b_t| with |v_t| = sqrt(1 - |v_h|²). The
-    # Σ|cell|² candidate join carries ONLY (id, cell, 16-dim head,
+    # Σ|cell|² candidate pass carries ONLY (id, cell, 16-dim head,
     # tail norm) — ~4x less row data than both full vectors — and the
     # few pairs whose upper bound can reach the threshold re-join by id
     # to fetch full vectors for the exact dot (candidate -> verify,
     # same shape as the MinHash verify step). The 1e-9 slack covers the
-    # final 9-dp rounding (and ~1e-15 normalization error), so no
-    # boundary pair is ever pruned; survivors still get the exact
-    # rounded-cosine filter.
+    # final 9-dp rounding (and ~1e-15 normalization/summation-order
+    # error — both kernels), so no boundary pair is ever pruned;
+    # survivors still get the exact rounded-cosine filter.
     head = F.slice(F.col("v"), 1, 16)
     cb = cb.select(
         "id",
@@ -606,19 +693,24 @@ def semantic_dup_pairs(
         F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - _dot(head, head))).alias("vt"),
     ).localCheckpoint(eager=True)
     slim = cb.select("id", "cell", "vh", "vt")
-    a, b = slim.alias("a"), slim.alias("b")
-    cand = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .where(
-            _dot(F.col("a.vh"), F.col("b.vh")) + F.col("a.vt") * F.col("b.vt")
-            >= F.lit(threshold) - F.lit(1e-9)
+    if pair_kernel == "expr":
+        a, b = slim.alias("a"), slim.alias("b")
+        cand = (
+            a.join(
+                b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .where(
+                _dot(F.col("a.vh"), F.col("b.vh")) + F.col("a.vt") * F.col("b.vt")
+                >= F.lit(threshold) - F.lit(1e-9)
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.cell").cast("int").alias("cell"),
+            )
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.cell").cast("int").alias("cell"),
-        )
-    )
+    else:
+        cand = _cell_pair_candidates_np(slim, threshold)
     va = cb.select(F.col("id").alias("id_a"), F.col("v").alias("_va"))
     vb = cb.select(F.col("id").alias("id_b"), F.col("v").alias("_vb"))
     return (

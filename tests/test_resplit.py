@@ -91,3 +91,33 @@ def test_semantic_dup_pairs_capped_subset_and_default_unchanged(spark, tables):
 
     again = semantic_dup_pairs(emb, threshold=0.6, n_cells=4, kmeans_iter=3)
     assert {(r["id_a"], r["id_b"]) for r in again.collect()} == base_pairs
+
+
+def test_semantic_pair_kernels_identical(spark, tables):
+    """r9 lever: the numpy (BLAS batch, default via auto) and expr (JVM
+    HOF self-join) pair kernels must produce identical (id_a, id_b,
+    cosine, cell) sets — the kernel only changes how the prune BOUND is
+    evaluated; every survivor is re-scored by the same exact JVM fold."""
+    emb = tables["embeddings"]
+    rows = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["cosine"], r["cell"]) for r in df.collect()
+    )
+    for cap in (None, 7):
+        a = rows(
+            semantic_dup_pairs(
+                emb, threshold=0.2, n_cells=4, kmeans_iter=2, max_cell_size=cap,
+                pair_kernel="numpy",
+            )
+        )
+        b = rows(
+            semantic_dup_pairs(
+                emb, threshold=0.2, n_cells=4, kmeans_iter=2, max_cell_size=cap,
+                pair_kernel="expr",
+            )
+        )
+        assert a == b and len(a) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_kernel"):
+        semantic_dup_pairs(emb, pair_kernel="blas")
