@@ -248,6 +248,20 @@ def main() -> int:
             # queries once the inventory passed ~90 queries per JVM.
             del df, obs
             gc.collect()
+            # ...and force a DRIVER-JVM GC so the ContextCleaner's weak
+            # references actually clear: python gc only releases the
+            # py4j proxies; without JVM heap pressure the JVM may not
+            # collect for minutes, the cleaner's reference queue stays
+            # empty, and dead checkpoint blocks still pile up. Measured
+            # r9: with ~50 extra min-of-2 executions (the 1s threshold)
+            # the un-collected backlog inflated the LAST-running
+            # iterative block 1.3-4.5x (scc 7.5 -> 34s same code, warm
+            # fresh-session A/B at 8s); with the explicit GC the tail
+            # stays flat. Runs OUTSIDE the timed region.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             rep += 1
             # adaptive promotion: an expensive single-shot query is as
             # exposed to one bad host window as an iterative fixpoint
