@@ -556,6 +556,13 @@ def knn_graph(
     )
 
 
+# bound-matrix element budget for the numpy pair kernel: one strip is
+# block x |cell| float64 (~256 MB at the default), the fence that keeps
+# an unbounded cell from OOMing a Python worker. Module-level so tests
+# can shrink it to force multi-strip execution on small cells.
+_PAIR_BLOCK_ELEMS = 32 * 1024 * 1024
+
+
 def _cell_pair_candidates_np(slim: DataFrame, threshold: float) -> DataFrame:
     """Candidate (id_a, id_b, cell) pairs whose partial-dot upper bound
     can reach ``threshold`` — the numpy kernel for semantic_dup_pairs'
@@ -565,8 +572,10 @@ def _cell_pair_candidates_np(slim: DataFrame, threshold: float) -> DataFrame:
     positional upper-triangle == id_a < id_b (UTF-8 byte order equals
     code-point order, so pandas string sort matches Spark's binary
     string comparison; numeric ids trivially match). Row-blocked
-    (1024-row strips) so a cell above the resplit cap cannot allocate
-    an unblocked |cell|² index set. float64 GEMM vs the JVM fold
+    (1024-row strips, narrowed adaptively so one strip never exceeds
+    ``_PAIR_BLOCK_ELEMS`` elements) so a cell above the resplit cap
+    cannot allocate an unblocked |cell|² index set — nor, unfenced, a
+    multi-GB strip. float64 GEMM vs the JVM fold
     differs only by summation order (≤ ~1e-15 on unit vectors), inside
     the caller's 1e-9 slack — no true pair can be pruned; equal-id
     pairs are excluded exactly like the expr join's strict <."""
@@ -583,6 +592,7 @@ def _cell_pair_candidates_np(slim: DataFrame, threshold: float) -> DataFrame:
         ]
     )
     thr = float(threshold) - 1e-9
+    block_elems = _PAIR_BLOCK_ELEMS
 
     def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
@@ -596,7 +606,13 @@ def _cell_pair_candidates_np(slim: DataFrame, threshold: float) -> DataFrame:
         vt = pdf["vt"].to_numpy(dtype=np.float64)
         ids = pdf["id"].to_numpy()
         out_a, out_b = [], []
-        block = 1024
+        # the per-strip bound matrix is block x n float64: cap it at
+        # ~block_elems elements so an UNFENCED giant cell (max_cell_size
+        # =None, skewed k-means) degrades to narrower strips instead of
+        # allocating a multi-GB matrix in one Python worker (r9 ADVICE);
+        # at bench-scale cells (n <= block_elems/1024) this stays the
+        # measured 1024-row strip
+        block = max(32, min(1024, block_elems // max(1, n)))
         for s in range(0, n - 1, block):
             e = min(s + block, n)
             bound = vh[s:e] @ vh.T + np.outer(vt[s:e], vt)

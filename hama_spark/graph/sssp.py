@@ -30,6 +30,7 @@ def sssp(
     halt_check_interval: int = 1,
     recover_dir: str | None = None,
     stats_out: dict | None = None,
+    frontier_hops: int = 1,
 ) -> DataFrame:
     """edges(src, dst, weight:int) + start id -> (id, dist:int).
 
@@ -42,7 +43,48 @@ def sssp(
     ``recover_dir``: durable mid-fixpoint checkpoints — a rerun after a
     driver crash resumes from the last committed superstep (see
     :func:`hama_spark.plans.pregel.pregel`).
+
+    ``frontier_hops``: relax ``h`` hops per superstep by augmenting the
+    edge set ONCE with every min-weight path of length <= h (graph
+    squaring: E_aug = min-combine of E ∪ E² ∪ ... ∪ E^h, cycles
+    dropped — a path back to its own source can never improve a
+    distance under positive weights). Bellman-Ford over E_aug has the
+    SAME fixpoint — every augmented edge is the weight of a real path,
+    so no distance can undercut the true shortest, and E ⊆ E_aug keeps
+    every 1-hop relaxation available — but reaches it in ~⌈d/h⌉
+    supersteps instead of d (d = shortest-path hop diameter). The
+    trade: each superstep ships ~outdeg^h messages per frontier vertex
+    instead of outdeg, and the one-time augmentation costs h-1
+    self-joins; the win is the per-superstep scheduling/shuffle floor —
+    the dominant cost of deep fixpoints on graphs whose per-superstep
+    data volume is small (guide §2: fewer, fuller shuffle rounds).
+    Worth it for high-diameter, bounded-out-degree graphs; leave at 1
+    when out-degrees are large (message volume would grow ~outdeg^h).
+    Vertex set, distances and halt semantics are unchanged (the vertex
+    union over E_aug equals the union over E since E ⊆ E_aug and
+    augmented endpoints are existing vertices).
     """
+    if frontier_hops < 1:
+        raise ValueError(f"frontier_hops must be >= 1, got {frontier_hops}")
+    if frontier_hops > 1:
+        base = edges.select("src", "dst", "weight")
+        aug, hop = base, base
+        for _ in range(frontier_hops - 1):
+            hop = (
+                hop.alias("a")
+                .join(base.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    (F.col("a.weight") + F.col("b.weight")).alias("weight"),
+                )
+                # cycles cannot improve any distance (weights > 0) and
+                # composing them only breeds longer cycles — prune here
+                # so message volume stays ~outdeg^h, not larger
+                .where(F.col("src") != F.col("dst"))
+            )
+            aug = aug.unionByName(hop)
+        edges = aug.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -96,7 +138,7 @@ def sssp(
         # fixpoint are no-ops — batching the halt check is safe.
         halt_check_interval=halt_check_interval,
         recover_dir=recover_dir,
-        recover_fingerprint=f"sssp|{start_vertex}|{max_iter}",
+        recover_fingerprint=f"sssp|{start_vertex}|{max_iter}|h{frontier_hops}",
         stats_out=stats_out,
     )
     return result.select("id", "dist")

@@ -59,6 +59,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
@@ -115,6 +116,7 @@ def pregel(
     recover_retain: int = 2,
     dense: bool = False,
     stats_out: dict | None = None,
+    loop_plan: str = "auto",
 ) -> DataFrame:
     """Run a Pregel fixpoint and return the final vertex DataFrame.
 
@@ -202,11 +204,110 @@ def pregel(
         (last observed), ``aggregates`` (final values). Hama's
         job-counter surface (P4/P9: superstep count, BSPPeer counters);
         also what scale harnesses use to normalize cost per superstep.
+    loop_plan : how per-superstep joins are PLANNED inside the sparse
+        loop (results identical; dense mode ignores it — its cached
+        layouts depend on SMJ ordering). ``"shuffle"`` scopes {AQE off,
+        auto-broadcast off, prefer shuffled-hash join} to the loop
+        body: every superstep's inbox-combine and send join runs as a
+        shuffle join pinned to the loop's fixed ``n_part``
+        hash-partitioning, so a k-superstep chain executes as ONE Spark
+        job of pipelined stages. ``"broadcast"`` keeps Spark's default
+        planning, which broadcasts the (small) inbox/frontier each
+        superstep — each BroadcastExchange is its own driver-scheduled
+        job, and with AQE every exchange adds a query-stage
+        materialization round-trip; at 30+ supersteps those driver
+        round-trips dominate when the per-superstep data amortizes the
+        stage floor (measured on sssp_gen_100k: ~140 sub-100ms stages,
+        task time < 10% of wall; interleaved A/B 16.2s -> 11.0s,
+        identical hashes). On a TINY graph the broadcast plan wins (25-
+        vertex nation DAG: two 16-task exchanges per superstep cost
+        more than broadcasting 25 rows — filtered-bench A/B measured
+        both directions), and on a cluster a frontier algorithm with a
+        tiny inbox may also prefer it: the broadcast keeps the full
+        vertex state exchange-free (a shuffle join re-exchanges the
+        checkpointed vertex side, whose LogicalRDD partitioning Spark
+        no longer recognises). ``"auto"`` (default) picks "shuffle"
+        when the pre-loop vertex count reaches
+        ``SPARK_GRAFT_PREGEL_SHUFFLE_MIN_VERTICES`` (default 50k),
+        else "broadcast" — graph-size-adaptive, not box-tuned. The
+        conf scope is the pregel call (restored on exit): Spark reads
+        these confs at action time, and the loop's actions all run
+        inside it.
     """
     if halt_check_interval < 1:
         raise ValueError(f"halt_check_interval must be >= 1, got {halt_check_interval}")
+    if loop_plan not in ("auto", "shuffle", "broadcast"):
+        raise ValueError(
+            f"loop_plan must be 'auto', 'shuffle' or 'broadcast', got {loop_plan}"
+        )
     spark = vertices.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    guard = _LoopPlanGuard(spark, loop_plan, dense)
+    try:
+        return _pregel_loop(
+            vertices, edges, compute, send, combine, id_col, initial_message,
+            aggregators, halt, max_iter, checkpoint_interval, reliable_checkpoint,
+            detect_halt, halt_check_interval, mutate, recover_dir,
+            recover_fingerprint, recover_retain, dense, stats_out, spark, n_part,
+            guard,
+        )
+    finally:
+        guard.restore()
+
+
+class _LoopPlanGuard:
+    """Scopes the shuffle loop-plan confs to one pregel call.
+
+    ``loop_plan="auto"`` decides per GRAPH SIZE, which is only known
+    after the pre-loop vertex count — the loop calls :meth:`arm` with
+    ``num_vertices`` right after counting, and the guard applies the
+    confs only when the graph is big enough that per-superstep
+    broadcast-build jobs dominate (tiny graphs — e.g. the 25-vertex
+    nation DAG — plan better WITH broadcasts: a shuffle join's two
+    16-task exchanges cost more than broadcasting 25 rows; interleaved
+    A/B measured both directions). The threshold is parameterized, not
+    tuned to this box: it marks where per-superstep data volume starts
+    to amortize the fixed per-stage floor."""
+
+    MIN_VERTICES = int(
+        os.environ.get("SPARK_GRAFT_PREGEL_SHUFFLE_MIN_VERTICES", "50000")
+    )
+    CONFS = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    }
+
+    def __init__(self, spark, loop_plan: str, dense: bool) -> None:
+        self.spark = spark
+        self.plan = "broadcast" if dense else loop_plan
+        self.saved: dict[str, str | None] = {}
+
+    def arm(self, num_vertices: int) -> None:
+        if self.plan == "broadcast" or self.saved:
+            return
+        if self.plan == "auto" and num_vertices < self.MIN_VERTICES:
+            return
+        for k, v in self.CONFS.items():
+            self.saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+
+    def restore(self) -> None:
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        self.saved = {}
+
+
+def _pregel_loop(
+    vertices, edges, compute, send, combine, id_col, initial_message,
+    aggregators, halt, max_iter, checkpoint_interval, reliable_checkpoint,
+    detect_halt, halt_check_interval, mutate, recover_dir,
+    recover_fingerprint, recover_retain, dense, stats_out, spark, n_part,
+    guard,
+):
 
     def _dense_layout(df: DataFrame) -> DataFrame:
         # the pinned exchange-free layout: hash(id) partitioning AND
@@ -246,6 +347,7 @@ def pregel(
             prev_aggregates=dict(st["prev_aggregates"]),
         )
         inbox = resume["inbox"]
+        guard.arm(ctx.num_vertices)
     else:
         if dense:
             # eager checkpoint FIRST: fresh attributes cut whatever the
@@ -261,6 +363,7 @@ def pregel(
                 eager=False
             )
         ctx = PregelContext(superstep=0, num_vertices=vertices.count())
+        guard.arm(ctx.num_vertices)
 
         # --- superstep 0 inbox (Hama's "initial superstep", G3) ---------
         if initial_message == "self":

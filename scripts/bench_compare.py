@@ -77,6 +77,23 @@ def main() -> int:
     def _differs(a, b):
         return a is not None and b is not None and a != b
 
+    def _any_none(*vals):
+        return any(v is None for v in vals)
+
+    if _any_none(
+        new_meta["minof_iterative"],
+        base_meta["minof_iterative"],
+        new_meta["minof_threshold_sec"],
+        base_meta["minof_threshold_sec"],
+    ):
+        # pre-r8 artifacts carry no estimator descriptor: parity can
+        # neither be asserted nor refuted — say so instead of staying
+        # silent (r9 ADVICE: silence reads as "parity established")
+        print(
+            "# NOTE estimator unknown on one side (descriptor fields "
+            "absent) — min-of-N parity with the other side is NOT "
+            "established; treat cross-artifact ratios as approximate"
+        )
     if _differs(new_meta["minof_iterative"], base_meta["minof_iterative"]) or _differs(
         new_meta["minof_threshold_sec"], base_meta["minof_threshold_sec"]
     ):

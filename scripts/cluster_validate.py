@@ -183,6 +183,11 @@ def check_co_located_join(spark) -> dict:
     # Exchange saving is noise-level across 4 executors (0.97-1.28x
     # between rounds); a bigger tier makes the shuffled bytes matter
     n = int(os.environ.get("SPARK_GRAFT_LC_JOIN_N", "2000000"))
+    if n < 4:
+        # n < 4 makes n_dim = 0, so (id % 0) yields null join keys and
+        # both joins return 0 rows — the rows/hash checks would then
+        # pass vacuously (r9 ADVICE)
+        raise ValueError(f"SPARK_GRAFT_LC_JOIN_N must be >= 4, got {n}")
     n_dim = n // 4
     fact = spark.range(n).select(
         (F.col("id") % n_dim).alias("k"),
@@ -230,6 +235,13 @@ def check_co_located_join(spark) -> dict:
     # legitimately adds one single-partition exchange — exclude it by
     # checking the plan BELOW the SortMergeJoin node
     join_plan = plan[plan.find("SortMergeJoin"):]
+    # a zero-row join can only agree vacuously — fail loudly instead of
+    # reporting rows_match/hash_match = true on no evidence (r9 ADVICE)
+    if not bucketed["n"] or not shuffled["n"]:
+        raise AssertionError(
+            f"co-located-join check produced an empty join (bucketed n="
+            f"{bucketed['n']}, shuffled n={shuffled['n']}) — cannot validate"
+        )
     return {
         "join_n": n,
         "rows": int(bucketed["n"]),

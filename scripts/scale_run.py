@@ -472,10 +472,23 @@ def main() -> int:
 
     from bench import _calibration
 
+    # structural record of protocol deviations (r9 verdict item 9: the
+    # betweenness-xl 16g case was disclosed only in NOTES, so the SCALE
+    # row silently read as an 8g result). Format:
+    #   SPARK_GRAFT_SCALE_DEVIATIONS="betweenness=16g driver mem;foo=..."
+    # driver_mem is always recorded so a non-default heap is visible
+    # even without an explicit note.
+    deviations = {}
+    for pair in os.environ.get("SPARK_GRAFT_SCALE_DEVIATIONS", "").split(";"):
+        if "=" in pair:
+            op, note = pair.split("=", 1)
+            deviations[op.strip()] = note.strip()
     out: dict = {
         "round": ROUND,
         "scale_factor": SCALE,
         "small_volumes": SMALL,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "deviations": deviations,
         "cal_shuffle_sec": _calibration(spark),
         "ops": {},
     }
@@ -527,6 +540,9 @@ def main() -> int:
         with open(path) as f:
             prev = json.load(f)
         prev_ops = prev.get("ops", {})
+        # deviations accumulate across chunked runs (a later chunk must
+        # not erase an earlier chunk's disclosed deviation)
+        out["deviations"] = {**prev.get("deviations", {}), **deviations}
         for k, v in out["ops"].items():
             if xl and k in prev_ops:
                 # fold the xl fields into the existing small/big entry

@@ -111,3 +111,99 @@ def test_halt_check_interval_validation(spark):
     e = spark.createDataFrame([("a", "b", 1)], "src string, dst string, weight int")
     with _pytest.raises(ValueError, match="halt_check_interval"):
         sssp(e, "a", halt_check_interval=0)
+
+
+def test_loop_plan_shuffle_vs_broadcast_identical(spark):
+    """r10 lever: loop_plan only changes HOW per-superstep joins are
+    planned (shuffle-pinned vs broadcast); sssp results must be
+    identical, and the confs it scopes must be restored afterwards."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("a", "c", 9), ("c", "d", 1), ("x", "y", 4)],
+        "src string, dst string, weight int",
+    )
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin",
+        )
+    }
+    from hama_spark.plans.pregel import MSG, pregel
+
+    def compute(with_inbox, ctx):
+        improved = F.col(MSG).isNotNull() & (F.col(MSG) < F.col("dist"))
+        return with_inbox.select(
+            "id",
+            F.when(improved, F.col(MSG)).otherwise(F.col("dist")).alias("dist"),
+            improved.alias("updated"),
+        )
+
+    def send(verts, edg, ctx):
+        return (
+            verts.filter("updated")
+            .join(edg, verts["id"] == edg["src"])
+            .select(edg["dst"].alias("id"), (F.col("dist") + F.col("weight")).alias(MSG))
+        )
+
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(
+            "id",
+            F.when(F.col("id") == "a", F.lit(0)).otherwise(F.lit(10**9)).alias("dist"),
+            (F.col("id") == "a").alias("updated"),
+        )
+    )
+
+    def initial_message(vs, ctx):
+        return send(vs, edges, ctx)
+
+    results = {}
+    for plan in ("shuffle", "broadcast", "auto"):
+        out = pregel(
+            verts,
+            edges,
+            compute=compute,
+            send=send,
+            combine=F.min,
+            initial_message=initial_message,
+            max_iter=10,
+            loop_plan=plan,
+        )
+        results[plan] = sorted((r["id"], r["dist"]) for r in out.collect())
+    assert results["shuffle"] == results["broadcast"] == results["auto"]
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, f"loop confs leaked: {after} != {before}"
+
+    with pytest.raises(ValueError, match="loop_plan"):
+        pregel(verts, edges, compute=compute, send=send, combine=F.min, loop_plan="bogus")
+
+
+def test_sssp_frontier_hops_identical(spark):
+    """r10 lever: frontier_hops augments the edge set with <=h-hop
+    min-weight paths — same fixpoint distances, fewer supersteps."""
+    import pytest
+
+    from hama_spark.graph import sssp
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 3), ("b", "c", 2), ("c", "d", 4), ("d", "e", 1),
+            ("a", "c", 9), ("b", "e", 20), ("e", "f", 2), ("q", "a", 5),
+        ],
+        "src string, dst string, weight int",
+    )
+    base = sorted((r["id"], r["dist"]) for r in sssp(edges, "a").collect())
+    for hops in (2, 3):
+        stats = {}
+        got = sorted(
+            (r["id"], r["dist"])
+            for r in sssp(edges, "a", frontier_hops=hops, stats_out=stats).collect()
+        )
+        assert got == base
+    with pytest.raises(ValueError, match="frontier_hops"):
+        sssp(edges, "a", frontier_hops=0)

@@ -121,3 +121,28 @@ def test_semantic_pair_kernels_identical(spark, tables):
 
     with pytest.raises(ValueError, match="pair_kernel"):
         semantic_dup_pairs(emb, pair_kernel="blas")
+
+
+def test_pair_kernel_adaptive_strip_identical(spark, tables, monkeypatch):
+    """r10 OOM fence (r9 ADVICE): an unfenced giant cell must not
+    allocate a multi-GB bound strip — the strip narrows so block*n stays
+    under _PAIR_BLOCK_ELEMS. Shrinking the budget forces multi-strip,
+    narrowed-block execution on the fixture corpus; output must equal
+    the expr kernel bit-for-bit (the strip is pure evaluation order)."""
+    from hama_spark.extensions import similarity
+
+    emb = tables["embeddings"]
+    rows = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], r["cosine"], r["cell"]) for r in df.collect()
+    )
+    # ~1000 vectors over 2 cells -> cells of several hundred rows; a
+    # 2048-element budget gives block = max(32, 2048//n) = 32 rows, so
+    # every cell runs many narrowed strips
+    monkeypatch.setattr(similarity, "_PAIR_BLOCK_ELEMS", 2048)
+    a = rows(
+        semantic_dup_pairs(emb, threshold=0.2, n_cells=2, kmeans_iter=2, pair_kernel="numpy")
+    )
+    b = rows(
+        semantic_dup_pairs(emb, threshold=0.2, n_cells=2, kmeans_iter=2, pair_kernel="expr")
+    )
+    assert a == b and len(a) > 0
