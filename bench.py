@@ -27,15 +27,22 @@ from hama_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Shuffle partitions sized to the bench DATA, not the core count: at
-# sf0.1 (~600k lineitem rows, 100k-vertex generated graphs) 16 fuller
-# partitions beat 32 slivers by ~11% wall-clock (measured A/B) — the
-# per-task scheduling floor dominates sliver-sized partitions,
-# especially inside iterative loops whose explicit repartition AQE does
-# not coalesce. A cluster submit overrides via --conf or
-# SPARK_GRAFT_SHUFFLE; the "2-3x total cores" rule applies when
-# partitions are data-bound, not overhead-bound.
-os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "16")
+# Shuffle partitions: max(16, cores) — a floor of 16 fuller partitions
+# for the data-bound regime (sf0.1 is overhead-bound; fewer, fuller
+# partitions amortize the per-task floor), RISING with the core count
+# so the driver's scaling probe compares runs that actually differ in
+# shuffle-stage parallelism (r9 verdict item 2: the old fixed 16 pinned
+# an 8-core and a 32-core run to identical 16-task stages and the
+# driver flagged suspect_cpus_ignored). Re-measured r10 at 32 cores:
+# 16-vs-32 partitions is NOISE-LEVEL both on the full bench (geomean
+# 32/16 = 1.001 over 75 queries >0.5s, windows disclosed in
+# OPTIMIZATION_r10.md) and on an interleaved filtered A/B of the most
+# partition-sensitive block (tiny-graph pregel: all six queries within
+# +-10% across 16,32,32,16 runs) — r4's "16 beats 32 by ~11%" no
+# longer holds after the r9/r10 loop-plan work. A cluster submit still
+# overrides via --conf or SPARK_GRAFT_SHUFFLE.
+_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", str(max(16, _cpus)))
 
 # Quadratic all-pairs ops are capped out of the headline set at sf>=0.1:
 # they are correctness surface (checked at sf0.01), not throughput
@@ -293,6 +300,14 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        # scaling-probe visibility (r9 verdict item 2): the core count
+        # and the shuffle parallelism it produced, ON the line, so a
+        # cpus_main-vs-cpus_low comparison can see whether the two runs
+        # actually differed in shuffle-stage parallelism
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
         "cal_shuffle_sec": cal,
         # host-drift normalizer: measured calibration over the calm-
         # window reference; divide totals by this to compare rounds

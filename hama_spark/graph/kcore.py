@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# broadcast-cores round-plan cap: the exchange-free round below
+# broadcasts the (id, core) relation — |V| rows x ~12 bytes — every
+# round. Fine into the tens of millions of vertices (a 16M-vertex
+# broadcast is ~200 MB, well under Spark's 8 GB/512M-row cap); above
+# the cap kcore falls back to the shuffle round, which never
+# broadcasts vertex state. Env-tunable for cluster posture.
+_BCAST_MAX_VERTICES = 16_000_000
+
+
 def kcore(
     edges: DataFrame,
     max_iter: int = 20,
@@ -46,17 +55,37 @@ def kcore(
     rounds (the oracle-replay contract); otherwise ``max_iter`` caps it.
     Both modes stop early when a round changes no core — a no-op round
     proves the fixpoint, so the result equals the full schedule's.
+
+    Round plan (r10): the edge cache is hash-partitioned on ``dst`` —
+    the key every DOWNSTREAM per-round operator needs — and the cores
+    relation is broadcast into the neighbor join. A broadcast hash join
+    preserves the streamed side's partitioning, so the per-round
+    count/window/h-index/agg chain runs with ZERO exchanges: the only
+    per-round data movement is the |V|-row cores broadcast (capped by
+    ``SPARK_GRAFT_KCORE_BCAST_MAX``, default 16M vertices — above it
+    the round falls back to the previous plan: edge cache partitioned
+    on ``src`` feeding a shuffle join, with the count/window exchange
+    per round). The previous plan shuffled the FULL |E|-row neighbor
+    relation once per round (groupBy(dst) exchange) plus a second
+    exchange into the window — at 6 rounds that is 12 edge-scale
+    exchanges this plan removes outright (guide §2.4).
     """
+    import os
+
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bcast_max = int(os.environ.get("SPARK_GRAFT_KCORE_BCAST_MAX", _BCAST_MAX_VERTICES))
 
-    sym = (
+    sym0 = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(n_part, "src")
-        .cache()
     )
+    # one cheap pass decides the round plan: |V| = distinct src of the
+    # symmetrized set (every vertex appears as a src after symmetrize)
+    n_vertices = sym0.select("src").distinct().count()
+    bcast = n_vertices <= bcast_max
+    sym = sym0.repartition(n_part, "dst" if bcast else "src").cache()
     sym.count()
 
     # core_0 = degree (KCoreVertex.compute superstep 0: core = edges.size)
@@ -67,9 +96,13 @@ def kcore(
 
     iters = fixed_iters if fixed_iters is not None else max_iter
     for i in range(iters):
-        # neighbor estimates: core of src delivered to dst (sym is
-        # cached pre-partitioned on src, so this side never re-shuffles)
-        nbr = sym.join(cores, sym["src"] == cores["id"]).select(
+        # neighbor estimates: core of src delivered to dst. Broadcast
+        # plan: sym is cached pre-partitioned on dst and the BHJ keeps
+        # that partitioning, so everything downstream is exchange-free.
+        # Shuffle plan (|V| above the broadcast cap): sym is cached
+        # pre-partitioned on src so the join side never re-shuffles.
+        rhs = F.broadcast(cores) if bcast else cores
+        nbr = sym.join(rhs, sym["src"] == cores["id"]).select(
             F.col("dst").alias("id"), F.col("core").alias("nbr_core")
         )
         # h-index H = max over distinct core values c of min(c, N_c),
