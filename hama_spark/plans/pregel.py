@@ -279,6 +279,10 @@ class _LoopPlanGuard:
     }
 
     def __init__(self, spark, loop_plan: str, dense: bool) -> None:
+        if loop_plan not in ("auto", "shuffle", "broadcast"):
+            raise ValueError(
+                f"loop_plan must be 'auto', 'shuffle' or 'broadcast', got {loop_plan}"
+            )
         self.spark = spark
         self.plan = "broadcast" if dense else loop_plan
         self.saved: dict[str, str | None] = {}

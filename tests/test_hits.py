@@ -61,3 +61,32 @@ def test_hits_iterations_zero_matches_oracle(spark, tables, duck):
         0,
     )
     assert_df_equals_oracle(hits(edges, iterations=0), duck, sql, tol=1e-6)
+
+
+def test_hits_loop_plan_identical(spark):
+    """r10 lever: loop_plan only changes half-step join planning; hub/
+    authority outputs must be identical across plans, confs restored."""
+    import pytest
+
+    from hama_spark.graph.hits import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        "src string, dst string",
+    )
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    outs = {}
+    for plan in ("shuffle", "broadcast", "auto"):
+        outs[plan] = sorted(
+            (r["id"], r["hub"], r["authority"])
+            for r in hits(edges, iterations=3, loop_plan=plan).collect()
+        )
+    assert outs["shuffle"] == outs["broadcast"] == outs["auto"]
+    assert {k: spark.conf.get(k, None) for k in keys} == before
+    with pytest.raises(ValueError, match="loop_plan"):
+        hits(edges, loop_plan="bogus")
