@@ -296,6 +296,14 @@ class _LoopPlanGuard:
             self.saved[k] = self.spark.conf.get(k, None)
             self.spark.conf.set(k, v)
 
+    @property
+    def armed(self) -> bool:
+        """True once :meth:`arm` applied the confs — callers that
+        return a LAZY result use this to materialize inside the scope
+        only when the scoped plan actually needs it (unarmed calls keep
+        their original lazy return untouched)."""
+        return bool(self.saved)
+
     def restore(self) -> None:
         for k, v in self.saved.items():
             if v is None:

@@ -111,3 +111,34 @@ def test_harmonic_batch_landmarks_rejects_nonpositive(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="positive"):
         harmonic_centrality(e, landmarks=2, batch_landmarks=-1)
+
+
+def test_harmonic_loop_plan_identical(spark):
+    """r10 lever: loop_plan only changes how per-round BFS joins are
+    planned; scores must be identical across plans, confs restored."""
+    import pytest
+
+    from hama_spark.graph import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    outs = {}
+    for plan in ("shuffle", "broadcast", "auto"):
+        outs[plan] = sorted(
+            (r.id, r.harmonic, r.n_lm)
+            for r in harmonic_centrality(
+                e, landmarks=4, radius=3, loop_plan=plan
+            ).collect()
+        )
+    assert outs["shuffle"] == outs["broadcast"] == outs["auto"]
+    assert {k: spark.conf.get(k, None) for k in keys} == before
+    with pytest.raises(ValueError, match="loop_plan"):
+        harmonic_centrality(e, loop_plan="bogus")

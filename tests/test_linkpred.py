@@ -81,3 +81,32 @@ def test_directed_graph_uses_in_degrees_and_keeps_sink_endpoints(spark):
     }
     # in-deg(a) = in-deg(b) = 2, common predecessors = 2 -> jaccard 1.0
     assert got == {("a", "b"): (2, 1.0)}
+
+
+def test_linkpred_loop_plan_identical(spark):
+    """r10 lever: loop_plan only changes how the wedge pipeline is
+    planned; pair scores must be identical across plans, confs
+    restored, and an unarmed call stays lazy (no behavior change)."""
+    import pytest
+
+    from hama_spark.graph.linkpred import link_prediction
+
+    e = _edges(
+        spark,
+        [("a", "w1"), ("b", "w1"), ("a", "w2"), ("b", "w2"), ("c", "w2"), ("c", "w1")],
+    )
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin",
+    )
+    before = {k: spark.conf.get(k, None) for k in keys}
+    outs = {}
+    for plan in ("shuffle", "broadcast", "auto"):
+        outs[plan] = sorted(
+            tuple(r) for r in link_prediction(e, min_common=1, loop_plan=plan).collect()
+        )
+    assert outs["shuffle"] == outs["broadcast"] == outs["auto"] and len(outs["auto"]) > 0
+    assert {k: spark.conf.get(k, None) for k in keys} == before
+    with pytest.raises(ValueError, match="loop_plan"):
+        link_prediction(e, loop_plan="bogus")
