@@ -93,19 +93,31 @@ def _plane(seed: int, table: int, plane: int, dim: int) -> list[float]:
     return comps
 
 
-def _hyperplane_sig(v: Column, dim: int, planes: int, seed: int, table: int) -> Column:
+def _hyperplane_sig(vcol: str, dim: int, planes: int, seed: int, table: int) -> Column:
     """LSH signature: for each plane, sign of v · h_plane. Returns a
-    bigint bucket id."""
-    out = F.lit(0).cast("long")
+    bigint bucket id.
+
+    Built as ONE SQL string parsed server-side (r10): the Column-API
+    equivalent issues ~planes·dim py4j round-trips per signature —
+    tables·planes·dim ≈ 2k driver calls ≈ 3s of pure DataFrame
+    CONSTRUCTION per lsh call at the default 8×4×64 (measured: build
+    3.2s vs execute 0.75s at sf0.1). The SQL text parses to the SAME
+    Catalyst expression — identical ±1.0D literals, identical zip_with
+    multiply, identical left-fold sum order — so every projection (and
+    therefore every bucket id) is bit-equal to the Column-API build
+    (pinned by tests/test_lsh_sig_sql.py against the old builder)."""
+    terms = ["CAST(0 AS BIGINT)"]
     for p in range(planes):
-        comps = F.array(*[F.lit(c) for c in _plane(seed, table, p, dim)])
-        proj = F.aggregate(
-            F.zip_with(v, comps, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        comps = ",".join(f"{c:.1f}D" for c in _plane(seed, table, p, dim))
+        proj = (
+            f"aggregate(zip_with(`{vcol}`, array({comps}), (a, b) -> a * b), "
+            f"0.0D, (s, x) -> s + x)"
         )
-        out = out.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
         )
-    return out
+    return F.expr(" | ".join(terms))
 
 
 def _with_buckets(df: DataFrame, vcol: str, dim: int, planes: int, tables: int, seed: int) -> DataFrame:
@@ -120,7 +132,7 @@ def _with_buckets(df: DataFrame, vcol: str, dim: int, planes: int, tables: int, 
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            _hyperplane_sig(F.col(vcol), dim, planes, seed, t).alias("bkt"),
+                            _hyperplane_sig(vcol, dim, planes, seed, t).alias("bkt"),
                         )
                         for t in range(tables)
                     ]
