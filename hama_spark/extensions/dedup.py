@@ -56,9 +56,16 @@ def word_shingles(text, k: int = 3) -> Column:
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, k)).alias("sh")
+    from hama_spark.extensions.text import spread_rows
+
+    # project to the two needed columns BEFORE spreading (the shuffle
+    # moves only id+text), then shingle on full parallelism — an
+    # unsplittable one-row-group scan otherwise runs the whole
+    # shingle/md5 map stage on one core (guide §2; r10)
+    slim = spread_rows(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     )
+    return slim.select("id", F.explode(word_shingles("_t", k)).alias("sh"))
 
 
 def _guard_quadratic(
@@ -311,9 +318,14 @@ def simhash_signatures(
     with 60 conditional-sum aggregates (all JVM/codegen). A per-token
     60-wide array fold inside ``F.aggregate`` is ~10x slower.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).select(
+    from hama_spark.extensions.text import spread_rows
+
+    # spread the unsplittable scan before the per-token md5 map stage
+    # (same rationale as _shingle_rows)
+    slim = spread_rows(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    )
+    toks = slim.select("id", F.explode(tokenize("_t")).alias("tok")).select(
         "id",
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
         .cast("long")

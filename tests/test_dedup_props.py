@@ -255,3 +255,25 @@ def test_collapse_keep_best_string_ids(spark):
         for r in collapse_keep_best(docs, pairs, "q").collect()
     }
     assert out == {"a2": (0.9, 2), "b1": (0.5, 2)}
+
+
+def test_spread_rows_gate_and_value_neutrality(spark, tables):
+    """r10: spread_rows repartitions an unsplittable 1-partition scan to
+    core count before heavy per-row text stages, is a no-op when the
+    input already has enough partitions, and never changes values."""
+    from hama_spark.extensions.dedup import minhash_signatures
+    from hama_spark.extensions.text import spread_rows
+
+    docs = tables["documents"]
+    spread = spread_rows(docs)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # already-parallel input passes through untouched (same plan object)
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert spread_rows(wide) is wide
+
+    # signatures are value-identical whether the corpus was spread or not
+    # (the operator spreads internally; compare against a forced-narrow
+    # coalesce(1) input, which spread_rows re-spreads)
+    a = sorted(map(tuple, minhash_signatures(docs, 8, 3).collect()))
+    b = sorted(map(tuple, minhash_signatures(docs.coalesce(1), 8, 3).collect()))
+    assert a == b and len(a) > 0
