@@ -28,7 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import os
+
 from hama_spark.plans.pregel import MSG, PregelContext, pregel
+
+# Giant-SCC regime gate for the backward edge restriction: when at
+# least this fraction of active edges is same-color, skip the e_bwd
+# checkpoint and run the backward phase on the full (already
+# checkpointed) edge relation — result-identical either way, see the
+# in-loop comment. 0.95 marks "restriction would drop <5% of edges";
+# tune with the env var at scale, 1.0 disables the skip entirely.
+_BWD_SKIP_RATIO = float(os.environ.get("SPARK_GRAFT_SCC_BWD_SKIP_RATIO", "0.95"))
 
 
 def _forward_colors(
@@ -270,11 +280,27 @@ def strongly_connected_components(
         # joins and shuffles only the candidate-SCC subgraph. At the
         # forward fixpoint color(src) <= color(dst) on every edge, so
         # this keeps exactly the equal-color edges.
-        e_bwd = (
-            ewc.where(F.col("_csrc") == F.col("_cdst"))
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+        #
+        # Size-aware skip (r10, VERDICT r9 item 4): in the giant-SCC
+        # regime nearly every edge is same-color, so the restriction
+        # buys nothing while paying an extra |E|-scale checkpoint. When
+        # the same-color fraction is at/above the (env-tunable)
+        # threshold, reuse the already-checkpointed ``e`` — the
+        # backward compute drops cross-color claims regardless (the
+        # pre-r9 semantics), and the pending-invariant join is equally
+        # valid on e: a pending row needs scc(dst) == color(src) while
+        # scc(dst) == color(dst), i.e. only same-color edges can ever
+        # be pending. Both counts read materialized checkpoints.
+        n_e = e.count()
+        n_same = ewc.where(F.col("_csrc") == F.col("_cdst")).count()
+        if n_same >= _BWD_SKIP_RATIO * n_e:
+            e_bwd = e
+        else:
+            e_bwd = (
+                ewc.where(F.col("_csrc") == F.col("_cdst"))
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
         collected = _backward_collect(
             colored, e_bwd, max_iter, num_partitions, halt_check_interval
         )

@@ -189,3 +189,29 @@ def test_scc_trim_random_graphs_match_tarjan(spark):
             }
         )
         assert _spark_partition(spark, edges) == _tarjan(edges), (trial, edges)
+
+
+def test_scc_bwd_skip_regimes_identical(spark, monkeypatch):
+    """r10: the size-aware e_bwd skip (giant-SCC regime reuses the full
+    edge checkpoint for the backward phase) must label identically to
+    the always-restrict path on a graph that actually trips the gate."""
+    import hama_spark.graph.scc as sccmod
+
+    # one giant cycle (all edges same-color after coloring) plus a tail
+    n = 12
+    edges = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)] + [
+        ("v0", "t1"), ("t1", "t2")
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def labels():
+        return sorted(
+            (r["id"], r["scc"])
+            for r in sccmod.strongly_connected_components(df, trim_iters=0).collect()
+        )
+
+    monkeypatch.setattr(sccmod, "_BWD_SKIP_RATIO", 0.0)  # always skip
+    always_skip = labels()
+    monkeypatch.setattr(sccmod, "_BWD_SKIP_RATIO", 1.1)  # never skip
+    never_skip = labels()
+    assert always_skip == never_skip
