@@ -7,6 +7,12 @@ import pytest
 
 from hama_spark.session import TABLES, get_spark
 
+# The suite runs on sf0.001 fixtures where shuffle stages are scheduling-floor
+# bound: 4 post-shuffle tasks measured ~5% faster than 32 over a 4-file probe
+# (105s vs 111s) with no result dependence on the partition count. An explicit
+# $SPARK_GRAFT_SHUFFLE still wins.
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_001 = "/root/testdata/sf0.001"
 
